@@ -1,0 +1,118 @@
+"""Enrichment: broadcast pattern→label lookup + Loki label projection.
+
+- `pattern_labels` broadcast join: the north-star "lookup enrich"
+  (SURVEY.md §2.4 J7) — a small dimension (pattern_key, service_type, sink,
+  org_name) joined with an explicit broadcast() hint so the join never
+  shuffles the fact side at any scale.
+- `loki_label_map`: the 14-label index projection of
+  /root/reference/internal/streams/connectors/lokishipper/lokishipper.go:284-306
+  plus the tags→labels fold of lokishipper.go:127-139 (arrays folded as
+  tags_<i>, empty strings skipped).
+- `stream_key`: the canonical sorted `{k="v", ...}` label-set string of
+  /root/reference/pkg/clients/lokiclient/batch.go:81-111.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logunifier_spark.schema import LOKI_LABEL_COLUMNS
+
+# default pattern→labels dimension (deterministic; FIXTURES.md §2)
+DEFAULT_PATTERN_LABELS = [
+    # pattern_key, service_type, sink, org_name
+    ("Unknown", "unclassified", "loki_errors", "noorg"),
+    ("Nop", "raw", "loki_infra", "core"),
+    ("LogFmt", "structured", "loki_app", "core"),
+    ("Ecs", "native", "loki_app", "core"),
+    ("TsLevelMsg", "structured", "loki_app", "core"),
+    ("Envoy", "proxy", "loki_infra", "mesh"),
+    ("Clf", "access", "loki_infra", "mesh"),
+    ("Traefik", "proxy", "loki_infra", "mesh"),
+]
+PATTERN_LABELS_SCHEMA = "pattern_key string, enr_service_type string, sink string, enr_org_name string"
+
+
+def default_pattern_labels(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(DEFAULT_PATTERN_LABELS, PATTERN_LABELS_SCHEMA)
+
+
+def enrich_with_pattern_labels(df: DataFrame, pattern_labels: DataFrame) -> DataFrame:
+    """Left broadcast join on the pattern key; fills service_type / org_name
+    only where the envelope left them unset, and attaches `sink`."""
+    joined = df.join(
+        F.broadcast(pattern_labels),
+        df["log_pattern_key"] == pattern_labels["pattern_key"],
+        "left",
+    ).drop(pattern_labels["pattern_key"])
+    return joined.withColumns({
+        "service_type": F.coalesce(F.nullif(F.col("service_type"), F.lit("")),
+                                   F.col("enr_service_type")),
+        "org_name": F.coalesce(F.nullif(F.col("org_name"), F.lit("")),
+                               F.col("enr_org_name")),
+        "sink": F.coalesce(F.col("sink"), F.lit("loki_errors")),
+    }).drop("enr_service_type", "enr_org_name")
+
+
+def _bool_str(c: Column) -> Column:
+    return F.when(c, F.lit("true")).otherwise(F.lit("false"))
+
+
+def loki_label_map() -> Column:
+    """The 14-label Loki index set (lokishipper.go:284-306) + conditional
+    error_type, as a map<string,string> column over the unified schema."""
+    has_proc = F.col("process_error_reason").isNotNull() & (F.col("process_error_reason") != "")
+    has_val = F.col("validation_errors").isNotNull() & (F.col("validation_errors") != "")
+    has_stack = F.col("error_stack_trace").isNotNull() & (F.col("error_stack_trace") != "")
+    has_etype = F.col("error_type").isNotNull() & (F.col("error_type") != "")
+    base = F.create_map(
+        F.lit("ingress"), F.coalesce(F.col("log_ingress"), F.lit("")),
+        F.lit("host"), F.coalesce(F.col("host_name"), F.lit("")),
+        F.lit("org_name"), F.coalesce(F.col("org_name"), F.lit("")),
+        F.lit("environment"), F.coalesce(F.col("environment"), F.lit("")),
+        F.lit("service_stack"), F.coalesce(F.col("service_stack"), F.lit("")),
+        F.lit("service_name"), F.coalesce(F.col("service_name"), F.lit("")),
+        F.lit("service_type"), F.coalesce(F.col("service_type"), F.lit("")),
+        F.lit("service_namespace"), F.coalesce(F.col("service_namespace"), F.lit("")),
+        F.lit("log_logger"), F.coalesce(F.col("log_logger"), F.lit("")),
+        F.lit("level"), F.coalesce(F.col("log_level"), F.lit("")),
+        F.lit("pattern_key"), F.coalesce(F.col("log_pattern_key"), F.lit("")),
+        F.lit("process_error"), _bool_str(has_proc),
+        F.lit("validation_error"), _bool_str(has_val),
+        F.lit("error_stack"), _bool_str(has_stack),
+    )
+    return F.when(has_etype,
+                  F.map_concat(base, F.create_map(F.lit("error_type"), F.col("error_type")))
+                  ).otherwise(base)
+
+
+def fold_tags_into_labels(labels: Column, tags: Column) -> Column:
+    """tags -> labels["tags_<i>"], skipping empty values
+    (lokishipper.go:127-139)."""
+    folded = F.map_from_entries(
+        F.filter(
+            F.transform(
+                F.coalesce(tags, F.array()),
+                lambda t, i: F.struct(
+                    F.concat(F.lit("tags_"), i.cast("string")).alias("key"),
+                    t.alias("value"),
+                ),
+            ),
+            lambda e: F.length(F.coalesce(e["value"], F.lit(""))) > 0,
+        )
+    )
+    return F.map_concat(F.coalesce(labels, F.map_from_arrays(F.array(), F.array())), folded)
+
+
+def stream_key(label_map: Column) -> Column:
+    """Canonical sorted `{k="v", ...}` stream key (batch.go:81-111)."""
+    entries = F.sort_array(F.map_entries(label_map))
+    return F.concat(
+        F.lit("{"),
+        F.array_join(
+            F.transform(entries, lambda e: F.concat(e["key"], F.lit('="'), e["value"], F.lit('"'))),
+            ", ",
+        ),
+        F.lit("}"),
+    )

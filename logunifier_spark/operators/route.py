@@ -1,0 +1,65 @@
+"""Routing: deterministic salted label-hash fan-out to per-sink tables.
+
+The Spark analog of the Loki shipper's per-label-stream batching
+(/root/reference/pkg/clients/lokiclient/batch.go:55-111,
+client.go:273-363): instead of per-tenant HTTP batches we partition by a
+deterministic hash of (stream_key, conv_id, salt) and write one table per
+sink.
+
+Skew design (north-rule requirement): hot conversations are spread across
+`salt_buckets` shuffle partitions via `pmod(xxhash64(turn_idx), K)` — a pure
+column expression, so the partitioner is deterministic and reproducible
+across runs and cluster sizes. At 10^12 turns a single hot conv_id would
+otherwise pin a whole executor; the salt bounds any conversation's share of
+a partition to ~1/K of its rows while keeping (conv_id, salt) co-location
+for downstream per-conversation work.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SALT_BUCKETS = 8
+
+
+def salt_column(turn_idx: Column, buckets: int = DEFAULT_SALT_BUCKETS) -> Column:
+    return F.pmod(F.xxhash64(turn_idx), F.lit(buckets))
+
+
+def route_partition(stream_key: Column, conv_id: Column, salt: Column,
+                    n_partitions: int) -> Column:
+    """Deterministic route partition id (stable across runs/cluster sizes)."""
+    return F.pmod(F.xxhash64(stream_key, conv_id, salt), F.lit(n_partitions))
+
+
+def with_routing(df: DataFrame, n_partitions: int = 32,
+                 salt_buckets: int = DEFAULT_SALT_BUCKETS) -> DataFrame:
+    """Attach salt + route_partition columns (expects stream_key, conv_id,
+    turn_idx present)."""
+    salt = salt_column(F.col("turn_idx"), salt_buckets)
+    return df.withColumns({
+        "salt": salt,
+        "route_partition": route_partition(F.col("stream_key"), F.col("conv_id"),
+                                           salt, n_partitions),
+    })
+
+
+def write_sinks(df: DataFrame, base_path: str, mode: str = "overwrite",
+                file_format: str = "parquet") -> dict[str, str]:
+    """Fan out to one table per sink, partitioned by route_partition.
+
+    One pass over the data: partitionBy(sink, route_partition) gives the
+    per-sink directory layout without N separate jobs. On an Iceberg-enabled
+    cluster, swap the writer for ``df.writeTo(f"{catalog}.{sink}")`` —
+    snapshot commits then replace the ack bookkeeping of the reference
+    (streamcfg.go:96-120) with exactly-once semantics.
+    """
+    (df.write.mode(mode)
+       .partitionBy("sink", "route_partition")
+       .format(file_format)
+       .save(base_path))
+    sinks = [r["sink"] for r in df.select("sink").distinct().collect()]
+    return {s: os.path.join(base_path, f"sink={s}") for s in sinks}

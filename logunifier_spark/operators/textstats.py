@@ -1,0 +1,87 @@
+"""Text-analysis operators: language-ID heuristic, quality scoring, token
+counting, document fingerprinting. All native Spark SQL expressions (regexp /
+aggregate / transform) — designed as narrow, codegen-friendly projections so
+they compose with any scan at 100 TB without extra shuffles."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets (n-gram heuristic)
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "was", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "des", "dans", "que"],
+    "es": ["el", "la", "los", "y", "es", "no", "una", "del", "con", "para"],
+}
+
+
+def _marker_hits(words: Column, markers: list[str]) -> Column:
+    mset = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(words, lambda w: F.array_contains(mset, w)))
+
+
+def language_id(text: Column) -> Column:
+    """Best-scoring marker language; 'und' when nothing matches."""
+    words = F.split(F.lower(text), r"[^\p{L}]+")
+    scores = F.array(*[
+        F.struct(_marker_hits(words, m).alias("hits"), F.lit(lang).alias("lang"))
+        for lang, m in _LANG_MARKERS.items()
+    ])
+    best = F.array_max(scores)
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish regex segmentation count: word pieces, numbers, punctuation
+    runs (a deterministic proxy for subword tokenizers)."""
+    return F.size(F.regexp_extract_all(
+        text, F.lit(r"(\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+)"), 0))
+
+
+def quality_score(text: Column) -> Column:
+    """[0,1] quality heuristic: length band, punctuation ratio, stopword
+    ratio, alpha ratio — the standard pretraining-filter features."""
+    t = F.coalesce(text, F.lit(""))
+    n_chars = F.length(t)
+    words = F.split(F.lower(t), r"\s+")
+    n_words = F.size(words)
+    alpha = F.length(F.regexp_replace(t, r"[^\p{L}]", ""))
+    punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
+    stop_hits = _marker_hits(words, _LANG_MARKERS["en"])
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    alpha_ratio = alpha / (n_chars + F.lit(1e-9))
+    punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - punct / (n_words + F.lit(1.0)))
+    stop_ratio = F.least(stop_hits / (n_words * F.lit(0.1) + F.lit(1e-9)), F.lit(1.0))
+    score = (len_score * 0.25 + alpha_ratio * 0.35
+             + punct_penalty * 0.2 + stop_ratio * 0.2)
+    return F.round(score, 6)
+
+
+def fingerprint(text: Column, window: int = 8) -> Column:
+    """Winnowing-style document fingerprint: min rolling-window hash over
+    word 4-gram hashes (robust to small edits; native expressions only)."""
+    words = F.split(F.regexp_replace(F.lower(text), r"\s+", " "), " ")
+    k = F.greatest(F.size(words) - 3, F.lit(1))
+    grams = F.transform(F.sequence(F.lit(0), k - 1),
+                        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, 4))))
+    return F.array_min(grams)
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return df.withColumns({
+        "lang_id": language_id(t),
+        "n_tokens": token_count(t),
+        "n_subtokens": bpe_ish_token_count(t),
+        "quality": quality_score(t),
+        "fingerprint": fingerprint(t),
+    })

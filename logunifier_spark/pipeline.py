@@ -1,0 +1,204 @@
+"""The unification pipeline: transcripts → unified ECS-shaped rows → routed.
+
+One declarative logical plan (SURVEY.md §3.4):
+
+    read transcripts
+      → dropDuplicates(conv_id, turn_idx)              # M3 dedup window
+      → pattern-key resolution (literal map, J1)
+      → [optional] ANSI strip (P9)
+      → pandas-UDF parse (P2-P11, vectorized grok/logfmt)
+        + native from_json branch for native-ECS rows (P15)
+      → envelope assembly (P1/P14/P16 analogs, exact fallback semantics)
+      → validate-and-fix (P17, exact strings) + emoji markers (P10)
+      → broadcast enrich (J7) → Loki label projection + tags fold (A5)
+      → stream key (A1) + salted routing (north-rule skew handling)
+
+Catalyst sees a single plan: the scan prunes to the 6 input columns, every
+non-UDF stage is whole-stage-codegen, and the only exchanges are the ones
+the caller asks for (routing / aggregation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from logunifier_spark.functions.levels import (
+    MSG_UNPARSEABLE,
+    STRING_TO_LEVEL,
+    STRING_TO_PATTERN_KEY,
+)
+from logunifier_spark.operators import enrich as enrich_ops
+from logunifier_spark.operators import route as route_ops
+from logunifier_spark.operators.parse import parse_turns
+from logunifier_spark.operators.validate import validate_and_fix
+from logunifier_spark.schema import UNIFIED_SCHEMA
+from logunifier_spark.sources.ecsjson import (
+    INVALID_JSON_REASON,
+    is_bad_ecs,
+    parse_ecs_json,
+)
+
+DEFAULT_SUBJECT = "ingress.logs.transcripts"
+
+# the ANSI escape regex of /root/reference/pkg/utils/stripansi.go:7-13
+ANSI_RE = ("[\\x1b\\x9b][\\[\\]()#;?]*(?:(?:(?:[a-zA-Z\\d]*(?:;[a-zA-Z\\d]*)*)?\\x07)"
+           "|(?:(?:\\d{1,4}(?:;\\d{0,4})*)?[\\dA-PRZcf-ntqry=><~]))")
+
+def _pattern_key_map() -> Column:
+    return F.create_map(*[F.lit(x) for kv in STRING_TO_PATTERN_KEY.items() for x in kv])
+
+
+def _level_alias_map() -> Column:
+    return F.create_map(*[F.lit(x) for kv in STRING_TO_LEVEL.items() for x in kv])
+
+
+def resolve_pattern_key(tool: Column) -> Column:
+    """StringToLogPatternKey (model/utils.go:40-47): lowercase lookup,
+    anything unmapped (incl. null/''/'clf') → Nop."""
+    return F.coalesce(F.element_at(_pattern_key_map(), F.lower(tool)), F.lit("Nop"))
+
+
+def _e(j: Column, *path: str) -> Column:
+    c = j
+    for p in path:
+        c = c[p]
+    return c
+
+
+def unify(
+    transcripts: DataFrame,
+    pattern_labels: DataFrame | None = None,
+    subject: str = DEFAULT_SUBJECT,
+    strip_ansi: bool = False,
+    dedup: bool = True,
+) -> DataFrame:
+    """Transcripts (conv_id, turn_idx, role, text, tool, ts) → unified rows
+    (UNIFIED_SCHEMA [+ sink/loki_labels/stream_key when pattern_labels given]).
+    """
+    df = transcripts
+    if dedup:
+        # JetStream duplicate window analog (streamcfg.go:30)
+        df = df.dropDuplicates(["conv_id", "turn_idx"])
+
+    text = F.col("text")
+    if strip_ansi:
+        text = F.regexp_replace(F.coalesce(text, F.lit("")), ANSI_RE, "")
+
+    df = df.withColumns({
+        "_text": text,
+        "log_pattern_key": resolve_pattern_key(F.col("tool")),
+    })
+    df = df.withColumns({
+        "_parsed": parse_turns(F.col("_text"), F.col("log_pattern_key")),
+        "_j": F.when(F.col("log_pattern_key") == "Ecs", parse_ecs_json(F.col("_text"))),
+    })
+
+    is_ecs = F.col("log_pattern_key") == "Ecs"
+    j = F.col("_j")
+    p = F.col("_parsed")
+    # ecs rows: invalid JSON → pre-parse process error → Parse() early-exit
+    # (patternfactory.go:113-118)
+    ecs_bad = is_ecs & is_bad_ecs(j)
+
+    def ecs_or(ecs_col: Column, other: Column) -> Column:
+        return F.when(is_ecs, ecs_col).otherwise(other)
+
+    ecs_level = F.when(_e(j, "log").isNull(), F.lit("not_set")).otherwise(
+        F.coalesce(F.element_at(_level_alias_map(), F.lower(_e(j, "log", "level"))),
+                   F.lit("unknown")))
+
+    df = df.withColumns({
+        # id quirk preserved: reference never fills an empty id
+        # (journald.go:191-193 / ecs.go:45-47 — inverted emptiness check);
+        # when the input DID carry one it is replaced (deterministically here:
+        # sha2 of the stable turn key instead of a random uuid)
+        "id": ecs_or(
+            F.when(F.length(F.coalesce(_e(j, "id"), F.lit(""))) > 0,
+                   F.sha2(F.concat_ws(":", F.col("conv_id"), F.col("turn_idx")), 256)
+                   ).otherwise(F.lit("")),
+            F.lit("")),
+        "timestamp": ecs_or(
+            F.coalesce(F.to_timestamp(_e(j, "@timestamp")), F.col("ts")),
+            F.coalesce(p["ts"], F.col("ts"))),
+        "message": F.when(ecs_bad, F.lit(MSG_UNPARSEABLE)).otherwise(
+            ecs_or(F.coalesce(_e(j, "message"), F.lit("")),
+                   F.coalesce(p["message"], F.lit("")))),
+        "tags": ecs_or(_e(j, "tags"), F.lit(None).cast("array<string>")),
+        "labels": ecs_or(_e(j, "labels"), p["labels"]),
+        "log_level": F.when(ecs_bad, F.lit("fatal")).otherwise(
+            ecs_or(ecs_level, F.coalesce(p["level"], F.lit("unknown")))),
+        "log_level_emoji": F.lit(""),  # finalized by validate_and_fix
+        "log_logger": ecs_or(_e(j, "log", "logger"), F.lit("")),
+        "log_ingress": F.lit(subject),
+        "log_origin_file": ecs_or(_e(j, "log", "origin", "file", "name"), p["origin_file"]),
+        "log_origin_line": ecs_or(_e(j, "log", "origin", "file", "line"), p["origin_line"]),
+        # transcripts: role plays the journald jobName (appName cascade,
+        # journald.go:342-364,445-450 — SURVEY §1.4 mapping)
+        "service_name": ecs_or(_e(j, "service", "name"), F.coalesce(F.col("role"), F.lit(""))),
+        "service_version": ecs_or(_e(j, "service", "version"), F.lit("")),
+        "service_type": ecs_or(_e(j, "service", "type"), F.lit("")),
+        "service_stack": ecs_or(_e(j, "service", "stack"), F.lit("")),
+        "service_namespace": ecs_or(_e(j, "service", "namespace"), F.lit("")),
+        "service_group": ecs_or(_e(j, "service", "group"), F.lit("")),
+        "service_node_name": ecs_or(_e(j, "service", "node", "name"), F.lit("")),
+        "org_name": ecs_or(_e(j, "organization", "name"), F.lit("")),
+        "org_id": ecs_or(_e(j, "organization", "id"), F.lit("")),
+        "environment": ecs_or(_e(j, "environment", "name"), F.lit("")),
+        "host_name": ecs_or(
+            # IsHostNameSet needs BOTH name and hostname (extensions.go:116-118)
+            F.when((F.length(F.coalesce(_e(j, "host", "name"), F.lit(""))) > 0)
+                   & (F.length(F.coalesce(_e(j, "host", "hostname"), F.lit(""))) > 0),
+                   _e(j, "host", "name")).otherwise(F.lit("")),
+            F.lit("")),
+        "user_name": ecs_or(_e(j, "user", "name"), F.lit(None).cast("string")),
+        "event_kind": ecs_or(_e(j, "event", "kind"), F.lit(None).cast("string")),
+        "trace_id": ecs_or(_e(j, "trace", "trace", "id"), p["trace_id"]),
+        "span_id": ecs_or(_e(j, "trace", "span", "id"), p["span_id"]),
+        "error_message": ecs_or(_e(j, "error", "message"), p["error_message"]),
+        "error_type": ecs_or(_e(j, "error", "type"), F.lit(None).cast("string")),
+        "error_stack_trace": ecs_or(_e(j, "error", "stack_trace"), F.lit(None).cast("string")),
+        # fillMissing REPLACES any incoming processError (ecs.go:48-54)
+        "process_error_reason": ecs_or(
+            F.when(ecs_bad, F.lit(INVALID_JSON_REASON)), p["parse_error"]),
+        "process_error_subject": F.lit(subject),
+        "process_error_raw_data": F.col("_text"),
+        "validation_errors": ecs_or(_e(j, "validationError", "errors"),
+                                    F.lit(None).cast("string")),
+    })
+
+    # broadcast enrich BEFORE validate: the lookup fills service_type /
+    # org_name where the envelope left them empty; validate backfills the rest
+    if pattern_labels is not None:
+        df = enrich_ops.enrich_with_pattern_labels(df, pattern_labels)
+
+    df = validate_and_fix(df, fallback_ts_col="ts")
+    keep = ["conv_id", "turn_idx"] + [
+        f.name for f in UNIFIED_SCHEMA.fields if f.name not in ("conv_id", "turn_idx")
+    ]
+    if pattern_labels is not None:
+        keep.append("sink")
+    df = df.select(*keep)
+
+    if pattern_labels is not None:
+        df = df.withColumn("loki_labels", enrich_ops.loki_label_map())
+        df = df.withColumn("stream_key", enrich_ops.stream_key(F.col("loki_labels")))
+        df = route_ops.with_routing(df)
+    return df
+
+
+def ship_labels(df: DataFrame) -> DataFrame:
+    """Entry-level labels as shipped: envelope labels + folded tags
+    (lokishipper.go:127-139)."""
+    return df.withColumn(
+        "ship_labels",
+        enrich_ops.fold_tags_into_labels(F.col("labels"), F.col("tags")),
+    )
+
+
+def stable_order(df: DataFrame) -> DataFrame:
+    """M2: the driver-mandated stable turn ordering — a window over
+    (conv_id, turn_idx) attaching row_number for per-turn equality checks."""
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return df.withColumn("turn_rank", F.row_number().over(w))

@@ -1,0 +1,232 @@
+"""End-to-end envelope tests re-expressed from the reference's converter
+golden tests (/root/reference/internal/streams/ingress/journald/journald_test.go,
+internal/streams/ingress/ecs/ecs_test.go, internal/streams/process/validate.go)
+over the transcripts input shape. Assertions run under the stable
+(conv_id, turn_idx) ordering (M2)."""
+
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from logunifier_spark.functions.levels import MSG_UNPARSEABLE
+from logunifier_spark.operators.enrich import default_pattern_labels
+from logunifier_spark.pipeline import stable_order, unify
+from logunifier_spark.schema import TRANSCRIPT_SCHEMA
+
+
+def _utc(*args, us=0):
+    return datetime(*args, microsecond=us)  # session tz is UTC; naive compare
+
+
+BASE_TS = datetime(2024, 1, 1, 0, 0, 0)
+
+ROWS = [
+    # (turn_idx, role, text, tool)
+    (0, "user",
+     "2023-03-20T15:06:45.057Z [DEBUG] nomad: memberlist: Stream connection from=127.0.0.1:48046",
+     "tslevelmsg"),
+    (1, "assistant",
+     'ts=2023-03-10T18:53:52.739622365Z caller=http.go:97 level=error msg="error collecting stats for unit" err="oops"',
+     "logfmt"),
+    (2, "tool",
+     "time=\"2023-03-17T15:03:33+01:00\" level=warning msg=\"Error while Peeking first byte\" error=\"read tcp 172.26.64.1:443: use of closed network connection\"",
+     "logfmt"),
+    (3, "system", "Invalid message", "tslevelmsg"),
+    (4, "user",
+     "[2023-03-30 10:51:43.705][42][debug][upstream] [source/common/upstream/upstream_impl.cc:451] transport socket match",
+     "envoy"),
+    (5, "assistant", "plain raw container line", ""),
+    (6, "tool",
+     '{"@timestamp":"2023-06-07T13:08:51+01:00","message":"native ecs","log":{"level":"INFO","logger":"app"},'
+     '"service":{"name":"shop","version":"1.2.3","type":"web","stack":"prod","namespace":"retail"},'
+     '"host":{"name":"node1","hostname":"node1"},"organization":{"name":"acme"},"environment":{"name":"prod"},'
+     '"trace":{"trace":{"id":"t-1"},"span":{"id":"s-1"}}}',
+     "ecs"),
+    (7, "system", "this is not json {", "ecs"),
+    (8, "user",
+     "2024-12-19T18:22:09Z DBG github.com/traefik/x/consul_catalog.go:287 > Filtering disabled item providerName=consulcatalog",
+     "traefik"),
+    (9, "assistant",
+     'level=info msg="request done" traceID=6a3b2f1c user=svc duration=12ms',
+     "logfmt"),
+]
+
+
+@pytest.fixture(scope="module")
+def unified(spark):
+    data = [("conv1", i, role, text, tool,
+             datetime(2024, 1, 1, 0, 0, i)) for i, role, text, tool in ROWS]
+    df = spark.createDataFrame(data, TRANSCRIPT_SCHEMA)
+    rows = unify(df).orderBy("turn_idx").collect()
+    return {r["turn_idx"]: r for r in rows}
+
+
+def test_tslevelmsg_envelope(unified):
+    r = unified[0]
+    assert r["log_pattern_key"] == "TsLevelMsg"
+    assert r["log_level"] == "debug"
+    assert r["log_level_emoji"] == "🐞"
+    assert r["message"] == "nomad: memberlist: Stream connection from=127.0.0.1:48046"
+    assert r["timestamp"] == _utc(2023, 3, 20, 15, 6, 45, us=57000)
+    assert r["process_error_reason"] is None
+    assert r["service_name"] == "user"          # role plays jobName
+    assert r["id"] == ""                        # inverted-emptiness quirk
+
+
+def test_logfmt_envelope(unified):
+    r = unified[1]
+    assert r["log_level"] == "error"
+    assert "collecting stats for" in r["message"]
+    assert r["timestamp"] == _utc(2023, 3, 10, 18, 53, 52, us=739622)
+    assert r["log_origin_file"] == "http.go"
+    assert r["log_origin_line"] == "97"
+    assert r["error_message"] == "oops"
+
+
+def test_logfmt_tz_normalized(unified):
+    r = unified[2]
+    assert r["log_level"] == "warn"
+    # +01:00 normalized to UTC
+    assert r["timestamp"] == _utc(2023, 3, 17, 14, 3, 33)
+    assert r["error_message"].startswith("read tcp")
+
+
+def test_invalid_tslevelmsg(unified):
+    r = unified[3]
+    assert r["message"] == "Invalid message"
+    assert r["process_error_reason"] == "Can't find timestamp\nCan't find a message"
+    assert r["timestamp"] == _utc(2024, 1, 1, 0, 0, 3)  # fallback ingestion ts
+    assert r["log_level"] == "unknown"  # fallback level untouched
+
+
+def test_envoy_thread_label(unified):
+    r = unified[4]
+    assert r["log_level"] == "debug"
+    assert r["labels"]["pattern_thread"] == "42"
+    assert r["timestamp"] == _utc(2023, 3, 30, 10, 51, 43, us=705000)
+
+
+def test_nop_raw_copy(unified):
+    r = unified[5]
+    assert r["log_pattern_key"] == "Nop"
+    assert r["message"] == "plain raw container line"
+    assert r["log_level"] == "unknown"
+    assert r["log_level_emoji"] == "🤷"
+
+
+def test_native_ecs_preserved(unified):
+    r = unified[6]
+    assert r["log_pattern_key"] == "Ecs"
+    assert r["message"] == "native ecs"
+    assert r["log_level"] == "info"
+    assert r["timestamp"] == _utc(2023, 6, 7, 12, 8, 51)  # UTC normalized
+    assert r["service_name"] == "shop"
+    assert r["service_version"] == "1.2.3"
+    assert r["service_type"] == "web"
+    assert r["host_name"] == "node1"
+    assert r["org_name"] == "acme"
+    assert r["environment"] == "prod"
+    assert r["trace_id"] == "t-1" and r["span_id"] == "s-1"
+    # APM marker appended (extensions.go:195-198)
+    assert r["log_level_emoji"] == "✅ 🧬"
+    assert r["validation_errors"] is None
+
+
+def test_invalid_ecs_fatal(unified):
+    r = unified[7]
+    assert r["message"] == MSG_UNPARSEABLE
+    assert r["log_level"] == "fatal"
+    assert r["log_level_emoji"] == "🔥"
+    assert r["process_error_reason"] is not None
+
+
+def test_traefik_origin(unified):
+    r = unified[8]
+    assert r["log_origin_file"] == "github.com/traefik/x/consul_catalog.go"
+    assert r["log_origin_line"] == "287"
+    assert r["log_level"] == "debug"
+
+
+def test_logfmt_apm_and_spill(unified):
+    r = unified[9]
+    assert r["trace_id"] == "6a3b2f1c"
+    # user/event keys are NOT consumed (ExtractFrom chain omits userInfo) —
+    # they spill as logfmt_ labels (types.go:68-84 quirk)
+    assert r["labels"]["logfmt_user"] == "svc"
+    assert r["labels"]["logfmt_duration"] == "12ms"
+    assert r["log_level_emoji"] == "✅ 🧬"
+
+
+def test_validation_error_exact_string(unified):
+    r = unified[0]
+    assert r["validation_errors"] == (
+        "No organisation name set,\n"
+        "No Logger set,\n"
+        "Service type is empty,\n"
+        "No environment set,\n"
+        "No stack set,\n"
+        "No namespace set,\n"
+        "No host name set"
+    )
+    # defaults applied (validate.go:9-81)
+    assert r["org_name"] == "NoOrg"
+    assert r["service_type"] == "Empty"
+    assert r["environment"] == "NoEnv"
+    assert r["service_stack"] == "NoStack"
+    assert r["service_namespace"] == "NoNameSpace"
+    assert r["host_name"] == "NoHost"
+    assert r["log_logger"] == "Empty"
+
+
+def test_strip_ansi(spark):
+    text = "\x1b[90m2023-03-30T16:32:12Z\x1b[0m \x1b[31mDBG\x1b[0m Nothing to validate after 10s "
+    df = spark.createDataFrame(
+        [("c", 0, "tool", text, "tslevelmsg", BASE_TS)], TRANSCRIPT_SCHEMA)
+    r = unify(df, strip_ansi=True).collect()[0]
+    assert r["message"] == "Nothing to validate after 10s "
+    assert r["log_level"] == "debug"
+
+
+def test_dedup_and_stable_order(spark):
+    data = [("c1", 1, "user", "x", "", BASE_TS),
+            ("c1", 0, "user", "y", "", BASE_TS),
+            ("c1", 1, "user", "x-dup", "", BASE_TS),
+            ("c2", 0, "user", "z", "", BASE_TS)]
+    df = spark.createDataFrame(data, TRANSCRIPT_SCHEMA)
+    out = stable_order(unify(df))
+    rows = out.orderBy("conv_id", "turn_idx").collect()
+    assert [(r["conv_id"], r["turn_idx"], r["turn_rank"]) for r in rows] == [
+        ("c1", 0, 1), ("c1", 1, 2), ("c2", 0, 1)]
+
+
+def test_routing_deterministic(spark):
+    data = [("c%d" % i, j, "user", "plain", "", BASE_TS)
+            for i in range(5) for j in range(4)]
+    df = spark.createDataFrame(data, TRANSCRIPT_SCHEMA)
+    labels = default_pattern_labels(spark)
+    a = unify(df, pattern_labels=labels).select(
+        "conv_id", "turn_idx", "sink", "route_partition", "stream_key")
+    b = unify(df, pattern_labels=labels).select(
+        "conv_id", "turn_idx", "sink", "route_partition", "stream_key")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_loki_label_map(spark):
+    df = spark.createDataFrame(
+        [("c", 0, "user", "plain line", "", BASE_TS)], TRANSCRIPT_SCHEMA)
+    r = unify(df, pattern_labels=default_pattern_labels(spark)).collect()[0]
+    lbl = r["loki_labels"]
+    assert set(lbl.keys()) == {
+        "ingress", "host", "org_name", "environment", "service_stack",
+        "service_name", "service_type", "service_namespace", "log_logger",
+        "level", "pattern_key", "process_error", "validation_error",
+        "error_stack"}
+    assert lbl["process_error"] == "false"
+    assert lbl["validation_error"] == "true"
+    assert lbl["pattern_key"] == "Nop"
+    assert r["stream_key"].startswith('{environment="')  # sorted keys
+    # enrich filled type/org from the broadcast table → no validation error
+    assert "Service type is empty" not in r["validation_errors"]
+    assert lbl["service_type"] == "raw"
+    assert lbl["org_name"] == "core"
