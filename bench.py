@@ -1,0 +1,124 @@
+"""Bench harness: headline parse→route throughput + operator benches.
+
+Default mode (what the driver runs):
+    python bench.py
+  - reads $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+    local[$SPARK_GRAFT_CPUS] (default 32)
+  - runs the headline pipeline over a deterministic synthetic transcript
+    table (BENCH_TURNS rows, default 1M) plus operator benches on the sf
+    tables, and prints ONE JSON line:
+      {"metric": "...", "value": <total sec>, "unit": "sec",
+       "queries": {...per-query sec...}, "sf": ..., "turns_per_sec": ...}
+
+Scaling mode (the N vs 4N executor stand-in, north-rule criterion):
+    python bench.py --scaling [N] [4N]
+  - runs the same headline job at local[N] and local[4N] in separate
+    SparkSessions on the same input and prints both throughputs plus
+    efficiency = (T_N / T_4N) / 4 ... (time ratio per 4x cores).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_TURNS = int(os.environ.get("BENCH_TURNS", "1000000"))
+
+
+def _spark(cpus: int):
+    from logunifier_spark.session import get_spark
+    return get_spark(app_name=f"logunifier-bench-{cpus}",
+                     master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return round(time.perf_counter() - t0, 3)
+
+
+def headline(spark, n_turns: int) -> float:
+    """End-to-end: synth transcripts → unify (parse/normalize/validate) →
+    enrich → route → per-sink counts + pattern histogram. Forces full
+    execution via the aggregates (counts are collected, rows are not)."""
+    from pyspark.sql import functions as F
+
+    from logunifier_spark.fixtures import synth_transcripts
+    from logunifier_spark.operators import aggregate as agg
+    from logunifier_spark.operators.enrich import default_pattern_labels
+    from logunifier_spark.pipeline import unify
+
+    t = synth_transcripts(spark, n_turns).repartition(spark.sparkContext.defaultParallelism)
+    u = unify(t, pattern_labels=default_pattern_labels(spark))
+    # one pass, two aggregates
+    counts = (u.groupBy("sink", "log_pattern_key")
+                .agg(F.count("*").alias("n")))
+    return _timed(lambda: counts.collect())
+
+
+def operator_benches(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entry
+    out = {}
+    for name in ["tpch_pricing", "region_revenue", "first_event_per_user",
+                 "dedup_exact", "minhash_dedup", "ann_bruteforce",
+                 "token_counts"]:
+        fn = entry.queries()[name]
+        out[name] = _timed(lambda f=fn: f(spark, sf_dir).collect())
+    return out
+
+
+def run_default() -> dict:
+    spark = _spark(CPUS)
+    queries: dict[str, float] = {}
+    # warm the python workers + JIT once with a small run (not measured)
+    headline(spark, 20_000)
+    queries["unify_route_1m"] = headline(spark, BENCH_TURNS)
+    queries.update(operator_benches(spark, SF_DIR))
+    spark.stop()
+    total = round(sum(queries.values()), 3)
+    return {
+        "metric": "parse_route_throughput",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "turns": BENCH_TURNS,
+        "turns_per_sec": round(BENCH_TURNS / queries["unify_route_1m"], 1),
+        "cpus": CPUS,
+    }
+
+
+def run_scaling(n: int, n4: int) -> dict:
+    results = {}
+    for cpus in (n, n4):
+        spark = _spark(cpus)
+        headline(spark, 20_000)  # warmup
+        sec = headline(spark, BENCH_TURNS)
+        results[cpus] = sec
+        spark.stop()
+    tput_n = BENCH_TURNS / results[n]
+    tput_4n = BENCH_TURNS / results[n4]
+    eff = (tput_4n / tput_n) / (n4 / n)
+    return {
+        "metric": "scaling_efficiency",
+        "turns": BENCH_TURNS,
+        "n_cores": n, "sec_n": results[n], "turns_per_sec_n": round(tput_n, 1),
+        "n4_cores": n4, "sec_4n": results[n4], "turns_per_sec_4n": round(tput_4n, 1),
+        "efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+        n4 = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+        print(json.dumps(run_scaling(n, n4)))
+    else:
+        print(json.dumps(run_default()))

@@ -66,12 +66,14 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     """num_hashes minhash values via the (a*x+b mod p) family over the
     shingle hashes — one aggregate per hash function, fully native."""
-    # deterministic affine parameters (odd multipliers)
+    # deterministic affine parameters (odd multipliers); reduce into 31-bit
+    # space BEFORE multiplying so ANSI mode can't overflow int64
+    p = F.lit(2_147_483_647)
     sig = F.array(*[
         F.array_min(F.transform(
             shingles,
-            lambda s: F.pmod(s * F.lit(2 * i + 1) + F.lit(1_000_003 * (i + 7)),
-                             F.lit(2_147_483_647)),
+            lambda s, i=i: F.pmod(
+                F.pmod(s, p) * F.lit(2 * i + 1) + F.lit(1_000_003 * (i + 7)), p),
         ))
         for i in range(num_hashes)
     ])
@@ -127,22 +129,34 @@ def minhash_dedup(df: DataFrame, text_col: str = "text",
 # -------------------------------------------------------------- simhash ----
 
 def simhash64(text: Column, shingle_n: int = 4) -> Column:
-    """64-bit simhash over character shingles — natively: per-bit weighted
-    majority via aggregate over the shingle array."""
+    """64-bit simhash over character shingles — ONE aggregate pass with a
+    64-wide array accumulator (a per-bit expression tree of 64 separate
+    aggregates blows up codegen; this stays a single higher-order function)."""
     sh = char_shingles(text, shingle_n)
-    bits = [
-        F.when(
-            F.aggregate(
-                sh, F.lit(0),
-                lambda acc, s: acc + F.when(F.shiftright(s, i).bitwiseAND(F.lit(1)) == 1,
-                                            F.lit(1)).otherwise(F.lit(-1)),
-            ) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-        for i in range(64)
-    ]
-    out = F.lit(0).cast("long")
-    for i, b in enumerate(bits):
-        out = out.bitwiseOR(F.shiftleft(b, i))
-    return out
+    zero = F.array_repeat(F.lit(0).cast("long"), 64)
+    idx = F.sequence(F.lit(0), F.lit(63))
+    # bit extraction via the two's-complement binary string (F.bin) —
+    # pyspark's shiftright/shiftleft take only Python-int shift amounts
+    counts = F.aggregate(
+        sh, zero,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(idx, lambda i: F.when(
+                F.lpad(F.bin(s), 64, "0").substr(F.lit(64) - i, F.lit(1)) == "1",
+                F.lit(1)).otherwise(F.lit(-1)).cast("long")),
+            lambda a, b: a + b,
+        ),
+    )
+    # bit i weight; bit 63 is the sign bit of the signed long
+    powers = F.array(*[F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
+                       for i in range(64)])
+    packed = F.aggregate(
+        F.zip_with(counts, powers,
+                   lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc.bitwiseOR(v),
+    )
+    return packed
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text",

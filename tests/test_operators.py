@@ -1,0 +1,181 @@
+"""Tests for the training-data operators (dedup, similarity, text stats,
+multimodal plumbing) and the M1 multiline reassembly."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs away fast"),
+        (2, "the quick brown fox jumps over the lazy dog and runs away fast"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog and runs away quickly"),  # near dup
+        (4, "completely different content about databases and query engines"),
+        (5, "das ist ein ganz anderes deutsches dokument mit vielen worten und nicht englisch"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    from logunifier_spark.operators.dedup import exact_dedup
+    kept = exact_dedup(docs, "text", "doc_id").collect()
+    by_id = {r["doc_id"]: r["dup_count"] for r in kept}
+    assert by_id[1] == 2          # rows 1+2 collapse to min id 1
+    assert 2 not in by_id
+    assert by_id[3] == 1 and by_id[4] == 1
+
+
+def test_minhash_near_dup(spark, docs):
+    from logunifier_spark.operators.dedup import minhash_lsh_pairs
+    pairs = {(r["id_a"], r["id_b"]): r["sim"]
+             for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0   # identical
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 0.5   # near dup
+    assert (1, 4) not in pairs                         # unrelated
+
+
+def test_minhash_dedup_keeps_representative(spark, docs):
+    from logunifier_spark.operators.dedup import minhash_dedup
+    kept = {r["doc_id"] for r in minhash_dedup(docs, threshold=0.5).collect()}
+    assert 1 in kept and 2 not in kept and 4 in kept and 5 in kept
+
+
+def test_simhash_near_dup(spark, docs):
+    from logunifier_spark.operators.dedup import simhash64, simhash_pairs
+    h = {r["doc_id"]: r["sh"] for r in
+         docs.select("doc_id", simhash64(F.col("text")).alias("sh")).collect()}
+    assert h[1] == h[2]  # identical text → identical simhash
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_pairs(docs, max_hamming=6).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 4) not in pairs
+
+
+def test_ngram_jaccard(spark, docs):
+    from logunifier_spark.operators.dedup import ngram_jaccard_pairs
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert 0.5 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+    rng = np.random.default_rng(42)
+    base = rng.normal(size=(20, 16)).astype("float32")
+    base[1] = base[0] + 0.01 * rng.normal(size=16).astype("float32")  # near 0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(spark, vectors):
+    from logunifier_spark.operators.similarity import brute_force_topk
+    q = vectors.where("vec_id = 0").select(
+        F.col("vec_id").alias("qid"), "embedding")
+    top = brute_force_topk(vectors, q, k=3).orderBy("rank").collect()
+    assert top[0]["vec_id"] == 0 and abs(top[0]["score"] - 1.0) < 1e-6
+    assert top[1]["vec_id"] == 1  # the planted near-neighbor
+    assert top[0]["rank"] == 1 and top[2]["rank"] == 3
+
+
+def test_lsh_topk_finds_planted_neighbor(spark, vectors):
+    from logunifier_spark.operators.similarity import lsh_topk
+    q = vectors.where("vec_id = 0").select(
+        F.col("vec_id").alias("qid"), "embedding")
+    top = lsh_topk(vectors, q, dim=16, k=3, n_bits=8).orderBy("rank").collect()
+    got = [r["vec_id"] for r in top]
+    assert got[0] == 0 and 1 in got  # exact self + planted neighbor bucket
+
+
+def test_ivf_topk(spark, vectors):
+    from logunifier_spark.operators.similarity import ivf_topk
+    q = vectors.where("vec_id = 0").select(
+        F.col("vec_id").alias("qid"), "embedding")
+    top = ivf_topk(vectors, q, k=3, n_centroids=4, nprobe=4).orderBy("rank").collect()
+    assert top[0]["vec_id"] == 0
+
+
+def test_text_stats(spark):
+    from logunifier_spark.operators.textstats import with_text_stats
+    df = spark.createDataFrame(
+        [(1, "The cat and the dog sat in the garden, and it was warm."),
+         (2, "Der Hund und die Katze sind nicht mit der Maus auf das Dach."),
+         (3, ""),
+         (4, "xyzzy")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in with_text_stats(df).collect()}
+    assert rows[1]["lang_id"] == "en"
+    assert rows[2]["lang_id"] == "de"
+    assert rows[3]["n_tokens"] == 0
+    assert rows[4]["lang_id"] == "und"
+    assert rows[1]["n_tokens"] == 13
+    assert 0.0 <= rows[1]["quality"] <= 1.0
+    assert rows[1]["quality"] > rows[4]["quality"]
+
+
+def test_multiline_reassembly(spark):
+    from logunifier_spark.operators.multiline import reassemble_partials
+    rows = [
+        # (message, partial_id, ordinal, last, meta)
+        ("part2-", "p1", "2", "false", "m-b"),
+        ("part1-", "p1", "1", "false", "m-a"),
+        ("part3", "p1", "3", "true", "m-c"),
+        ("whole message", "", "0", "", "m-w"),
+        ("orphan-part", "p2", "1", "false", "m-o"),  # no last → dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "message string, partial_id string, partial_ordinal string, "
+              "partial_last string, meta string")
+    out = {r["message"]: r for r in reassemble_partials(df).collect()}
+    assert "part1-part2-part3" in out
+    assert out["part1-part2-part3"]["meta"] == "m-c"  # final part's metadata
+    assert "whole message" in out
+    assert len(out) == 2  # orphan group dropped
+
+
+def test_multimodal_plumbing(spark):
+    from logunifier_spark.operators.multimodal import (
+        extract_features,
+        sample_frames,
+        synth_media,
+    )
+    m = synth_media(spark, 12)
+    feats = extract_features(m, dim=8, fake=True).collect()
+    assert len(feats) == 12
+    assert all(len(r["feature"]) == 8 for r in feats)
+    assert all(r["decode_ok"] == "ok" for r in feats)
+    # deterministic: same payload → same feature
+    f2 = extract_features(m, dim=8, fake=True).collect()
+    assert sorted(map(lambda r: (r["media_id"], tuple(r["feature"])), feats)) == \
+           sorted(map(lambda r: (r["media_id"], tuple(r["feature"])), f2))
+    frames = sample_frames(m, every_ms=1000).collect()
+    vids = m.where("kind = 'video'").count()
+    assert len(frames) == vids * 10  # 10s video, 1 frame/s
+    with pytest.raises(NotImplementedError):
+        extract_features(m, fake=False)
+
+
+def test_resumable_checkpoint(spark, tmp_path):
+    from logunifier_spark.checkpoint import (
+        committed_ranges,
+        emit_run_metrics,
+        run_resumable,
+    )
+    from logunifier_spark.fixtures import synth_transcripts
+    t = synth_transcripts(spark, 400)
+    base = str(tmp_path / "sinks")
+    first = run_resumable(spark, t, base, n_ranges=4, run_id="r1")
+    assert len(first) == 4
+    assert committed_ranges(base) == {0, 1, 2, 3}
+    # restart: nothing re-processed
+    second = run_resumable(spark, t, base, n_ranges=4, run_id="r1")
+    assert second == []
+    metrics = emit_run_metrics(base)
+    assert metrics["routed_rows"] == 400
+    assert sum(metrics["sinks"].values()) == 400
+    assert sum(metrics["patterns"].values()) == 400
