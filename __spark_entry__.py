@@ -325,6 +325,132 @@ def q_fingerprint_dupes(spark, sf_dir):
              .where(F.col("n") > 1))
 
 
+def q_multiline_reassembly(spark, sf_dir):
+    """M1: partial-message reassembly (journald CONTAINER_PARTIAL_*
+    semantics, reference journald.go:110-133). Parts synthesized from
+    events: groups of 4 consecutive event_ids, ~20% of rows whole;
+    groups whose last part is missing are dropped."""
+    _ship(spark)
+    from logunifier_spark.operators.multiline import reassemble_partials
+    e = _load(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    is_whole = F.pmod(eid, F.lit(10)) >= 8
+    svc = F.concat(F.lit("svc"), F.pmod(eid, F.lit(7)))
+    df = e.select(
+        F.when(is_whole, F.concat(F.lit("whole "), eid))
+         .otherwise(F.concat(F.lit("seg"), eid, F.lit(";"))).alias("message"),
+        F.when(~is_whole,
+               F.concat(F.lit("p"), F.floor(eid / F.lit(4)).cast("long")))
+         .alias("partial_id"),
+        F.when(~is_whole, (F.pmod(eid, F.lit(4)) + 1).cast("int"))
+         .alias("partial_ordinal"),
+        F.when(~is_whole, F.pmod(eid, F.lit(4)) == 3).alias("partial_last"),
+        svc.alias("svc"),
+    )
+    return reassemble_partials(df).select("message", "svc")
+
+
+def q_journald_parse(spark, sf_dir):
+    """P1/P12-P14/P9: journald JSON envelope — priority→level map, facility→
+    job-type map, nomad/container/systemd service-name precedence, ANSI
+    strip gate, corrupt-JSON tolerance (journald.go:152-275,297-428)."""
+    _ship(spark)
+    from logunifier_spark.sources.journald import journald_envelope
+    e = _load(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    m = F.pmod(eid, F.lit(6))
+    i5 = F.pmod(eid, F.lit(5))
+    us = F.unix_micros(F.col("ts").cast("timestamp")).cast("string")
+    raw = (
+        F.when(m == 0, F.concat(
+            F.lit('{"MESSAGE":"msg '), eid,
+            F.lit('","PRIORITY":"3","COM_HASHICORP_NOMAD_ALLOC_ID":"alloc1",'
+                  '"COM_HASHICORP_NOMAD_TASK_NAME":"task'), i5,
+            F.lit('","__REALTIME_TIMESTAMP":"'), us, F.lit('"}')))
+         .when(m == 1, F.concat(
+            F.lit('{"MESSAGE":"msg '), eid,
+            F.lit('","PRIORITY":"4","CONTAINER_NAME":"cnt'), i5,
+            F.lit('","CONTAINER_TAG":"t1,t2"}')))
+         .when(m == 2, F.concat(
+            F.lit('{"MESSAGE":"msg '), eid,
+            F.lit('","PRIORITY":"6","SYSLOG_FACILITY":"3","_SYSTEMD_UNIT":"unit'),
+            i5, F.lit('.service"}')))
+         .when(m == 3, F.concat(
+            F.lit('{"MESSAGE":"msg '), eid,
+            F.lit('","PRIORITY":"2","SYSLOG_FACILITY":"0",'
+                  '"SYSLOG_IDENTIFIER":"krn"}')))
+         .when(m == 4, F.concat(
+            F.lit('{"MESSAGE":"\\u001b[31mred\\u001b[0m msg '), eid,
+            F.lit('","PRIORITY":"7","COM_GITHUB_LOGUNIFIER_APPLICATION_NAME":"app'),
+            i5,
+            F.lit('","COM_GITHUB_LOGUNIFIER_APPLICATION_PATTERN_KEY":"logfmt",'
+                  '"COM_GITHUB_LOGUNIFIER_APPLICATION_STRIP_ANSI":"true"}')))
+         .otherwise(F.concat(F.lit("not json "), eid))
+    )
+    env = journald_envelope(e.select(eid.alias("event_id"), raw.alias("raw")),
+                            keep=("event_id",))
+    return env.select(
+        F.col("event_id").cast("int").alias("eid"),
+        "text",
+        F.col("log_pattern_key").alias("pattern_key"),
+        "service_type",
+        F.col("fallback_level").alias("level"),
+        "service_name",
+        F.coalesce(F.size("tags"), F.lit(-1)).alias("n_tags"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+    )
+
+
+def q_quality_scores(spark, sf_dir):
+    _ship(spark)
+    from logunifier_spark.operators.textstats import quality_score
+    d = _load(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (brute force; the LSH-bucketed
+    variant is ann_lsh). O(n²) compare — the exact baseline."""
+    _ship(spark)
+    from logunifier_spark.operators.similarity import cosine
+    emb = _load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = (a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+              .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+              .where(F.col("cos") >= 0.45))
+    return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+
+
+def q_dedup_turns(spark, sf_dir):
+    """M3: duplicate-window dedup — transcripts unioned with themselves
+    collapse back to one row per (conv_id, turn_idx) (JetStream 5-min
+    duplicate window, streamcfg.go:30)."""
+    t = _transcripts_from_events(spark, sf_dir)
+    doubled = t.unionByName(t)
+    return (doubled.dropDuplicates(["conv_id", "turn_idx"])
+                   .groupBy("conv_id").agg(F.count("*").alias("n_turns")))
+
+
+def q_ann_ivf(spark, sf_dir):
+    # approximate (IVF coarse quantization) — rows-only check
+    _ship(spark)
+    from logunifier_spark.operators.similarity import ivf_topk
+    emb = _load(spark, sf_dir, "embeddings")
+    q = (emb.where(F.col("vec_id") < 5)
+            .select(F.col("vec_id").alias("qid"), "embedding"))
+    return ivf_topk(emb, q, k=5).select("qid", "vec_id", "rank")
+
+
+def q_media_frame_sample(spark, sf_dir):
+    # deterministic synthetic media; frame-sampling plan — rows-only
+    _ship(spark)
+    from logunifier_spark.operators.multimodal import sample_frames, synth_media
+    m = synth_media(spark, 64)
+    return sample_frames(m, every_ms=1000).select(
+        "media_id", "frame_no", "offset_ms")
+
+
 def q_multimodal_features(spark, sf_dir):
     # plumbing check (synthetic media; deterministic fake decoder) — rows-only
     _ship(spark)
@@ -363,6 +489,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_revenue": q_region_revenue,
         "first_event_per_user": q_first_event_per_user,
         "event_type_stats": q_event_type_stats,
+        # pipeline sources / stateful ops
+        "multiline_reassembly": q_multiline_reassembly,
+        "journald_parse": q_journald_parse,
+        "dedup_turns": q_dedup_turns,
         # training-data operators
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -373,6 +503,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "language_histogram": q_language_histogram,
         "fingerprint_dupes": q_fingerprint_dupes,
+        "quality_scores": q_quality_scores,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_ivf": q_ann_ivf,
+        "media_frame_sample": q_media_frame_sample,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -470,6 +604,102 @@ def oracle_sql() -> dict[str, str]:
                    || '", validation_error="true"}}' AS stream_key,
                    count(*) AS entries
             FROM events GROUP BY 1
+        """,
+        "multiline_reassembly": """
+            WITH base AS (
+              SELECT event_id, 'svc' || (event_id % 7) AS svc FROM events
+            ),
+            whole AS (
+              SELECT 'whole ' || event_id AS message, svc
+              FROM base WHERE event_id % 10 >= 8
+            ),
+            parts AS (
+              SELECT event_id // 4 AS grp, (event_id % 4) + 1 AS ord,
+                     'seg' || event_id || ';' AS msg, svc,
+                     (event_id % 4 = 3) AS lst
+              FROM base WHERE event_id % 10 < 8
+            ),
+            asm AS (
+              SELECT string_agg(msg, '' ORDER BY ord) AS message,
+                     arg_max(svc, ord) AS svc
+              FROM parts GROUP BY grp HAVING bool_or(lst)
+            )
+            SELECT message, svc FROM whole
+            UNION ALL SELECT message, svc FROM asm
+        """,
+        "journald_parse": """
+            SELECT CAST(event_id AS INT) AS eid,
+                   CASE (event_id % 6)
+                     WHEN 4 THEN 'red msg ' || event_id
+                     WHEN 5 THEN ''
+                     ELSE 'msg ' || event_id END AS text,
+                   CASE WHEN (event_id % 6) = 4 THEN 'LogFmt' ELSE 'Nop' END
+                     AS pattern_key,
+                   CASE (event_id % 6)
+                     WHEN 0 THEN 'nomad_job' WHEN 1 THEN 'container'
+                     WHEN 2 THEN 'daemon' WHEN 3 THEN 'kernel'
+                     ELSE '' END AS service_type,
+                   CASE (event_id % 6)
+                     WHEN 0 THEN 'not_set' WHEN 1 THEN 'warn'
+                     WHEN 2 THEN 'info' WHEN 3 THEN 'fatal'
+                     WHEN 4 THEN 'debug' ELSE 'unknown' END AS level,
+                   CASE (event_id % 6)
+                     WHEN 0 THEN 'task' || (event_id % 5)
+                     WHEN 1 THEN 'cnt' || (event_id % 5)
+                     WHEN 2 THEN 'unit' || (event_id % 5) || '.service'
+                     WHEN 3 THEN 'krn'
+                     WHEN 4 THEN 'app' || (event_id % 5)
+                     ELSE '' END AS service_name,
+                   CASE WHEN (event_id % 6) = 1 THEN 2 ELSE -1 END AS n_tags,
+                   CASE WHEN (event_id % 6) = 0
+                        THEN strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+                        ELSE NULL END AS ts_str
+            FROM events
+        """,
+        "dedup_turns": """
+            SELECT 'conv' || (event_id % 97) AS conv_id,
+                   count(*) AS n_turns
+            FROM events GROUP BY 1
+        """,
+        "quality_scores": r"""
+            WITH q AS (
+              SELECT doc_id, coalesce(text, '') AS t,
+                     string_split_regex(lower(coalesce(text, '')), '\s+') AS words
+              FROM documents
+            ),
+            f AS (
+              SELECT doc_id,
+                length(t) AS n_chars,
+                len(words) AS n_words,
+                length(regexp_replace(t, '[^\p{L}]', '', 'g')) AS alpha,
+                length(regexp_replace(t, '[^.,;:!?]', '', 'g')) AS punct,
+                len(list_filter(words, x -> list_contains(
+                  ['the','and','of','to','is','in','that','it','was','for'], x)))
+                  AS stop_hits
+              FROM q
+            )
+            SELECT doc_id,
+                   round(least(n_chars / 500.0, 1.0) * 0.25
+                         + (alpha / (n_chars + 1e-9)) * 0.35
+                         + greatest(0.0, 1.0 - punct / (n_words + 1.0)) * 0.2
+                         + least(stop_hits / (n_words * 0.1 + 1e-9), 1.0) * 0.2,
+                         6) AS quality
+            FROM f
+        """,
+        "embedding_neardup": """
+            WITH pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                             x -> CAST(x[1] AS DOUBLE) * x[2]))
+                     / (sqrt(list_sum(list_transform(a.embedding,
+                                                     x -> CAST(x AS DOUBLE) * x)))
+                        * sqrt(list_sum(list_transform(b.embedding,
+                                                       x -> CAST(x AS DOUBLE) * x)))
+                        + 1e-12) AS cos
+              FROM embeddings a CROSS JOIN embeddings b
+              WHERE a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, round(cos, 4) AS cos FROM pairs WHERE cos >= 0.45
         """,
         # relational
         "tpch_pricing": """

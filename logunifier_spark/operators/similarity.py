@@ -20,12 +20,14 @@ from pyspark.sql.window import Window
 
 
 def dot(a: Column, b: Column) -> Column:
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+    # widen float→double BEFORE multiplying (float32 products then widened
+    # lose bits and drift from double-precision engines on the same data)
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y),
                        F.lit(0.0), lambda acc, v: acc + v)
 
 
 def norm(a: Column) -> Column:
-    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x.cast("double") * x),
                               F.lit(0.0), lambda acc, v: acc + v))
 
 

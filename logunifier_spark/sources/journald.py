@@ -68,10 +68,12 @@ def _map_lit(d: dict) -> Column:
 
 
 def journald_envelope(df: DataFrame, json_col: str = "raw",
-                      subject: str = "ingress.logs.journald") -> DataFrame:
+                      subject: str = "ingress.logs.journald",
+                      keep: tuple = ()) -> DataFrame:
     """raw journald JSON → pre-parse envelope columns (text, tool=pattern-key
     string, fallback ts/level, service/host/org/env metadata, tags, partial
-    fields). Feed the result through reassemble_partials + unify_journald."""
+    fields). Feed the result through reassemble_partials + unify_journald.
+    `keep` lists input columns to carry through unchanged (e.g. a row key)."""
     j = F.from_json(F.col(json_col), JOURNALD_SCHEMA,
                     {"columnNameOfCorruptRecord": "_corrupt_record"})
     g = lambda f: j[f]  # noqa: E731
@@ -105,6 +107,7 @@ def journald_envelope(df: DataFrame, json_col: str = "raw",
                      ).otherwise(F.coalesce(g("MESSAGE"), F.lit("")))
 
     return df.select(
+        *[F.col(c) for c in keep],
         F.col(json_col).alias("_raw_data"),
         message.alias("text"),
         resolve_pattern_key(g("COM_GITHUB_LOGUNIFIER_APPLICATION_PATTERN_KEY"))
