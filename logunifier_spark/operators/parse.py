@@ -19,10 +19,15 @@ patternDefault.go) as a single pandas UDF over (text, pattern_key):
 Timestamp strings from all rows are normalized in one vectorized pass
 (functions/timeparse.py).  The UDF returns a struct; everything downstream
 is native Spark SQL.
+
+Implementation note: the batch works on positional numpy object arrays, not
+pandas .at/.loc scalar indexing — profiling showed label-based scalar
+get/set dominating batch time (~10 µs/call vs ~0.1 µs for a numpy write).
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -54,11 +59,18 @@ PARSE_RESULT_SCHEMA = StructType([
 
 _COLS = [f.name for f in PARSE_RESULT_SCHEMA.fields]
 
+_TS_ERR = "Can't find timestamp for {s}"
+_GROK_NOMATCH_ERR = "Can't find timestamp\nCan't find a message"
 
-def _empty_result(index) -> pd.DataFrame:
-    out = pd.DataFrame(index=index, columns=_COLS, dtype="object")
-    out["labels"] = [dict() for _ in range(len(index))]
-    return out
+
+def _obj(series_or_arr) -> np.ndarray:
+    """numpy object array with NaN/pd.NA normalized to None."""
+    arr = np.asarray(series_or_arr, dtype=object)
+    mask = pd.isna(arr)
+    if mask.any():
+        arr = arr.copy()
+        arr[mask] = None
+    return arr
 
 
 def _map_level(raw: pd.Series) -> pd.Series:
@@ -69,131 +81,157 @@ def _map_level(raw: pd.Series) -> pd.Series:
     return mapped.where(raw.isna() | mapped.notna(), "unknown")
 
 
-def _parse_grok_block(out: pd.DataFrame, texts: pd.Series, key: str,
-                      ts_strings: dict, ts_err_fmt: dict) -> None:
-    ext = texts.str.extract(grok.compiled(key))
-    matched = ext["timestamp"].notna()
+class _Batch:
+    """Positional working state for one Arrow batch."""
+
+    def __init__(self, n: int):
+        self.cols = {c: np.full(n, None, dtype=object)
+                     for c in _COLS if c != "labels"}
+        self.labels = np.array([dict() for _ in range(n)], dtype=object)
+        self.ts_idx: list = []    # positional indices with a ts string
+        self.ts_val: list = []    # the raw ts strings
+
+
+def _parse_grok_rows(b: _Batch, texts: np.ndarray, idx: np.ndarray,
+                     key: str) -> None:
+    ext = pd.Series(texts[idx]).str.extract(grok.compiled(key))
+    matched = ext["timestamp"].notna().to_numpy()
 
     # message(): found -> captured; missing -> raw + error
-    msg = ext["message"] if "message" in ext else pd.Series(pd.NA, index=ext.index)
-    out.loc[texts.index, "message"] = msg.where(matched, texts)
+    msg = (_obj(ext["message"]) if "message" in ext.columns
+           else np.full(idx.size, None, dtype=object))
+    b.cols["message"][idx] = np.where(matched, msg, texts[idx])
 
     # logInfo(): level, origin+originline (Traefik)
-    if "level" in ext:
-        out.loc[texts.index, "level"] = _map_level(ext["level"])
+    if "level" in ext.columns:
+        b.cols["level"][idx] = _obj(_map_level(ext["level"]))
     if "origin" in ext.columns and "originline" in ext.columns:
-        both = ext["origin"].notna() & ext["originline"].notna()
-        out.loc[ext.index[both], "origin_file"] = ext.loc[both, "origin"]
-        out.loc[ext.index[both], "origin_line"] = ext.loc[both, "originline"]
+        both = (ext["origin"].notna() & ext["originline"].notna()).to_numpy()
+        b.cols["origin_file"][idx[both]] = _obj(ext["origin"])[both]
+        b.cols["origin_line"][idx[both]] = _obj(ext["originline"])[both]
 
     # leftover registered keys -> labels["pattern_"+k]
     # (patternGrokTsLevelMsg.go:96-104; only `thread` can remain)
     if "thread" in ext.columns:
-        has_thread = ext["thread"].notna()
-        for i in ext.index[has_thread]:
-            out.at[i, "labels"]["pattern_thread"] = ext.at[i, "thread"]
+        th = _obj(ext["thread"])
+        for j in np.flatnonzero(th != None):  # noqa: E711 (elementwise)
+            b.labels[idx[j]]["pattern_thread"] = th[j]
 
     # timeStamp(): collect for the batch-wide vectorized parse
-    for i in ext.index[matched]:
-        ts_strings[i] = ext.at[i, "timestamp"]
-        ts_err_fmt[i] = "Can't find timestamp for {s}"
+    b.ts_idx.append(idx[matched])
+    b.ts_val.append(_obj(ext["timestamp"])[matched])
 
     # unmatched rows: errors in chain order (timeStamp -> message)
-    for i in ext.index[~matched]:
-        out.at[i, "parse_error"] = "Can't find timestamp\nCan't find a message"
+    b.cols["parse_error"][idx[~matched]] = _GROK_NOMATCH_ERR
 
 
-def _parse_logfmt_block(out: pd.DataFrame, texts: pd.Series,
-                        ts_strings: dict, ts_err_fmt: dict) -> None:
-    for i, raw in texts.items():
+def _parse_logfmt_rows(b: _Batch, texts: np.ndarray, idx: np.ndarray) -> None:
+    c = b.cols
+    ts_i, ts_v = [], []
+    for i in idx:
+        raw = texts[i]
         kv, errs = logfmt.decode(raw if isinstance(raw, str) else "")
         # chain order (types.go:68-84): from -> timeStamp -> message ->
         # errorInfo -> logInfo(caller, level) -> tracingInfo -> extract.
         # userInfo/eventInfo are NOT in the chain (verbatim reference quirk):
         # user/event keys spill to labels.
         if logfmt.KEY_TS in kv:
-            ts_strings[i] = kv.pop(logfmt.KEY_TS)
-            ts_err_fmt[i] = "Can't find timestamp for {s}"
+            ts_i.append(i)
+            ts_v.append(kv.pop(logfmt.KEY_TS))
         if logfmt.KEY_MSG in kv:
-            out.at[i, "message"] = kv.pop(logfmt.KEY_MSG)
+            c["message"][i] = kv.pop(logfmt.KEY_MSG)
         if logfmt.KEY_ERROR in kv:
-            out.at[i, "error_message"] = kv.pop(logfmt.KEY_ERROR)
+            c["error_message"][i] = kv.pop(logfmt.KEY_ERROR)
         if logfmt.KEY_CALLER in kv:
             caller = kv.pop(logfmt.KEY_CALLER)
             split = caller.split(":")
-            out.at[i, "origin_file"] = split[0]
+            c["origin_file"][i] = split[0]
             # line only when exactly file:line (patternLogfmt.go:96-101)
-            out.at[i, "origin_line"] = split[1] if len(split) == 2 else "-1"
+            c["origin_line"][i] = split[1] if len(split) == 2 else "-1"
         if logfmt.KEY_LEVEL in kv:
             lvl = kv.pop(logfmt.KEY_LEVEL)
-            out.at[i, "level"] = STRING_TO_LEVEL.get(lvl.lower(), "unknown")
+            c["level"][i] = STRING_TO_LEVEL.get(lvl.lower(), "unknown")
         if logfmt.KEY_TRACE_ID in kv:
-            out.at[i, "trace_id"] = kv.pop(logfmt.KEY_TRACE_ID)
+            c["trace_id"][i] = kv.pop(logfmt.KEY_TRACE_ID)
             # spanID removed only together with traceID (patternLogfmt.go:144-158)
-            out.at[i, "span_id"] = kv.pop(logfmt.KEY_SPAN_ID, None)
+            c["span_id"][i] = kv.pop(logfmt.KEY_SPAN_ID, None)
         # ALL remaining keys spill (patternLogfmt.go:161-169)
         if kv:
-            labels = out.at[i, "labels"]
+            labels = b.labels[i]
             for k, v in kv.items():
                 labels["logfmt_" + k] = v
         if errs:
-            out.at[i, "parse_error"] = "\n".join(errs)
+            c["parse_error"][i] = "\n".join(errs)
+    if ts_i:
+        b.ts_idx.append(np.asarray(ts_i, dtype=np.int64))
+        b.ts_val.append(np.asarray(ts_v, dtype=object))
 
 
 def parse_batch(text: pd.Series, pattern_key: pd.Series) -> pd.DataFrame:
     """One Arrow batch through the extractor bank. Pure function of its
     inputs — shared by the pandas UDF and by unit tests."""
-    texts = text.fillna("")
-    out = _empty_result(text.index)
-    ts_strings: dict = {}
-    ts_err_fmt: dict = {}
+    n = len(text)
+    texts = _obj(text)
+    texts[texts == None] = ""  # noqa: E711 (elementwise fillna)
+    keys = np.asarray(pattern_key, dtype=object)
+    b = _Batch(n)
 
     for key in GROK_KEYS:
-        mask = pattern_key == key
-        if mask.any():
-            _parse_grok_block(out, texts[mask], key, ts_strings, ts_err_fmt)
+        idx = np.flatnonzero(keys == key)
+        if idx.size:
+            _parse_grok_rows(b, texts, idx, key)
 
-    lf_mask = pattern_key == "LogFmt"
-    if lf_mask.any():
-        _parse_logfmt_block(out, texts[lf_mask], ts_strings, ts_err_fmt)
+    lf_idx = np.flatnonzero(keys == "LogFmt")
+    if lf_idx.size:
+        _parse_logfmt_rows(b, texts, lf_idx)
 
-    nop_mask = pattern_key == "Nop"
-    if nop_mask.any():
-        out.loc[nop_mask, "message"] = texts[nop_mask]
-        out.loc[nop_mask, "level"] = "unknown"
+    nop = np.flatnonzero(keys == "Nop")
+    if nop.size:
+        b.cols["message"][nop] = texts[nop]
+        b.cols["level"][nop] = "unknown"
 
     # factory default branch: unmapped enum keys (Clf / Unknown) ->
     # parse error + Nop behavior (patternfactory.go:156-163)
-    known = list(GROK_KEYS) + ["LogFmt", "Nop", "Ecs"]
-    unmapped = ~pattern_key.isin(known) & pattern_key.notna()
-    if unmapped.any():
-        out.loc[unmapped, "message"] = texts[unmapped]
-        out.loc[unmapped, "level"] = "unknown"
-        for i in pattern_key.index[unmapped]:
-            err = (f"The identified PatternKey {pattern_key.at[i]} by the "
+    known = set(GROK_KEYS) | {"LogFmt", "Nop", "Ecs"}
+    unmapped = np.flatnonzero(
+        ~np.isin(keys, list(known)) & (keys != None))  # noqa: E711
+    if unmapped.size:
+        b.cols["message"][unmapped] = texts[unmapped]
+        b.cols["level"][unmapped] = "unknown"
+        pe = b.cols["parse_error"]
+        for i in unmapped:
+            err = (f"The identified PatternKey {keys[i]} by the "
                    f"ingress is not mapped to a pattern extractor")
-            prev = out.at[i, "parse_error"]
-            out.at[i, "parse_error"] = err if prev is None or pd.isna(prev) else f"{prev}\n{err}"
+            pe[i] = err if pe[i] is None else f"{pe[i]}\n{err}"
 
     # one vectorized timestamp pass for the whole batch
-    if ts_strings:
-        ser = pd.Series(ts_strings, dtype="object")
-        parsed = parse_series(ser)
-        ok = parsed.notna()
-        out.loc[parsed.index[ok], "ts"] = parsed[ok]
-        for i in parsed.index[~ok]:
+    ts_out = np.full(n, None, dtype=object)
+    if b.ts_idx:
+        all_idx = np.concatenate(b.ts_idx)
+        all_val = np.concatenate(b.ts_val)
+        parsed = parse_series(pd.Series(all_val, dtype="object"))
+        ok = parsed.notna().to_numpy()
+        ts_out[all_idx[ok]] = parsed.to_numpy(dtype=object)[ok]
+        pe = b.cols["parse_error"]
+        for j in np.flatnonzero(~ok):
             # timeStamp() runs right after from() in the chain: the ts error
             # is appended after any decode error (logfmt) and there can be no
             # earlier error for grok-matched rows
-            err = ts_err_fmt[i].format(s=ts_strings[i])
-            prev = out.at[i, "parse_error"]
-            out.at[i, "parse_error"] = err if prev is None or pd.isna(prev) else f"{prev}\n{err}"
+            i = all_idx[j]
+            err = _TS_ERR.format(s=all_val[j])
+            pe[i] = err if pe[i] is None else f"{pe[i]}\n{err}"
 
-    # pandas object columns with pd.NA confuse Arrow; normalize to None
+    out = pd.DataFrame(index=pd.RangeIndex(n))
+    out["ts"] = pd.to_datetime(pd.Series(ts_out), utc=True, errors="coerce")
     for c in _COLS:
-        if c not in ("labels", "ts"):
-            out[c] = out[c].where(out[c].notna(), None)
-    out["ts"] = pd.to_datetime(out["ts"], utc=True, errors="coerce")
+        if c == "labels":
+            out[c] = b.labels
+        elif c != "ts":
+            out[c] = b.cols[c]
+    # match the declared struct field order
+    out = out[_COLS]
+    # the UDF contract is the caller's index
+    out.index = text.index
     return out
 
 
