@@ -188,6 +188,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     sig = (df.select(F.col(id_col).alias("id"),
                      minhash_signature_udf(num_hashes, shingle_n)(
                          F.col(text_col)).alias("sig")))
+    # materialize signatures once: the plan references sig three times
+    # (banding + two candidate-pair re-joins) and Spark would otherwise
+    # re-scan the text and re-run the UDF per reference. At scale this
+    # trades ~(rows × 8·num_hashes B) of executor-local storage for two
+    # full re-reads of the corpus.
+    sig = sig.localCheckpoint(eager=False)
     # bucket array in a Project (UDF-derived `sig` referenced only via
     # attribute), exploded in a separate step: keeps the Python UDF out of
     # the Generate node, where ExtractPythonUDFs cannot place it.
