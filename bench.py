@@ -15,6 +15,13 @@ Scaling mode (the N vs 4N executor stand-in, north-rule criterion):
   - runs the same headline job at local[N] and local[4N] in separate
     SparkSessions on the same input and prints both throughputs plus
     efficiency = (T_N / T_4N) / 4 ... (time ratio per 4x cores).
+  - defaults to N=2, 4N=8 and SCALING_TURNS=16M: each local[c] task pins
+    one JVM thread AND one Arrow python worker, so a local[32] run on a
+    32-core box oversubscribes 2x and caps at ~50% — an artifact of the
+    single-box stand-in, not of the plan (on a real cluster executors are
+    sized so cores cover the python workers). N=2 -> 4N=8 keeps both ends
+    unconstrained (<=16 hot threads); the input is sized so compute
+    dominates fixed job overhead at both ends.
 """
 
 from __future__ import annotations
@@ -57,9 +64,14 @@ def headline(spark, n_turns: int) -> float:
 
     t = synth_transcripts(spark, n_turns).repartition(spark.sparkContext.defaultParallelism)
     u = unify(t, pattern_labels=default_pattern_labels(spark))
-    # one pass, two aggregates
-    counts = (u.groupBy("sink", "log_pattern_key")
-                .agg(F.count("*").alias("n")))
+    # one pass; the aggregate consumes parse-DERIVED columns (log_level,
+    # message, timestamp) — aggregating only on sink/log_pattern_key lets
+    # Catalyst prune the whole parse UDF out of the plan and the "bench"
+    # measures synth+join+count instead of the pipeline
+    counts = (u.groupBy("sink", "log_level")
+                .agg(F.count("*").alias("n"),
+                     F.sum(F.length("message")).alias("msg_bytes"),
+                     F.count("timestamp").alias("n_ts")))
     return _timed(lambda: counts.collect())
 
 
@@ -96,19 +108,20 @@ def run_default() -> dict:
 
 
 def run_scaling(n: int, n4: int) -> dict:
+    turns = int(os.environ.get("SCALING_TURNS", "16000000"))
     results = {}
     for cpus in (n, n4):
         spark = _spark(cpus)
         headline(spark, 20_000)  # warmup
-        sec = headline(spark, BENCH_TURNS)
+        sec = headline(spark, turns)
         results[cpus] = sec
         spark.stop()
-    tput_n = BENCH_TURNS / results[n]
-    tput_4n = BENCH_TURNS / results[n4]
+    tput_n = turns / results[n]
+    tput_4n = turns / results[n4]
     eff = (tput_4n / tput_n) / (n4 / n)
     return {
         "metric": "scaling_efficiency",
-        "turns": BENCH_TURNS,
+        "turns": turns,
         "n_cores": n, "sec_n": results[n], "turns_per_sec_n": round(tput_n, 1),
         "n4_cores": n4, "sec_4n": results[n4], "turns_per_sec_4n": round(tput_4n, 1),
         "efficiency": round(eff, 3),
@@ -117,8 +130,8 @@ def run_scaling(n: int, n4: int) -> dict:
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
-        n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-        n4 = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+        n4 = int(sys.argv[3]) if len(sys.argv) > 3 else 8
         print(json.dumps(run_scaling(n, n4)))
     else:
         print(json.dumps(run_default()))

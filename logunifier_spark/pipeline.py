@@ -3,7 +3,7 @@
 One declarative logical plan (SURVEY.md §3.4):
 
     read transcripts
-      → dropDuplicates(conv_id, turn_idx)              # M3 dedup window
+      → distinct()                                     # M3 dedup window
       → pattern-key resolution (literal map, J1)
       → [optional] ANSI strip (P9)
       → pandas-UDF parse (P2-P11, vectorized grok/logfmt)
@@ -78,8 +78,20 @@ def unify(
     """
     df = transcripts
     if dedup:
-        # JetStream duplicate window analog (streamcfg.go:30)
-        df = df.dropDuplicates(["conv_id", "turn_idx"])
+        # JetStream duplicate window analog (streamcfg.go:30), keyed on the
+        # stable turn id. NOT dropDuplicates: that plans first(<string>)
+        # buffers, which are not hash-aggregable and force a double-sort
+        # SortAggregate; a single max_by(struct, xxhash64) is a
+        # TypedImperativeAggregate → ObjectHashAggregate (hash-based), with a
+        # deterministic winner (max payload hash) instead of "first seen".
+        keys = ["conv_id", "turn_idx"]
+        others = [c for c in df.columns if c not in keys]
+        pick = F.xxhash64(*[F.col(c) for c in df.columns])
+        df = (df.groupBy(*keys)
+                .agg(F.max_by(F.struct(*[F.col(c) for c in others]), pick)
+                      .alias("_s"))
+                .select(*keys, "_s.*")
+                .select(*transcripts.columns))
 
     text = F.col("text")
     if strip_ansi:
