@@ -106,7 +106,10 @@ def fold_tags_into_labels(labels: Column, tags: Column) -> Column:
 
 
 def stream_key(label_map: Column) -> Column:
-    """Canonical sorted `{k="v", ...}` stream key (batch.go:81-111)."""
+    """Canonical sorted `{k="v", ...}` stream key (batch.go:81-111) over an
+    arbitrary map column. For the fixed Loki label set prefer
+    `stream_key_native` — higher-order functions over a per-row map are
+    interpreted (no whole-stage codegen)."""
     entries = F.sort_array(F.map_entries(label_map))
     return F.concat(
         F.lit("{"),
@@ -116,3 +119,40 @@ def stream_key(label_map: Column) -> Column:
         ),
         F.lit("}"),
     )
+
+
+def stream_key_native() -> Column:
+    """The same canonical stream key built directly from the unified scalar
+    columns: the 14 label keys (+ conditional error_type) are compile-time
+    constants, so the sorted order is static and the whole key is one
+    codegen-friendly concat — byte-identical to
+    stream_key(loki_label_map())."""
+    has_proc = F.col("process_error_reason").isNotNull() & (F.col("process_error_reason") != "")
+    has_val = F.col("validation_errors").isNotNull() & (F.col("validation_errors") != "")
+    has_stack = F.col("error_stack_trace").isNotNull() & (F.col("error_stack_trace") != "")
+    has_etype = F.col("error_type").isNotNull() & (F.col("error_type") != "")
+
+    def q(c):  # "" for null, like the map projection
+        return F.coalesce(F.col(c), F.lit(""))
+
+    # lexicographic key order — matches sort_array(map_entries(...))
+    parts = [
+        F.lit('{environment="'), q("environment"),
+        F.lit('", error_stack="'), _bool_str(has_stack),
+        F.when(has_etype, F.concat(F.lit('", error_type="'), F.col("error_type")))
+         .otherwise(F.lit("")),
+        F.lit('", host="'), q("host_name"),
+        F.lit('", ingress="'), q("log_ingress"),
+        F.lit('", level="'), q("log_level"),
+        F.lit('", log_logger="'), q("log_logger"),
+        F.lit('", org_name="'), q("org_name"),
+        F.lit('", pattern_key="'), q("log_pattern_key"),
+        F.lit('", process_error="'), _bool_str(has_proc),
+        F.lit('", service_name="'), q("service_name"),
+        F.lit('", service_namespace="'), q("service_namespace"),
+        F.lit('", service_stack="'), q("service_stack"),
+        F.lit('", service_type="'), q("service_type"),
+        F.lit('", validation_error="'), _bool_str(has_val),
+        F.lit('"}'),
+    ]
+    return F.concat(*parts)

@@ -81,15 +81,33 @@ def _map_level(raw: pd.Series) -> pd.Series:
     return mapped.where(raw.isna() | mapped.notna(), "unknown")
 
 
+_EMPTY_LABELS: dict = {}  # shared read-only sentinel for untouched rows
+
+
 class _Batch:
     """Positional working state for one Arrow batch."""
 
     def __init__(self, n: int):
         self.cols = {c: np.full(n, None, dtype=object)
                      for c in _COLS if c != "labels"}
-        self.labels = np.array([dict() for _ in range(n)], dtype=object)
+        # labels dicts are allocated lazily via label_dict() — most rows
+        # never spill a label, and n dict() allocations per batch measurably
+        # slow the UDF; untouched rows share one immutable empty dict
+        self.labels = np.full(n, None, dtype=object)
         self.ts_idx: list = []    # positional indices with a ts string
         self.ts_val: list = []    # the raw ts strings
+
+    def label_dict(self, i: int) -> dict:
+        d = self.labels[i]
+        if d is None:
+            d = {}
+            self.labels[i] = d
+        return d
+
+    def final_labels(self) -> np.ndarray:
+        out = self.labels
+        out[pd.isna(out)] = _EMPTY_LABELS
+        return out
 
 
 def _parse_grok_rows(b: _Batch, texts: np.ndarray, idx: np.ndarray,
@@ -115,7 +133,7 @@ def _parse_grok_rows(b: _Batch, texts: np.ndarray, idx: np.ndarray,
     if "thread" in ext.columns:
         th = _obj(ext["thread"])
         for j in np.flatnonzero(th != None):  # noqa: E711 (elementwise)
-            b.labels[idx[j]]["pattern_thread"] = th[j]
+            b.label_dict(idx[j])["pattern_thread"] = th[j]
 
     # timeStamp(): collect for the batch-wide vectorized parse
     b.ts_idx.append(idx[matched])
@@ -157,7 +175,7 @@ def _parse_logfmt_rows(b: _Batch, texts: np.ndarray, idx: np.ndarray) -> None:
             c["span_id"][i] = kv.pop(logfmt.KEY_SPAN_ID, None)
         # ALL remaining keys spill (patternLogfmt.go:161-169)
         if kv:
-            labels = b.labels[i]
+            labels = b.label_dict(i)
             for k, v in kv.items():
                 labels["logfmt_" + k] = v
         if errs:
@@ -204,14 +222,17 @@ def parse_batch(text: pd.Series, pattern_key: pd.Series) -> pd.DataFrame:
                    f"ingress is not mapped to a pattern extractor")
             pe[i] = err if pe[i] is None else f"{pe[i]}\n{err}"
 
-    # one vectorized timestamp pass for the whole batch
-    ts_out = np.full(n, None, dtype=object)
+    # one vectorized timestamp pass for the whole batch; stays in
+    # datetime64 end-to-end (object-array Timestamps cost a per-value
+    # box/unbox on both assignment and Arrow conversion)
+    ts_col = pd.Series(pd.NaT, index=pd.RangeIndex(n),
+                       dtype="datetime64[ns, UTC]")
     if b.ts_idx:
         all_idx = np.concatenate(b.ts_idx)
         all_val = np.concatenate(b.ts_val)
         parsed = parse_series(pd.Series(all_val, dtype="object"))
         ok = parsed.notna().to_numpy()
-        ts_out[all_idx[ok]] = parsed.to_numpy(dtype=object)[ok]
+        ts_col.iloc[all_idx[ok]] = parsed.iloc[np.flatnonzero(ok)]
         pe = b.cols["parse_error"]
         for j in np.flatnonzero(~ok):
             # timeStamp() runs right after from() in the chain: the ts error
@@ -222,10 +243,10 @@ def parse_batch(text: pd.Series, pattern_key: pd.Series) -> pd.DataFrame:
             pe[i] = err if pe[i] is None else f"{pe[i]}\n{err}"
 
     out = pd.DataFrame(index=pd.RangeIndex(n))
-    out["ts"] = pd.to_datetime(pd.Series(ts_out), utc=True, errors="coerce")
+    out["ts"] = ts_col
     for c in _COLS:
         if c == "labels":
-            out[c] = b.labels
+            out[c] = b.final_labels()
         elif c != "ts":
             out[c] = b.cols[c]
     # match the declared struct field order

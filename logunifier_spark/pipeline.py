@@ -66,6 +66,41 @@ def _e(j: Column, *path: str) -> Column:
     return c
 
 
+def _dedup_turns(df: DataFrame) -> DataFrame:
+    """JetStream duplicate-window analog (streamcfg.go:30), keyed on the
+    stable turn id, built for the rare-duplicate case.
+
+    Any full-row key-dedup (dropDuplicates / max_by-of-struct) shuffles and
+    double-sorts the entire input — string agg buffers are not
+    hash-aggregable, so Spark plans SortAggregate (measured 57% of the
+    end-to-end job). Instead:
+
+      1. count rows per key — a NARROW hash aggregate (long buffer) whose
+         shuffle carries only (conv_id, turn_idx, count),
+      2. broadcast the (normally tiny) set of keys that actually have
+         duplicates,
+      3. pass every clean row through UNSHUFFLED via broadcast anti-join,
+      4. dedupe only the duplicate subset with a deterministic
+         max-payload-hash winner.
+
+    At 10^12 turns the full input never shuffles for dedup; only key
+    triples do. If duplicates are pathologically common the broadcast is
+    the limit — callers with adversarial inputs should pre-filter."""
+    keys = ["conv_id", "turn_idx"]
+    dup_keys = (df.groupBy(*keys).agg(F.count("*").alias("_n"))
+                  .where(F.col("_n") > 1).select(*keys))
+    clean = df.join(F.broadcast(dup_keys), keys, "left_anti")
+    dups = df.join(F.broadcast(dup_keys), keys, "left_semi")
+    others = [c for c in df.columns if c not in keys]
+    pick = F.xxhash64(*[F.col(c) for c in df.columns])
+    winners = (dups.groupBy(*keys)
+                   .agg(F.max_by(F.struct(*[F.col(c) for c in others]), pick)
+                         .alias("_s"))
+                   .select(*keys, "_s.*")
+                   .select(*df.columns))
+    return clean.unionByName(winners)
+
+
 def unify(
     transcripts: DataFrame,
     pattern_labels: DataFrame | None = None,
@@ -78,20 +113,7 @@ def unify(
     """
     df = transcripts
     if dedup:
-        # JetStream duplicate window analog (streamcfg.go:30), keyed on the
-        # stable turn id. NOT dropDuplicates: that plans first(<string>)
-        # buffers, which are not hash-aggregable and force a double-sort
-        # SortAggregate; a single max_by(struct, xxhash64) is a
-        # TypedImperativeAggregate → ObjectHashAggregate (hash-based), with a
-        # deterministic winner (max payload hash) instead of "first seen".
-        keys = ["conv_id", "turn_idx"]
-        others = [c for c in df.columns if c not in keys]
-        pick = F.xxhash64(*[F.col(c) for c in df.columns])
-        df = (df.groupBy(*keys)
-                .agg(F.max_by(F.struct(*[F.col(c) for c in others]), pick)
-                      .alias("_s"))
-                .select(*keys, "_s.*")
-                .select(*transcripts.columns))
+        df = _dedup_turns(df)
 
     text = F.col("text")
     if strip_ansi:
@@ -194,7 +216,10 @@ def unify(
 
     if pattern_labels is not None:
         df = df.withColumn("loki_labels", enrich_ops.loki_label_map())
-        df = df.withColumn("stream_key", enrich_ops.stream_key(F.col("loki_labels")))
+        # static-key concat, NOT stream_key(loki_labels): byte-identical
+        # output, but stays inside whole-stage codegen (and lets Catalyst
+        # prune the map column entirely when the caller doesn't read it)
+        df = df.withColumn("stream_key", enrich_ops.stream_key_native())
         df = route_ops.with_routing(df)
     return df
 
