@@ -401,6 +401,42 @@ def q_journald_parse(spark, sf_dir):
     )
 
 
+def q_line_limit(spark, sf_dir):
+    """O3: Loki max-entry-size guard — oversize messages truncated to the
+    limit (client.go:308-319)."""
+    _ship(spark)
+    from logunifier_spark.operators.route import enforce_line_limit
+    u = _unified(spark, sf_dir)
+    return (enforce_line_limit(u, max_line_size=12, truncate=True)
+            .select("conv_id", "turn_idx", "message"))
+
+
+def q_ship_label_folds(spark, sf_dir):
+    """A5: tags→labels fold as shipped to Loki (tags_<i> keys, empty values
+    skipped with their index preserved, lokishipper.go:127-139)."""
+    _ship(spark)
+    from logunifier_spark.pipeline import ship_labels, unify
+    e = _load(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    text = F.concat(
+        F.lit('{"@timestamp":"2023-06-07T12:00:00Z","message":"evt '), eid,
+        F.lit('","tags":["a","","b'), F.pmod(eid, F.lit(3)),
+        F.lit('"],"labels":{"k":"v'), F.pmod(eid, F.lit(5)), F.lit('"}}'))
+    t = e.select(
+        F.concat(F.lit("c"), F.pmod(eid, F.lit(11))).alias("conv_id"),
+        eid.cast("int").alias("turn_idx"),
+        F.lit("agent").alias("role"),
+        text.alias("text"), F.lit("ecs").alias("tool"), F.col("ts"))
+    s = ship_labels(unify(t))
+    return s.select(
+        "turn_idx",
+        F.concat_ws(",", F.sort_array(F.map_keys("ship_labels"))).alias("keys"),
+        F.element_at("ship_labels", "tags_0").alias("t0"),
+        F.element_at("ship_labels", "tags_2").alias("t2"),
+        F.element_at("ship_labels", "k").alias("kv"),
+    )
+
+
 def q_quality_scores(spark, sf_dir):
     _ship(spark)
     from logunifier_spark.operators.textstats import quality_score
@@ -493,6 +529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiline_reassembly": q_multiline_reassembly,
         "journald_parse": q_journald_parse,
         "dedup_turns": q_dedup_turns,
+        "line_limit": q_line_limit,
+        "ship_label_folds": q_ship_label_folds,
         # training-data operators
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -660,6 +698,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'conv' || (event_id % 97) AS conv_id,
                    count(*) AS n_turns
             FROM events GROUP BY 1
+        """,
+        "line_limit": f"""
+            WITH m AS (
+              SELECT 'conv' || (event_id % 97) AS conv_id,
+                     CAST(event_id AS INT) AS turn_idx,
+                     {_SQL_EXPECTED_MESSAGE} AS msg
+              FROM events)
+            SELECT conv_id, turn_idx,
+                   CASE WHEN length(msg) > 12 THEN substr(msg, 1, 12)
+                        ELSE msg END AS message
+            FROM m
+        """,
+        "ship_label_folds": """
+            SELECT CAST(event_id AS INT) AS turn_idx,
+                   'k,tags_0,tags_2' AS keys,
+                   'a' AS t0,
+                   'b' || (event_id % 3) AS t2,
+                   'v' || (event_id % 5) AS kv
+            FROM events
         """,
         "quality_scores": r"""
             WITH q AS (

@@ -47,6 +47,24 @@ def with_routing(df: DataFrame, n_partitions: int = 32,
     })
 
 
+def enforce_line_limit(df: DataFrame, max_line_size: int = 0,
+                       truncate: bool = True,
+                       message_col: str = "message") -> DataFrame:
+    """O3: max-entry-size guard of the Loki client
+    (/root/reference/pkg/clients/lokiclient/client.go:308-319; disabled by
+    default via maxLineSize=0 at pkg/clients/contruct.go:38): oversize
+    messages are either truncated to the limit or dropped entirely."""
+    if max_line_size <= 0:
+        return df
+    over = F.length(F.col(message_col)) > max_line_size
+    if truncate:
+        return df.withColumn(
+            message_col,
+            F.when(over, F.substring(F.col(message_col), 1, max_line_size))
+             .otherwise(F.col(message_col)))
+    return df.where(~over)
+
+
 def write_sinks(df: DataFrame, base_path: str, mode: str = "overwrite",
                 file_format: str = "parquet") -> dict[str, str]:
     """Fan out to one table per sink, partitioned by route_partition.
