@@ -109,11 +109,14 @@ def run_default() -> dict:
 
 def run_scaling(n: int, n4: int) -> dict:
     turns = int(os.environ.get("SCALING_TURNS", "16000000"))
+    trials = int(os.environ.get("SCALING_TRIALS", "2"))
     results = {}
     for cpus in (n, n4):
         spark = _spark(cpus)
         headline(spark, 20_000)  # warmup
-        sec = headline(spark, turns)
+        # min over trials: the sandbox box is shared/noisy and a single
+        # contended run misstates the plan's capability at that parallelism
+        sec = min(headline(spark, turns) for _ in range(trials))
         results[cpus] = sec
         spark.stop()
     tput_n = turns / results[n]

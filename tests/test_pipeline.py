@@ -230,3 +230,32 @@ def test_loki_label_map(spark):
     assert "Service type is empty" not in r["validation_errors"]
     assert lbl["service_type"] == "raw"
     assert lbl["org_name"] == "core"
+
+
+def test_edge_rows_no_crash(spark):
+    """Null text / unknown tool / huge text / all-null row: Nop fallback +
+    process_error columns, never an exception (poison-row policy, SURVEY
+    §2.9 backpressure row)."""
+    huge = "k=v " * 250_000  # ~1 MB logfmt line
+    data = [
+        ("c", 0, "r", None, "tslevelmsg", BASE_TS),
+        ("c", 1, "r", "hello", "no-such-tool", BASE_TS),
+        ("c", 2, "r", huge, "logfmt", BASE_TS),
+        ("c", 3, None, None, None, None),
+    ]
+    df = spark.createDataFrame(data, TRANSCRIPT_SCHEMA)
+    rows = unify(df).orderBy("turn_idx").collect()
+    assert len(rows) == 4
+    by_idx = {r["turn_idx"]: r for r in rows}
+    # null text + grok key → no match → raw copy + parse error
+    assert by_idx[0]["message"] == ""
+    assert by_idx[0]["process_error_reason"] is not None
+    # unknown tool → Nop passthrough
+    assert by_idx[1]["log_pattern_key"] == "Nop"
+    assert by_idx[1]["message"] == "hello"
+    assert by_idx[1]["log_level"] == "unknown"
+    # huge logfmt line parsed, labels spilled, no crash
+    assert by_idx[2]["log_pattern_key"] == "LogFmt"
+    # all-null row → Nop, empty message, null ts tolerated
+    assert by_idx[3]["log_pattern_key"] == "Nop"
+    assert by_idx[3]["message"] == ""
