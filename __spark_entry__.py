@@ -478,6 +478,18 @@ def q_ann_ivf(spark, sf_dir):
     return ivf_topk(emb, q, k=5).select("qid", "vec_id", "rank")
 
 
+def q_media_resize(spark, sf_dir):
+    # stubbed codec (deterministic fake) — rows-only check of the
+    # mapInPandas resize plumbing
+    _ship(spark)
+    from logunifier_spark.operators.multimodal import resize_images, synth_media
+    m = synth_media(spark, 64)
+    r = resize_images(m, 8, 6)
+    return r.select("media_id", F.col("meta.width").alias("w"),
+                    F.col("meta.height").alias("h"),
+                    F.length("payload").alias("payload_bytes"))
+
+
 def q_media_frame_sample(spark, sf_dir):
     # deterministic synthetic media; frame-sampling plan — rows-only
     _ship(spark)
@@ -545,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ann_ivf": q_ann_ivf,
         "media_frame_sample": q_media_frame_sample,
+        "media_resize": q_media_resize,
         "multimodal_features": q_multimodal_features,
     }
 

@@ -81,6 +81,43 @@ def extract_features(df: DataFrame, dim: int = 16, fake: bool = True) -> DataFra
     return df.mapInPandas(_batches, schema=FEATURE_SCHEMA)
 
 
+def resize_images(df: DataFrame, width: int, height: int,
+                  fake: bool = True) -> DataFrame:
+    """mapInPandas image resize over binary payloads: same MEDIA_SCHEMA out,
+    payload replaced by the resized encoding and meta.width/height updated.
+    The codec step is stubbed (no PIL in this container): the fake path
+    emits a deterministic width*height*3-byte payload derived from the
+    source payload hash, so partitioning/batch shapes and schema evolution
+    are exercised for real."""
+    if not fake:
+        raise NotImplementedError(
+            "real image resize requires codec libraries not present in "
+            "this environment; run with fake=True for the plumbing path")
+
+    def _batches(it):
+        for pdf in it:
+            rows = []
+            for p in pdf["payload"]:
+                if p is None:
+                    rows.append(None)
+                    continue
+                h = hashlib.sha256(bytes(p)).digest()
+                need = width * height * 3
+                rows.append(bytearray((h * (need // len(h) + 1))[:need]))
+            out = pdf.copy()
+            out["payload"] = rows
+            out["meta"] = [
+                {"width": width, "height": height,
+                 "duration_ms": (m or {}).get("duration_ms"),
+                 "sample_rate": (m or {}).get("sample_rate")}
+                for m in pdf["meta"]
+            ]
+            yield out
+
+    return (df.where(F.col("kind") == "image")
+              .mapInPandas(_batches, schema=MEDIA_SCHEMA))
+
+
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one row per sampled frame offset, native
     explode over the duration metadata (decode of the frame itself is the

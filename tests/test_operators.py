@@ -179,3 +179,17 @@ def test_resumable_checkpoint(spark, tmp_path):
     assert metrics["routed_rows"] == 400
     assert sum(metrics["sinks"].values()) == 400
     assert sum(metrics["patterns"].values()) == 400
+
+
+def test_resize_images(spark):
+    from logunifier_spark.operators.multimodal import resize_images, synth_media
+    m = synth_media(spark, 12)
+    out = resize_images(m, 8, 6).collect()
+    assert len(out) == 4  # 12 media, every 3rd is an image
+    for r in out:
+        assert r["meta"]["width"] == 8 and r["meta"]["height"] == 6
+        assert len(r["payload"]) == 8 * 6 * 3
+    # deterministic across runs
+    again = {r["media_id"]: bytes(r["payload"])
+             for r in resize_images(m, 8, 6).collect()}
+    assert all(bytes(r["payload"]) == again[r["media_id"]] for r in out)
