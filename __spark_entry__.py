@@ -183,6 +183,15 @@ def q_validation_errors(spark, sf_dir):
              .agg(F.count("*").alias("hits")))
 
 
+def q_stable_order(spark, sf_dir):
+    """M2: stable (conv_id, turn_idx) turn ordering — the window that makes
+    per-turn text equality well-defined (north-star invariant)."""
+    _ship(spark)
+    from logunifier_spark.pipeline import stable_order
+    u = stable_order(_unified(spark, sf_dir))
+    return u.select("conv_id", "turn_idx", "turn_rank", "message")
+
+
 def q_stream_keys(spark, sf_dir):
     u = _unified(spark, sf_dir)
     return (u.groupBy("stream_key").agg(F.count("*").alias("entries")))
@@ -531,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "process_errors": q_process_errors,
         "validation_errors": q_validation_errors,
         "stream_keys": q_stream_keys,
+        "stable_order": q_stable_order,
         # relational capability
         "tpch_pricing": q_tpch_pricing,
         "top_customer_revenue": q_top_customer_revenue,
@@ -770,6 +780,14 @@ def oracle_sql() -> dict[str, str]:
               WHERE a.vec_id < b.vec_id
             )
             SELECT id_a, id_b, round(cos, 4) AS cos FROM pairs WHERE cos >= 0.45
+        """,
+        "stable_order": f"""
+            SELECT 'conv' || (event_id % 97) AS conv_id,
+                   CAST(event_id AS INT) AS turn_idx,
+                   CAST(row_number() OVER (PARTITION BY (event_id % 97)
+                                           ORDER BY event_id) AS INT) AS turn_rank,
+                   {_SQL_EXPECTED_MESSAGE} AS message
+            FROM events
         """,
         # relational
         "tpch_pricing": """
