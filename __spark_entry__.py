@@ -372,24 +372,24 @@ def q_journald_parse(spark, sf_dir):
     us = F.unix_micros(F.col("ts").cast("timestamp")).cast("string")
     raw = (
         F.when(m == 0, F.concat(
-            F.lit('{"MESSAGE":"msg '), eid,
+            F.lit('{"message":"msg '), eid,
             F.lit('","PRIORITY":"3","COM_HASHICORP_NOMAD_ALLOC_ID":"alloc1",'
                   '"COM_HASHICORP_NOMAD_TASK_NAME":"task'), i5,
             F.lit('","__REALTIME_TIMESTAMP":"'), us, F.lit('"}')))
          .when(m == 1, F.concat(
-            F.lit('{"MESSAGE":"msg '), eid,
+            F.lit('{"message":"msg '), eid,
             F.lit('","PRIORITY":"4","CONTAINER_NAME":"cnt'), i5,
             F.lit('","CONTAINER_TAG":"t1,t2"}')))
          .when(m == 2, F.concat(
-            F.lit('{"MESSAGE":"msg '), eid,
+            F.lit('{"message":"msg '), eid,
             F.lit('","PRIORITY":"6","SYSLOG_FACILITY":"3","_SYSTEMD_UNIT":"unit'),
             i5, F.lit('.service"}')))
          .when(m == 3, F.concat(
-            F.lit('{"MESSAGE":"msg '), eid,
+            F.lit('{"message":"msg '), eid,
             F.lit('","PRIORITY":"2","SYSLOG_FACILITY":"0",'
                   '"SYSLOG_IDENTIFIER":"krn"}')))
          .when(m == 4, F.concat(
-            F.lit('{"MESSAGE":"\\u001b[31mred\\u001b[0m msg '), eid,
+            F.lit('{"message":"\\u001b[31mred\\u001b[0m msg '), eid,
             F.lit('","PRIORITY":"7","COM_GITHUB_LOGUNIFIER_APPLICATION_NAME":"app'),
             i5,
             F.lit('","COM_GITHUB_LOGUNIFIER_APPLICATION_PATTERN_KEY":"logfmt",'

@@ -29,11 +29,14 @@ from logunifier_spark.functions.levels import (
     PRIORITY_TO_LEVEL,
 )
 
-# journald fields consumed by the converter (journald.go:24-80)
+# journald fields consumed by the converter (journald.go:24-80).
+# NOTE: vector lower-cases `message`/`host`/`timestamp` (struct tags
+# json:"message", json:"host" at journald.go:77-79) while the native
+# journald fields stay upper-case — the casing here matches those tags.
 JOURNALD_SCHEMA = (
     "struct<"
-    "MESSAGE:string, PRIORITY:string, SYSLOG_FACILITY:string,"
-    "SYSLOG_IDENTIFIER:string, `_HOSTNAME`:string, `_MACHINE_ID`:string,"
+    "message:string, host:string, PRIORITY:string, SYSLOG_FACILITY:string,"
+    "SYSLOG_IDENTIFIER:string, `_MACHINE_ID`:string,"
     "`__REALTIME_TIMESTAMP`:string,"
     "`_SYSTEMD_UNIT`:string, `_SYSTEMD_SLICE`:string, `_SYSTEMD_CGROUP`:string,"
     "CONTAINER_ID:string, CONTAINER_ID_FULL:string, CONTAINER_NAME:string,"
@@ -102,9 +105,9 @@ def journald_envelope(df: DataFrame, json_col: str = "raw",
     strip = F.lower(F.coalesce(g("COM_GITHUB_LOGUNIFIER_APPLICATION_STRIP_ANSI"),
                                F.lit(""))).isin("true", "1", "t")
     from logunifier_spark.pipeline import ANSI_RE, resolve_pattern_key
-    message = F.when(strip, F.regexp_replace(F.coalesce(g("MESSAGE"), F.lit("")),
+    message = F.when(strip, F.regexp_replace(F.coalesce(g("message"), F.lit("")),
                                              ANSI_RE, "")
-                     ).otherwise(F.coalesce(g("MESSAGE"), F.lit("")))
+                     ).otherwise(F.coalesce(g("message"), F.lit("")))
 
     return df.select(
         *[F.col(c) for c in keep],
@@ -123,7 +126,7 @@ def journald_envelope(df: DataFrame, json_col: str = "raw",
         F.coalesce(_nz(g("COM_GITHUB_LOGUNIFIER_APPLICATION_NAMESPACE")),
                    g("COM_HASHICORP_NOMAD_NAMESPACE"), F.lit("")).alias("service_namespace"),
         F.coalesce(g("COM_HASHICORP_NOMAD_TASK_GROUP_NAME"), F.lit("")).alias("service_group"),
-        F.coalesce(g("_HOSTNAME"), F.lit("")).alias("host_name"),
+        F.coalesce(g("host"), F.lit("")).alias("host_name"),
         F.coalesce(g("_MACHINE_ID"), F.lit("")).alias("host_id"),
         F.coalesce(g("COM_GITHUB_LOGUNIFIER_APPLICATION_ORG"), F.lit("")).alias("org_name"),
         F.coalesce(g("COM_GITHUB_LOGUNIFIER_APPLICATION_ENV"), F.lit("")).alias("environment"),
