@@ -259,3 +259,22 @@ def test_edge_rows_no_crash(spark):
     # all-null row → Nop, empty message, null ts tolerated
     assert by_idx[3]["log_pattern_key"] == "Nop"
     assert by_idx[3]["message"] == ""
+
+
+def test_hot_conversation_salt_spreads_partitions(spark):
+    """North-rule skew handling: a single hot conv_id must fan out across
+    multiple route partitions via the deterministic turn-idx salt, not pin
+    one partition."""
+    data = [("hot", i, "user", "plain", "", BASE_TS) for i in range(2000)]
+    df = spark.createDataFrame(data, TRANSCRIPT_SCHEMA)
+    u = unify(df, pattern_labels=default_pattern_labels(spark))
+    parts = [r["route_partition"] for r in
+             u.select("route_partition").distinct().collect()]
+    from logunifier_spark.operators.route import DEFAULT_SALT_BUCKETS
+    assert len(parts) > 1                      # not pinned to one partition
+    assert len(parts) <= DEFAULT_SALT_BUCKETS  # bounded by the salt domain
+    # deterministic: same input → same partition ids
+    u2 = unify(df, pattern_labels=default_pattern_labels(spark))
+    parts2 = {r["route_partition"] for r in
+              u2.select("route_partition").distinct().collect()}
+    assert set(parts) == parts2
