@@ -446,6 +446,51 @@ def q_ship_label_folds(spark, sf_dir):
     )
 
 
+def q_journald_unify(spark, sf_dir):
+    """Full journald flow: raw JSON → envelope → reassembly → unify with
+    the metadata-override contract (journald.go:93-275) — PRIORITY-derived
+    fallback levels, service/host overrides, logfmt no-kv error, corrupt
+    payloads."""
+    _ship(spark)
+    from logunifier_spark.pipeline import unify_journald
+    e = _load(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    m = F.pmod(eid, F.lit(6))
+    i5 = F.pmod(eid, F.lit(5))
+    host = F.concat(F.lit('h'), F.pmod(eid, F.lit(13)))
+    raw = (
+        F.when(m == 0, F.concat(
+            F.lit('{"message":"msg '), eid,
+            F.lit('","PRIORITY":"3","COM_HASHICORP_NOMAD_ALLOC_ID":"a1",'
+                  '"COM_HASHICORP_NOMAD_TASK_NAME":"task'), i5,
+            F.lit('","host":"'), host, F.lit('"}')))
+         .when(m == 1, F.concat(
+            F.lit('{"message":"msg '), eid,
+            F.lit('","PRIORITY":"4","CONTAINER_NAME":"cnt'), i5,
+            F.lit('","host":"'), host, F.lit('"}')))
+         .when(m == 2, F.concat(
+            F.lit('{"message":"msg '), eid,
+            F.lit('","PRIORITY":"6","SYSLOG_FACILITY":"3","_SYSTEMD_UNIT":"unit'),
+            i5, F.lit('.service","host":"'), host, F.lit('"}')))
+         .when(m == 3, F.concat(
+            F.lit('{"message":"msg '), eid,
+            F.lit('","PRIORITY":"2","SYSLOG_FACILITY":"0",'
+                  '"SYSLOG_IDENTIFIER":"krn","host":"'), host, F.lit('"}')))
+         .when(m == 4, F.concat(
+            F.lit('{"message":"\\u001b[31mred\\u001b[0m msg '), eid,
+            F.lit('","PRIORITY":"7","COM_GITHUB_LOGUNIFIER_APPLICATION_NAME":"app'),
+            i5,
+            F.lit('","COM_GITHUB_LOGUNIFIER_APPLICATION_PATTERN_KEY":"logfmt",'
+                  '"COM_GITHUB_LOGUNIFIER_APPLICATION_STRIP_ANSI":"true",'
+                  '"host":"'), host, F.lit('"}')))
+         .otherwise(F.concat(F.lit("not json "), eid))
+    )
+    u = unify_journald(e.select(raw.alias("raw")))
+    return u.select("message", "log_level", "service_name", "service_type",
+                    "host_name",
+                    F.coalesce("process_error_reason", F.lit("")).alias("perr"))
+
+
 def q_quality_scores(spark, sf_dir):
     _ship(spark)
     from logunifier_spark.operators.textstats import quality_score
@@ -552,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "journald_parse": q_journald_parse,
         "dedup_turns": q_dedup_turns,
         "line_limit": q_line_limit,
+        "journald_unify": q_journald_unify,
         "ship_label_folds": q_ship_label_folds,
         # training-data operators
         "dedup_exact": q_dedup_exact,
@@ -739,6 +785,34 @@ def oracle_sql() -> dict[str, str]:
                    'a' AS t0,
                    'b' || (event_id % 3) AS t2,
                    'v' || (event_id % 5) AS kv
+            FROM events
+        """,
+        "journald_unify": """
+            SELECT CASE (event_id % 6)
+                     WHEN 4 THEN 'red msg ' || event_id
+                     WHEN 5 THEN ''
+                     ELSE 'msg ' || event_id END AS message,
+                   CASE (event_id % 6)
+                     WHEN 0 THEN 'not_set' WHEN 1 THEN 'warn'
+                     WHEN 2 THEN 'info' WHEN 3 THEN 'fatal'
+                     WHEN 4 THEN 'debug' ELSE 'unknown' END AS log_level,
+                   CASE (event_id % 6)
+                     WHEN 0 THEN 'task' || (event_id % 5)
+                     WHEN 1 THEN 'cnt' || (event_id % 5)
+                     WHEN 2 THEN 'unit' || (event_id % 5) || '.service'
+                     WHEN 3 THEN 'krn'
+                     WHEN 4 THEN 'app' || (event_id % 5)
+                     ELSE 'Empty' END AS service_name,
+                   CASE (event_id % 6)
+                     WHEN 0 THEN 'nomad_job' WHEN 1 THEN 'container'
+                     WHEN 2 THEN 'daemon' WHEN 3 THEN 'kernel'
+                     ELSE 'Empty' END AS service_type,
+                   CASE WHEN (event_id % 6) = 5 THEN 'NoHost'
+                        ELSE 'h' || (event_id % 13) END AS host_name,
+                   CASE (event_id % 6)
+                     WHEN 4 THEN 'could not extract key value pairs'
+                     WHEN 5 THEN 'can''t unmarshal journald json'
+                     ELSE '' END AS perr
             FROM events
         """,
         "quality_scores": r"""

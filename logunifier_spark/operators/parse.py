@@ -203,10 +203,13 @@ def parse_batch(text: pd.Series, pattern_key: pd.Series) -> pd.DataFrame:
     if lf_idx.size:
         _parse_logfmt_rows(b, texts, lf_idx)
 
+    # Nop / unmapped rows copy the raw message and leave level UNTOUCHED —
+    # the reference's Nop extractor keeps the MetaLog's fallback level
+    # (PRIORITY-derived for journald; absent → unknown downstream), it does
+    # not pin one (patternfactory.go:119-121,156-163)
     nop = np.flatnonzero(keys == "Nop")
     if nop.size:
         b.cols["message"][nop] = texts[nop]
-        b.cols["level"][nop] = "unknown"
 
     # factory default branch: unmapped enum keys (Clf / Unknown) ->
     # parse error + Nop behavior (patternfactory.go:156-163)
@@ -215,7 +218,6 @@ def parse_batch(text: pd.Series, pattern_key: pd.Series) -> pd.DataFrame:
         ~np.isin(keys, list(known)) & (keys != None))  # noqa: E711
     if unmapped.size:
         b.cols["message"][unmapped] = texts[unmapped]
-        b.cols["level"][unmapped] = "unknown"
         pe = b.cols["parse_error"]
         for i in unmapped:
             err = (f"The identified PatternKey {keys[i]} by the "

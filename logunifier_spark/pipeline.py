@@ -107,10 +107,17 @@ def unify(
     subject: str = DEFAULT_SUBJECT,
     strip_ansi: bool = False,
     dedup: bool = True,
+    fallback_level: Column | None = None,
+    overrides: dict | None = None,
 ) -> DataFrame:
     """Transcripts (conv_id, turn_idx, role, text, tool, ts) → unified rows
     (UNIFIED_SCHEMA [+ sink/loki_labels/stream_key when pattern_labels given]).
-    """
+
+    `fallback_level` is the level used when no extractor set one (the
+    reference's MetaLog fallback, PRIORITY-derived for journald;
+    default 'unknown'). `overrides` (name → Column over the input frame)
+    are applied after envelope assembly but BEFORE enrich/validate — the
+    journald metadata-override hook (journald.go:190-275)."""
     df = transcripts
     if dedup:
         df = _dedup_turns(df)
@@ -161,7 +168,10 @@ def unify(
         "tags": ecs_or(_e(j, "tags"), F.lit(None).cast("array<string>")),
         "labels": ecs_or(_e(j, "labels"), p["labels"]),
         "log_level": F.when(ecs_bad, F.lit("fatal")).otherwise(
-            ecs_or(ecs_level, F.coalesce(p["level"], F.lit("unknown")))),
+            ecs_or(ecs_level, F.coalesce(
+                p["level"],
+                fallback_level if fallback_level is not None
+                else F.lit("unknown")))),
         "log_level_emoji": F.lit(""),  # finalized by validate_and_fix
         "log_logger": ecs_or(_e(j, "log", "logger"), F.lit("")),
         "log_ingress": F.lit(subject),
@@ -201,6 +211,9 @@ def unify(
                                     F.lit(None).cast("string")),
     })
 
+    if overrides:
+        df = df.withColumns(dict(overrides))
+
     # broadcast enrich BEFORE validate: the lookup fills service_type /
     # org_name where the envelope left them empty; validate backfills the rest
     if pattern_labels is not None:
@@ -222,6 +235,63 @@ def unify(
         df = df.withColumn("stream_key", enrich_ops.stream_key_native())
         df = route_ops.with_routing(df)
     return df
+
+
+def unify_journald(
+    raw_df: DataFrame,
+    json_col: str = "raw",
+    pattern_labels: DataFrame | None = None,
+    subject: str = "ingress.logs.journald",
+) -> DataFrame:
+    """The full journald ingress flow (S1/P1/M1 + the metadata-override
+    contract of journald.go:190-275): raw journald JSON → envelope →
+    partial-message reassembly → unify, with journald/nomad metadata
+    overriding whatever the parse (or a delegated native-ECS message)
+    produced — service.*, host.*, org, env come from journald
+    UNCONDITIONALLY, and the PRIORITY-derived level is the fallback when no
+    extractor found one (toMetaLog, journald.go:160-185)."""
+    from logunifier_spark.operators.multiline import reassemble_partials
+    from logunifier_spark.sources.journald import journald_envelope
+
+    env = journald_envelope(raw_df, json_col=json_col, subject=subject)
+    env = reassemble_partials(env, message_col="text")
+
+    meta_cols = ["service_name", "service_version", "service_stack",
+                 "service_namespace", "service_group", "service_type",
+                 "service_node_name", "host_name", "org_name", "environment"]
+    renames = {c: f"_env_{c}" for c in meta_cols}
+    for old, new in renames.items():
+        env = env.withColumnRenamed(old, new)
+
+    # journald has no conversation structure: stream analog = host, turn id
+    # = payload hash (JetStream msg-id dedup analog)
+    t = env.withColumns({
+        "conv_id": F.coalesce(F.col("_env_host_name"), F.lit("")),
+        "turn_idx": F.pmod(F.xxhash64(F.col("_raw_data")),
+                           F.lit(2**31)).cast("int"),
+        "role": F.coalesce(F.col("_env_service_name"), F.lit("")),
+        "tool": F.col("log_pattern_key"),
+    }).drop("log_pattern_key")
+
+    overrides = {c: F.col(f"_env_{c}") for c in meta_cols}
+    # unmarshal failure → ProcessError.Reason (toMetaLog err path; the Go
+    # error string is runtime-specific, we use one stable reason)
+    overrides["process_error_reason"] = F.when(
+        F.col("_corrupt").isNotNull(),
+        F.lit("can't unmarshal journald json"),
+    ).otherwise(F.col("process_error_reason"))
+    # ProcessError.RawData carries the whole journald JSON, not the message
+    # (toMetaLog, journald.go:176-179)
+    overrides["process_error_raw_data"] = F.col("_raw_data")
+    u = unify(
+        t,
+        pattern_labels=pattern_labels,
+        subject=subject,
+        dedup=True,
+        fallback_level=F.col("fallback_level"),
+        overrides=overrides,
+    )
+    return u
 
 
 def ship_labels(df: DataFrame) -> DataFrame:

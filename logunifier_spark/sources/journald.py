@@ -44,6 +44,7 @@ JOURNALD_SCHEMA = (
     "CONTAINER_PARTIAL_ID:string, CONTAINER_PARTIAL_ORDINAL:string,"
     "CONTAINER_PARTIAL_LAST:string, CONTAINER_PARTIAL_MESSAGE:string,"
     "COM_HASHICORP_NOMAD_ALLOC_ID:string, COM_HASHICORP_NOMAD_JOB_NAME:string,"
+    "COM_HASHICORP_NOMAD_NODE_NAME:string,"
     "COM_HASHICORP_NOMAD_NAMESPACE:string, COM_HASHICORP_NOMAD_TASK_GROUP_NAME:string,"
     "COM_HASHICORP_NOMAD_TASK_NAME:string,"
     "COM_GITHUB_LOGUNIFIER_APPLICATION_NAME:string,"
@@ -126,6 +127,7 @@ def journald_envelope(df: DataFrame, json_col: str = "raw",
         F.coalesce(_nz(g("COM_GITHUB_LOGUNIFIER_APPLICATION_NAMESPACE")),
                    g("COM_HASHICORP_NOMAD_NAMESPACE"), F.lit("")).alias("service_namespace"),
         F.coalesce(g("COM_HASHICORP_NOMAD_TASK_GROUP_NAME"), F.lit("")).alias("service_group"),
+        F.coalesce(g("COM_HASHICORP_NOMAD_NODE_NAME"), F.lit("")).alias("service_node_name"),
         F.coalesce(g("host"), F.lit("")).alias("host_name"),
         F.coalesce(g("_MACHINE_ID"), F.lit("")).alias("host_id"),
         F.coalesce(g("COM_GITHUB_LOGUNIFIER_APPLICATION_ORG"), F.lit("")).alias("org_name"),

@@ -110,3 +110,81 @@ def test_grafana_logfmt_golden(spark):
     assert kv["level"] == "info"
     assert kv["ts"] == "2023-03-16T20:43:56.274825539Z"
     assert kv["logger"] == "live"
+
+
+# testNatviceEcs (testUtils.go) embedded as the message of a journald row
+# with pattern key `ecs` — the delegation path (journald.go:134-146)
+NATIVE_ECS_MSG = (
+    '{"@timestamp":"2023-06-07T15:08:51.584+02:00","ecs":{"version":"1.3.0"},'
+    '"log":{"level":"DEBUG","thread_name":"main",'
+    '"logger":"com.boxbay.wms.internal.test.curd.WmsCrudTest",'
+    '"origin":{"file":{"line":"56","name":"StartupInfoLogger.java"},'
+    '"function":"logStarting"}},'
+    '"service":{"name":"boxbay-wms-test"},'
+    '"organization":{"name":"boxbay"},'
+    '"host":{"hostname":"WAP130259","name":"WAP130259"},'
+    '"message":"Running with Spring Boot v2.4.4, Spring v5.3.5"}'
+)
+
+
+def _unify_raw(spark, payloads):
+    from logunifier_spark.pipeline import unify_journald
+    df = spark.createDataFrame([(json.dumps(p) if isinstance(p, dict) else p,)
+                                for p in payloads], "raw string")
+    return unify_journald(df).collect()
+
+
+def test_unify_journald_end_to_end(spark):
+    rows = _unify_raw(spark, [NOMAD, GRAFANA])
+    by_svc = {r["service_name"]: r for r in rows}
+    nomad = by_svc["nomad.service"]
+    # grok parsed level wins over the PRIORITY fallback
+    assert nomad["log_level"] == "debug"
+    assert nomad["message"].startswith("nomad: memberlist:")
+    assert nomad["service_type"] == "daemon"      # facility 3 (override)
+    assert nomad["host_name"] == "master-01"
+    graf = by_svc["grafana"]
+    assert graf["log_level"] == "info"            # logfmt level
+    assert graf["message"] == "Initialized channel handler"
+    assert graf["service_type"] == "nomad_job"
+    assert graf["service_version"] == "9.4.3.0"
+    assert graf["service_stack"] == "observability"
+
+
+def test_unify_journald_priority_fallback_for_nop(spark):
+    # no pattern key label → Nop → extractor leaves level untouched →
+    # PRIORITY 4 → warn (toMetaLog fallback, journald.go:160-185)
+    p = {"PRIORITY": "4", "SYSLOG_FACILITY": "1", "SYSLOG_IDENTIFIER": "x",
+         "__REALTIME_TIMESTAMP": "1679324805057689",
+         "host": "h1", "message": "free text line"}
+    r = _unify_raw(spark, [p])[0]
+    assert r["log_pattern_key"] == "Nop"
+    assert r["log_level"] == "warn"
+    assert r["message"] == "free text line"
+    assert r["service_type"] == "user"            # facility 1
+
+
+def test_unify_journald_ecs_delegation_override(spark):
+    # pattern key `ecs`: the message is parsed as native ECS, then journald
+    # metadata overrides service/host/org/env (journald.go:134-146,190-275)
+    p = dict(GRAFANA)
+    p["COM_GITHUB_LOGUNIFIER_APPLICATION_PATTERN_KEY"] = "ecs"
+    p["message"] = NATIVE_ECS_MSG
+    r = _unify_raw(spark, [p])[0]
+    assert r["log_pattern_key"] == "Ecs"
+    assert r["message"] == "Running with Spring Boot v2.4.4, Spring v5.3.5"
+    assert r["log_level"] == "debug"              # from the ECS json
+    assert r["log_logger"] == "com.boxbay.wms.internal.test.curd.WmsCrudTest"
+    # journald wins over the ECS json's own metadata:
+    assert r["service_name"] == "grafana"         # not boxbay-wms-test
+    # GRAFANA carries no ORG label → override "" → validate default
+    assert r["org_name"] == "NoOrg"               # not boxbay
+    assert r["host_name"] == "worker-01"          # not WAP130259
+
+
+def test_unify_journald_corrupt_payload(spark):
+    rows = _unify_raw(spark, ["this is not json at all"])
+    r = rows[0]
+    assert r["process_error_reason"] == "can't unmarshal journald json"
+    assert r["process_error_raw_data"] == "this is not json at all"
+    assert r["log_pattern_key"] == "Nop"
