@@ -348,13 +348,29 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
-                        threshold: float = 0.8) -> DataFrame:
+                        threshold: float = 0.8,
+                        max_df: int | None = None) -> DataFrame:
     """Exact character-n-gram Jaccard for pairs sharing at least one shingle.
     Shuffles (shingle, id); candidate pairs deduped before the exact
-    intersection/union computation on the shingle arrays."""
+    intersection/union computation on the shingle arrays.
+
+    `max_df` is the scale path: grams appearing in more than max_df
+    documents are dropped from CANDIDATE GENERATION only (the Jaccard is
+    still computed on the full shingle sets). Ubiquitous grams produce
+    O(bucket²) candidate pairs — unpruned, the self-join is quadratic in
+    the corpus (measured 295 s vs 7.6 s at 5k docs). The recall trade-off
+    is real: a near-dup pair is missed iff ALL its shared grams exceed
+    max_df, which template-generated corpora (many mutually-similar docs
+    sharing the same gram families) do hit — on such data prefer
+    minhash_lsh_pairs, whose banding cost is O(rows·bands) regardless of
+    gram frequency. None = exact (default, matches the SQL oracle)."""
     sh = df.select(F.col(id_col).alias("id"),
                    char_shingles(F.col(text_col), n).alias("sh"))
     exploded = sh.select("id", F.explode("sh").alias("g"))
+    if max_df is not None:
+        rare = (exploded.groupBy("g").agg(F.count("*").alias("_df"))
+                        .where(F.col("_df") <= max_df).select("g"))
+        exploded = exploded.join(rare, "g", "left_semi")
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (a.join(b, on="g").where(F.col("a.id") < F.col("b.id"))
               .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
