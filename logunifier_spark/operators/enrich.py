@@ -105,6 +105,21 @@ def fold_tags_into_labels(labels: Column, tags: Column) -> Column:
     return F.map_concat(F.coalesce(labels, F.map_from_arrays(F.array(), F.array())), folded)
 
 
+def _quote_value(v: Column) -> Column:
+    """strconv.Quote's escaping for the characters that occur in label
+    values (batch.go:106 quotes every value): backslash, double-quote,
+    newline, tab, CR. Go also hex-escapes other non-printables — that long
+    tail is a documented deviation (log metadata never carries them
+    unescaped past the journald JSON layer)."""
+    v = F.coalesce(v, F.lit(""))
+    v = F.replace(v, F.lit("\\"), F.lit("\\\\"))
+    v = F.replace(v, F.lit('"'), F.lit('\\"'))
+    v = F.replace(v, F.lit("\n"), F.lit("\\n"))
+    v = F.replace(v, F.lit("\t"), F.lit("\\t"))
+    v = F.replace(v, F.lit("\r"), F.lit("\\r"))
+    return v
+
+
 def stream_key(label_map: Column) -> Column:
     """Canonical sorted `{k="v", ...}` stream key (batch.go:81-111) over an
     arbitrary map column. For the fixed Loki label set prefer
@@ -114,7 +129,8 @@ def stream_key(label_map: Column) -> Column:
     return F.concat(
         F.lit("{"),
         F.array_join(
-            F.transform(entries, lambda e: F.concat(e["key"], F.lit('="'), e["value"], F.lit('"'))),
+            F.transform(entries, lambda e: F.concat(
+                e["key"], F.lit('="'), _quote_value(e["value"]), F.lit('"'))),
             ", ",
         ),
         F.lit("}"),
@@ -132,14 +148,15 @@ def stream_key_native() -> Column:
     has_stack = F.col("error_stack_trace").isNotNull() & (F.col("error_stack_trace") != "")
     has_etype = F.col("error_type").isNotNull() & (F.col("error_type") != "")
 
-    def q(c):  # "" for null, like the map projection
-        return F.coalesce(F.col(c), F.lit(""))
+    def q(c):  # "" for null + strconv.Quote escaping, like the map variant
+        return _quote_value(F.col(c))
 
     # lexicographic key order — matches sort_array(map_entries(...))
     parts = [
         F.lit('{environment="'), q("environment"),
         F.lit('", error_stack="'), _bool_str(has_stack),
-        F.when(has_etype, F.concat(F.lit('", error_type="'), F.col("error_type")))
+        F.when(has_etype, F.concat(F.lit('", error_type="'),
+                                   _quote_value(F.col("error_type"))))
          .otherwise(F.lit("")),
         F.lit('", host="'), q("host_name"),
         F.lit('", ingress="'), q("log_ingress"),

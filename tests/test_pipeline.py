@@ -278,3 +278,16 @@ def test_hot_conversation_salt_spreads_partitions(spark):
     parts2 = {r["route_partition"] for r in
               u2.select("route_partition").distinct().collect()}
     assert set(parts) == parts2
+
+
+def test_stream_key_quotes_special_values(spark):
+    """batch.go:106 strconv.Quote's the label values — quotes and
+    backslashes in metadata must be escaped in the canonical key, and the
+    native and map-based builders must stay byte-identical."""
+    from logunifier_spark.operators.enrich import loki_label_map, stream_key
+    data = [("c", 0, 'svc"with\\quote', "plain", "", BASE_TS)]
+    df = spark.createDataFrame(data, TRANSCRIPT_SCHEMA)
+    u = unify(df, pattern_labels=default_pattern_labels(spark))
+    r = u.withColumn("sk_map", stream_key(loki_label_map())).collect()[0]
+    assert r["stream_key"] == r["sk_map"]
+    assert 'service_name="svc\\"with\\\\quote"' in r["stream_key"]
