@@ -68,10 +68,18 @@ def run_resumable(
     run_id: str = "run",
     pattern_labels: DataFrame | None = None,
 ) -> list[RangeManifest]:
-    """Process the input in n_ranges deterministic hash ranges of conv_id,
-    committing each independently; already-committed ranges are skipped on
-    restart. Returns the manifests written this invocation."""
-    from logunifier_spark.operators import aggregate as agg
+    """Process the input in n_ranges deterministic hash ranges of conv_id.
+    Already-committed ranges are skipped on restart; all uncommitted ranges
+    are processed in ONE job (a single input scan, partitionBy(_range, sink)
+    write with dynamic partition overwrite), then committed independently —
+    each range's manifest is still its atomic commit point, written only
+    after the data is on disk, so a crash re-runs exactly the uncommitted
+    ranges and dynamic overwrite replaces their partitions in place.
+    Returns the manifests written this invocation.
+
+    (The previous design filtered `_range == r` in a loop — n_ranges full
+    input scans + n_ranges parse-UDF passes. At 100 TB that is n_ranges
+    reads of the corpus; this is one.)"""
     from logunifier_spark.operators.enrich import default_pattern_labels
     from logunifier_spark.pipeline import unify
 
@@ -79,38 +87,49 @@ def run_resumable(
         else default_pattern_labels(spark)
     os.makedirs(os.path.join(base_path, "_lineage"), exist_ok=True)
     done = committed_ranges(base_path)
+    todo = [r for r in range(n_ranges) if r not in done]
+    if not todo:
+        return []
+
+    t0 = time.perf_counter()
+    rng = F.pmod(F.xxhash64("conv_id"), F.lit(n_ranges))
+    part = transcripts.where(rng.isin(todo))
+    u = unify(part, pattern_labels=labels).drop("loki_labels")
+    # _range is a pure function of conv_id — recomputing it after unify is a
+    # projection, not a second scan
+    u = u.withColumn("_range", F.pmod(F.xxhash64("conv_id"), F.lit(n_ranges)))
+    data_dir = os.path.join(base_path, "data")
+    (u.repartition(F.col("_range"), F.col("sink"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_range", "sink")
+      .parquet(data_dir))
+    wall = time.perf_counter() - t0
+
+    # counts are read BACK from the committed files (what's on disk is what
+    # the manifest attests) — one scan of the freshly written output, with
+    # partition pruning on _range
     written: list[RangeManifest] = []
-
-    ranged = transcripts.withColumn(
-        "_range", F.pmod(F.xxhash64("conv_id"), F.lit(n_ranges)))
-
-    for r in range(n_ranges):
-        if r in done:
-            continue
-        t0 = time.perf_counter()
-        part = ranged.where(F.col("_range") == r).drop("_range")
-        u = unify(part, pattern_labels=labels).drop("loki_labels")
-        out_dir = os.path.join(base_path, f"range={r:05d}")
-        u.write.mode("overwrite").partitionBy("sink").parquet(out_dir)
-
-        # counts are read BACK from the committed files (what's on disk is
-        # what the manifest attests); an empty range writes no parquet
-        has_files = any(
-            f.endswith(".parquet")
-            for _, _, files in os.walk(out_dir) for f in files)
-        if has_files:
-            back = spark.read.parquet(out_dir)
-            sinks = {row["sink"]: row["routed_rows"]
-                     for row in agg.sink_counts(back).collect()}
-            pats = {row["pattern_key"]: row["hits"]
-                    for row in agg.pattern_histogram(back).collect()}
-        else:
-            sinks, pats = {}, {}
+    sinks_by_range: dict[int, dict] = {r: {} for r in todo}
+    pats_by_range: dict[int, dict] = {r: {} for r in todo}
+    if any(f.endswith(".parquet")
+           for _, _, files in os.walk(data_dir) for f in files):
+        back = spark.read.parquet(data_dir).where(F.col("_range").isin(todo))
+        counts = (back.groupBy("_range", "sink", "log_pattern_key")
+                      .agg(F.count("*").alias("n")).collect())
+        for row in counts:
+            r = int(row["_range"])
+            sinks_by_range[r][row["sink"]] = \
+                sinks_by_range[r].get(row["sink"], 0) + row["n"]
+            pats_by_range[r][row["log_pattern_key"]] = \
+                pats_by_range[r].get(row["log_pattern_key"], 0) + row["n"]
+    for r in todo:
+        sinks = sinks_by_range[r]
         manifest = RangeManifest(
             run_id=run_id, range_id=r, n_ranges=n_ranges,
             input_rows=sum(sinks.values()), routed_rows=sum(sinks.values()),
-            sinks=sinks, patterns=pats,
-            wall_sec=round(time.perf_counter() - t0, 3),
+            sinks=sinks, patterns=pats_by_range[r],
+            wall_sec=round(wall / len(todo), 3),
         )
         # manifest written LAST → commit point
         with open(_manifest_path(base_path, r), "w") as fh:

@@ -86,5 +86,13 @@ def write_sinks(df: DataFrame, base_path: str, mode: str = "overwrite",
        .partitionBy("sink", "route_partition")
        .format(file_format)
        .save(base_path))
-    sinks = [r["sink"] for r in df.select("sink").distinct().collect()]
+    # enumerate sinks from the written directory layout — a
+    # select("sink").distinct() here would re-execute the entire upstream
+    # plan (dedup shuffle, parse UDF, enrich, routing) a second time just to
+    # list directory names; the partitionBy layout already has them on disk.
+    # (On an object store / HDFS deployment, swap os.listdir for the Hadoop
+    # FileSystem API or read the sink domain off the pattern_labels dim.)
+    sinks = sorted(
+        d[len("sink="):] for d in os.listdir(base_path)
+        if d.startswith("sink=") and os.path.isdir(os.path.join(base_path, d)))
     return {s: os.path.join(base_path, f"sink={s}") for s in sinks}

@@ -96,33 +96,74 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
 
 # ------------------------------------------------------------------- IVF ---
 
+# multiplier for the portable centroid-selection hash: odd, so
+# id -> (id * MULT) mod 2^31 is injective on [0, 2^31) — no selection ties
+_IVF_SEL_MULT = 2_654_435_761
+
+
+def ivf_centroids(corpus: DataFrame, n_centroids: int = 16,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> list[tuple[int, list[float]]]:
+    """Deterministic corpus-sample centroids: the n rows with the lowest
+    (id * MULT) mod 2^31 (seedless, engine-portable — expressible in plain
+    SQL, unlike xxhash64), cid = rank in that order. Collected to the
+    driver: n_centroids vectors are a few KiB, and holding them driver-side
+    is what makes cell assignment a zero-shuffle map (the classic
+    kmeans-style broadcast-constants pattern)."""
+    rows = (corpus
+            .withColumn("_r", F.pmod(F.col(id_col).cast("long") * _IVF_SEL_MULT,
+                                     F.lit(2**31)))
+            .orderBy("_r").limit(n_centroids)
+            .select(vec_col).collect())
+    return [(cid, [float(v) for v in r[vec_col]]) for cid, r in enumerate(rows)]
+
+
+def _argmax_cell(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    """Nearest-centroid id via array_max over (score, cid) structs built
+    from centroid literals — a pure projection, NO shuffle (the previous
+    crossJoin + row_number window shuffled the whole corpus x n_centroids).
+    Ties pick the larger cid (struct comparison is lexicographic)."""
+    scored = F.array(*[
+        F.struct(cosine(vec, F.array(*[F.lit(x) for x in cv])).alias("s"),
+                 F.lit(cid).alias("cid"))
+        for cid, cv in cents
+    ])
+    return F.array_max(scored)["cid"]
+
+
+def _topn_cells(vec: Column, cents: list[tuple[int, list[float]]],
+                nprobe: int) -> Column:
+    """The nprobe nearest centroid ids, as an array (sorted by descending
+    score, ties toward larger cid — mirrors _argmax_cell)."""
+    scored = F.array(*[
+        F.struct(cosine(vec, F.array(*[F.lit(x) for x in cv])).alias("s"),
+                 F.lit(cid).alias("cid"))
+        for cid, cv in cents
+    ])
+    ranked = F.reverse(F.array_sort(scored))
+    return F.transform(F.slice(ranked, 1, nprobe), lambda e: e["cid"])
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              n_centroids: int = 16, nprobe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
              qid_col: str = "qid") -> DataFrame:
-    """IVF coarse quantization: centroids = deterministic corpus sample
-    (lowest xxhash64 of id — seedless and reproducible), one broadcast join
-    to assign cells, queries probe the nprobe nearest cells."""
-    cent = (corpus
-            .withColumn("_r", F.xxhash64(F.col(id_col)))
-            .orderBy("_r").limit(n_centroids)
-            .select(F.monotonically_increasing_id().alias("cid"),
-                    F.col(vec_col).alias("_cent")))
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"))
-    assigned = (c.crossJoin(F.broadcast(cent))
-                  .withColumn("_d", cosine(F.col("_cv"), F.col("_cent")))
-                  .withColumn("_rk", F.row_number().over(
-                      Window.partitionBy(id_col).orderBy(F.desc("_d"))))
-                  .where(F.col("_rk") == 1)
-                  .select(id_col, "_cv", "cid"))
-    q = queries.select(F.col(qid_col), F.col(vec_col).alias("_qv"))
-    qcells = (q.crossJoin(F.broadcast(cent))
-                .withColumn("_d", cosine(F.col("_qv"), F.col("_cent")))
-                .withColumn("_rk", F.row_number().over(
-                    Window.partitionBy(qid_col).orderBy(F.desc("_d"))))
-                .where(F.col("_rk") <= nprobe)
-                .select(qid_col, "_qv", "cid"))
-    scored = (assigned.join(qcells, on="cid")
+    """IVF coarse quantization: deterministic corpus-sample centroids held
+    as driver-side literals; cell assignment is a zero-shuffle projection
+    (array_max over broadcast-constant scores); queries probe the nprobe
+    nearest cells. The only shuffle in the plan is the cell join itself,
+    keyed on cid — the corpus is touched once, never multiplied."""
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    assigned = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("_cv"),
+        _argmax_cell(F.col(vec_col), cents).alias("cid"))
+    q = queries.select(
+        F.col(qid_col), F.col(vec_col).alias("_qv"),
+        F.explode(_topn_cells(F.col(vec_col), cents, nprobe)).alias("cid"))
+    # query side is tiny (|queries| x nprobe rows): broadcast it so the
+    # corpus side never shuffles at all — the cell "join" degenerates to a
+    # map-side hash probe
+    scored = (assigned.join(F.broadcast(q), on="cid")
                       .select(qid_col, id_col,
                               cosine(F.col("_cv"), F.col("_qv")).alias("score")))
     w = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.asc(id_col))

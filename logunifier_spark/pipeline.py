@@ -66,7 +66,7 @@ def _e(j: Column, *path: str) -> Column:
     return c
 
 
-def _dedup_turns(df: DataFrame) -> DataFrame:
+def _dedup_turns(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
     """JetStream duplicate-window analog (streamcfg.go:30), keyed on the
     stable turn id, built for the rare-duplicate case.
 
@@ -86,7 +86,7 @@ def _dedup_turns(df: DataFrame) -> DataFrame:
     At 10^12 turns the full input never shuffles for dedup; only key
     triples do. If duplicates are pathologically common the broadcast is
     the limit — callers with adversarial inputs should pre-filter."""
-    keys = ["conv_id", "turn_idx"]
+    keys = keys or ["conv_id", "turn_idx"]
     dup_keys = (df.groupBy(*keys).agg(F.count("*").alias("_n"))
                   .where(F.col("_n") > 1).select(*keys))
     clean = df.join(F.broadcast(dup_keys), keys, "left_anti")
@@ -109,6 +109,7 @@ def unify(
     dedup: bool = True,
     fallback_level: Column | None = None,
     overrides: dict | None = None,
+    dedup_keys: list[str] | None = None,
 ) -> DataFrame:
     """Transcripts (conv_id, turn_idx, role, text, tool, ts) → unified rows
     (UNIFIED_SCHEMA [+ sink/loki_labels/stream_key when pattern_labels given]).
@@ -117,10 +118,14 @@ def unify(
     reference's MetaLog fallback, PRIORITY-derived for journald;
     default 'unknown'). `overrides` (name → Column over the input frame)
     are applied after envelope assembly but BEFORE enrich/validate — the
-    journald metadata-override hook (journald.go:190-275)."""
+    journald metadata-override hook (journald.go:190-275).
+
+    `dedup_keys` overrides the duplicate-window key (default the stable
+    (conv_id, turn_idx) turn id) — journald uses a full 64-bit payload hash
+    so hash truncation can never merge distinct messages."""
     df = transcripts
     if dedup:
-        df = _dedup_turns(df)
+        df = _dedup_turns(df, dedup_keys)
 
     text = F.col("text")
     if strip_ansi:
@@ -263,10 +268,14 @@ def unify_journald(
     for old, new in renames.items():
         env = env.withColumnRenamed(old, new)
 
-    # journald has no conversation structure: stream analog = host, turn id
-    # = payload hash (JetStream msg-id dedup analog)
+    # journald has no conversation structure: stream analog = host, dedup id
+    # = FULL 64-bit payload hash (JetStream msg-id dedup analog). turn_idx
+    # is a 31-bit display value only — deduping on it would silently merge
+    # distinct messages once a host exceeds ~65k lines (birthday bound in
+    # 31-bit space), so _dedup_turns keys on `_dedup_key` instead.
     t = env.withColumns({
         "conv_id": F.coalesce(F.col("_env_host_name"), F.lit("")),
+        "_dedup_key": F.xxhash64(F.col("_raw_data")),
         "turn_idx": F.pmod(F.xxhash64(F.col("_raw_data")),
                            F.lit(2**31)).cast("int"),
         "role": F.coalesce(F.col("_env_service_name"), F.lit("")),
@@ -290,6 +299,7 @@ def unify_journald(
         dedup=True,
         fallback_level=F.col("fallback_level"),
         overrides=overrides,
+        dedup_keys=["conv_id", "_dedup_key"],
     )
     return u
 

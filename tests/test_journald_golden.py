@@ -188,3 +188,19 @@ def test_unify_journald_corrupt_payload(spark):
     assert r["process_error_reason"] == "can't unmarshal journald json"
     assert r["process_error_raw_data"] == "this is not json at all"
     assert r["log_pattern_key"] == "Nop"
+
+
+def test_unify_journald_dedup_not_truncated_to_31_bits(spark):
+    # Two DISTINCT payloads on one host engineered to collide in
+    # pmod(xxhash64(raw), 2^31) — the display turn_idx. A dedup keyed on the
+    # truncated hash would silently merge them (birthday bound ~65k
+    # lines/host); the dedup key is the full 64-bit payload hash, so both
+    # rows must survive, while a TRUE duplicate payload still collapses.
+    a = '{"message":"collide 146512","PRIORITY":"6","host":"h1"}'
+    b = '{"message":"collide 221228","PRIORITY":"6","host":"h1"}'
+    rows = _unify_raw(spark, [a, b, b])  # b duplicated: JetStream-style dedup
+    msgs = sorted(r["message"] for r in rows)
+    assert msgs == ["collide 146512", "collide 221228"]
+    # both rows really do share the 31-bit display turn_idx
+    idxs = {r["turn_idx"] for r in rows}
+    assert len(idxs) == 1
