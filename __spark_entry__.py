@@ -5,9 +5,10 @@ entry(spark)  — flagship: full parse→normalize→enrich→route pipeline ove
                 per-sink routed-row counts.
 queries()     — one entry per implemented operator (SURVEY.md §2); each
                 callable takes (spark, sf_dir) and returns a DataFrame.
-oracle_sql()  — DuckDB-equivalent SQL for each query (omitted only for the
-                genuinely non-SQL-expressible approximate operators, which
-                get the weaker rows-only check).
+oracle_sql()  — DuckDB-equivalent SQL for EVERY query (no rows-only
+                entries: the approximate operators use engine-portable
+                hash families re-implemented independently in SQL —
+                logunifier_spark/duck_oracles.py).
 
 Pipeline queries synthesize a transcripts table from `events` with an
 INVERTIBLE generator (text embeds event_id), so the oracle can compute the
@@ -273,7 +274,8 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_minhash_dedup(spark, sf_dir):
-    # approximate — rows-only check (no exact SQL oracle)
+    # portable Horner-mod-p hash family — value-hash-verified against an
+    # independent DuckDB SQL re-implementation (duck_oracles.py)
     _ship(spark)
     from logunifier_spark.operators.dedup import minhash_dedup
     d = _load(spark, sf_dir, "documents").where(F.length("text") >= 20)
@@ -281,7 +283,7 @@ def q_minhash_dedup(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
-    # approximate — rows-only check
+    # portable 60-bit simhash — value-hash-verified (duck_oracles.py)
     _ship(spark)
     from logunifier_spark.operators.dedup import simhash_pairs
     d = _load(spark, sf_dir, "documents").where(F.length("text") >= 20)
@@ -299,7 +301,8 @@ def q_ann_bruteforce(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    # approximate — rows-only check
+    # deterministic hyperplane constants — value-hash-verified against the
+    # same constants embedded as SQL literals (duck_oracles.py)
     _ship(spark)
     from logunifier_spark.operators.similarity import lsh_topk
     emb = _load(spark, sf_dir, "embeddings")
@@ -446,6 +449,43 @@ def q_ship_label_folds(spark, sf_dir):
     )
 
 
+def q_ship_metadata(spark, sf_dir):
+    """Per-entry structured metadata (traceID/spanID/user) as shipped to
+    Loki next to the index labels (lokishipper.go:267-282), incl. the
+    User != nil quirk: a present user object with an EMPTY name still
+    ships `user` (extensions.go:126-128)."""
+    _ship(spark)
+    from logunifier_spark.pipeline import ship_structured_metadata, unify
+    e = _load(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    m = F.pmod(eid, F.lit(4))
+    text = F.concat(
+        F.lit('{"@timestamp":"2023-06-07T12:00:00Z","message":"evt '), eid,
+        F.lit('"'),
+        F.when(m == 0, F.concat(
+            F.lit(',"trace":{"trace":{"id":"t'), eid,
+            F.lit('"},"span":{"id":"s'), eid, F.lit('"}},"user":{"name":"u'),
+            F.pmod(eid, F.lit(7)), F.lit('"}')))
+         .when(m == 1, F.concat(F.lit(',"trace":{"trace":{"id":"t'), eid,
+                                F.lit('"}}')))
+         .when(m == 2, F.lit(',"user":{"name":""}'))
+         .otherwise(F.lit("")),
+        F.lit("}"))
+    t = e.select(
+        F.concat(F.lit("c"), F.pmod(eid, F.lit(11))).alias("conv_id"),
+        eid.cast("int").alias("turn_idx"),
+        F.lit("agent").alias("role"),
+        text.alias("text"), F.lit("ecs").alias("tool"), F.col("ts"))
+    s = ship_structured_metadata(unify(t))
+    return s.select(
+        "turn_idx",
+        F.concat_ws(",", F.sort_array(F.map_keys("ship_metadata"))).alias("keys"),
+        F.element_at("ship_metadata", "traceID").alias("tid"),
+        F.element_at("ship_metadata", "spanID").alias("sid"),
+        F.element_at("ship_metadata", "user").alias("usr"),
+    )
+
+
 def q_journald_unify(spark, sf_dir):
     """Full journald flow: raw JSON → envelope → reassembly → unify with
     the metadata-override contract (journald.go:93-275) — PRIORITY-derived
@@ -523,7 +563,8 @@ def q_dedup_turns(spark, sf_dir):
 
 
 def q_ann_ivf(spark, sf_dir):
-    # approximate (IVF coarse quantization) — rows-only check
+    # IVF coarse quantization, portable centroid selection — value-hash-
+    # verified (duck_oracles.py)
     _ship(spark)
     from logunifier_spark.operators.similarity import ivf_topk
     emb = _load(spark, sf_dir, "embeddings")
@@ -554,13 +595,16 @@ def q_media_frame_sample(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    # plumbing check (synthetic media; deterministic fake decoder) — rows-only
+    # synthetic media + deterministic fake decoder — value-hash-verified
+    # against a sealed hashlib/struct re-implementation (duck_oracles.py);
+    # f0 is the raw float32 first feature (no rounding: float32 widened to
+    # double is exact on both sides)
     _ship(spark)
     from logunifier_spark.operators.multimodal import extract_features, synth_media
     m = synth_media(spark, 64)
     return (extract_features(m, dim=8, fake=True)
             .select("media_id", "kind", "decode_ok",
-                    F.round(F.element_at("feature", 1), 6).alias("f0")))
+                    F.element_at("feature", 1).alias("f0")))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -599,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_limit": q_line_limit,
         "journald_unify": q_journald_unify,
         "ship_label_folds": q_ship_label_folds,
+        "ship_metadata": q_ship_metadata,
         # training-data operators
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -638,6 +683,7 @@ _VAL_ERRS_ECS = ("No organisation name set,\nService name is empty,\n"
 
 
 def oracle_sql() -> dict[str, str]:
+    from logunifier_spark import duck_oracles as _do
     return {
         "pattern_histogram": f"""
             SELECT {_SQL_EXPECTED_PATTERN} AS pattern_key, count(*) AS hits
@@ -779,6 +825,22 @@ def oracle_sql() -> dict[str, str]:
                         ELSE msg END AS message
             FROM m
         """,
+        "ship_metadata": """
+            SELECT CAST(event_id AS INT) AS turn_idx,
+                   CASE (event_id % 4)
+                     WHEN 0 THEN 'spanID,traceID,user'
+                     WHEN 1 THEN 'traceID'
+                     WHEN 2 THEN 'user'
+                     ELSE '' END AS keys,
+                   CASE WHEN (event_id % 4) IN (0, 1)
+                        THEN 't' || event_id END AS tid,
+                   CASE WHEN (event_id % 4) = 0
+                        THEN 's' || event_id END AS sid,
+                   CASE (event_id % 4)
+                     WHEN 0 THEN 'u' || (event_id % 7)
+                     WHEN 2 THEN '' END AS usr
+            FROM events
+        """,
         "ship_label_folds": """
             SELECT CAST(event_id AS INT) AS turn_idx,
                    'k,tags_0,tags_2' AS keys,
@@ -914,10 +976,14 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
                     FROM documents WHERE length(text) >= 20)
             ),
+            ex AS (SELECT doc_id, unnest(g) AS gram FROM sh),
+            -- df-pruning mirror of ngram_jaccard_pairs(max_df=100): grams in
+            -- more than 100 docs are dropped from CANDIDATE GENERATION only
+            rare AS (SELECT gram FROM ex GROUP BY gram HAVING count(*) <= 100),
+            exr AS (SELECT doc_id, gram FROM ex JOIN rare USING (gram)),
             cand AS (
               SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM (SELECT doc_id, unnest(g) AS gram FROM sh) a
-              JOIN (SELECT doc_id, unnest(g) AS gram FROM sh) b USING (gram)
+              FROM exr a JOIN exr b USING (gram)
               WHERE a.doc_id < b.doc_id
             )
             SELECT id_a, id_b,
@@ -978,6 +1044,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT lang, count(*) AS n FROM best GROUP BY lang
         """,
-        # minhash_dedup / simhash_pairs / ann_lsh / fingerprint_dupes /
-        # multimodal_features: hash-family/approx/stubbed — rows-only checks
+        # portable hash-family operators: independent DuckDB SQL
+        # re-implementations (logunifier_spark/duck_oracles.py) — same spec,
+        # different engine, value-hash-compared by the driver
+        "minhash_dedup": _do.minhash_dedup_sql(),
+        "simhash_pairs": _do.simhash_pairs_sql(),
+        "fingerprint_dupes": _do.fingerprint_dupes_sql(),
+        "ann_lsh": _do.ann_lsh_sql(dim=64, k=5, n_bits=10),
+        "ann_ivf": _do.ann_ivf_sql(k=5, n_centroids=16, nprobe=4),
+        "media_frame_sample": _do.media_frame_sample_sql(n=64, every_ms=1000),
+        "media_resize": _do.media_resize_sql(n=64, width=8, height=6),
+        "multimodal_features": _do.multimodal_features_sql(n=64, dim=8),
     }

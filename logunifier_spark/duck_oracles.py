@@ -1,0 +1,334 @@
+"""Independent DuckDB oracles for the approximate / hash-family operators.
+
+Round 1 left 8 queries with rows-only checks because their hash families
+(xxhash64, fmix64-uint64) have no DuckDB equivalent. The operators now use
+ENGINE-PORTABLE arithmetic (Horner-mod-p codepoint hashes, md5 gram hashes,
+embedded hyperplane/centroid literals), and this module re-implements each
+pipeline *independently in SQL* — list comprehensions over unicode()
+codepoints, window functions, bit ops — so the driver's value-hash compare
+becomes a real correctness gate for minhash/simhash/LSH/IVF/fingerprint
+and the multimodal plumbing.
+
+Every generator mirrors the EXACT spec of its Spark operator (same
+normalization, same gram identity, same tie-breaks); any drift in either
+implementation breaks the value-hash equality at sf0.01.
+"""
+
+from __future__ import annotations
+
+P = 2_147_483_647          # Mersenne prime 2^31 - 1 (dedup._MINHASH_P)
+GRAM_BASE_1 = 131
+GRAM_BASE_2 = 137
+
+
+def _codepoints_cte(min_len: int, shingle_n: int, table: str = "documents",
+                    text_col: str = "text", id_col: str = "doc_id") -> str:
+    """docs → normalized string → codepoint list padded to >= shingle_n
+    (mirrors dedup._gram_hashes padding: zeros appended when the text is
+    shorter than one window)."""
+    pad = ", ".join("0" for _ in range(shingle_n))
+    return f"""
+docs AS (
+  SELECT {id_col} AS doc_id,
+         regexp_replace(lower({text_col}), '\\s+', ' ', 'g') AS t
+  FROM {table} WHERE length({text_col}) >= {min_len}
+),
+cp AS (
+  SELECT doc_id,
+         ([unicode(t[i]) for i in range(1, length(t)+1)]
+          || [{pad}])[1:greatest(length(t), {shingle_n})] AS c
+  FROM docs
+)"""
+
+
+def _horner(window_expr: str, base: int) -> str:
+    return (f"list_reduce([CAST(0 AS BIGINT)] || {window_expr}, "
+            f"(a, x) -> (a*{base} + x) % {P})")
+
+
+def minhash_dedup_sql(min_len: int = 20, num_hashes: int = 64,
+                      bands: int = 16, shingle_n: int = 5,
+                      threshold: float = 0.7) -> str:
+    """Keep-set of minhash_dedup: signature → banded LSH candidates →
+    signature-agreement verify → drop the higher id of each pair."""
+    rows_per_band = num_hashes // bands
+    sig_exprs = ",\n           ".join(
+        f"list_min(list_transform(g, x -> (x*{2 * i + 1} "
+        f"+ {(1_000_003 * (i + 7)) % P}) % {P}))"
+        for i in range(num_hashes))
+    band_key = " || ',' || ".join(
+        f"CAST(sig[band*{rows_per_band}+{r + 1}] AS VARCHAR)"
+        for r in range(rows_per_band))
+    return f"""
+WITH {_codepoints_cte(min_len, shingle_n)},
+grams AS (
+  SELECT doc_id, list_distinct([
+      {_horner(f"c[i:i+{shingle_n - 1}]", GRAM_BASE_1)}
+      for i in range(1, len(c) - {shingle_n - 2})
+  ]) AS g
+  FROM cp
+),
+sigs AS (
+  SELECT doc_id,
+         [ {sig_exprs} ] AS sig
+  FROM grams
+),
+bands AS (
+  SELECT doc_id, band, {band_key} AS key
+  FROM sigs CROSS JOIN range(0, {bands}) br(band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band, key)
+  WHERE a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b,
+         len(list_filter(range(1, {num_hashes + 1}),
+                         i -> sa.sig[i] = sb.sig[i])) / {num_hashes}.0 AS sim
+  FROM cand
+  JOIN sigs sa ON sa.doc_id = cand.id_a
+  JOIN sigs sb ON sb.doc_id = cand.id_b
+)
+SELECT doc_id FROM docs
+WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM pairs WHERE sim >= {threshold})
+"""
+
+
+def simhash_pairs_sql(min_len: int = 20, shingle_n: int = 4,
+                      max_hamming: int = 3, max_bucket: int = 10_000,
+                      sim_bits: int = 60, block_bits: int = 15) -> str:
+    """(id_a, id_b, hamming) of simhash_pairs: 60-bit portable simhash
+    (two Horner bases, combined-key gram identity, per-bit majority vote),
+    4x15-bit block pigeonhole with the hot-bucket cap, Hamming verify."""
+    half = sim_bits // 2
+    n_blocks = sim_bits // block_bits
+    mask = (1 << block_bits) - 1
+    # bit i: h1 bit i (combined bit 31+i) for i < half, else h2 bit (i-half)
+    vote_terms = "\n       + ".join(
+        f"(CASE WHEN 2*len(list_filter(g, x -> ((x >> {31 + i if i < half else i - half}) & 1) = 1)) > len(g) "
+        f"THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(sim_bits))
+    return f"""
+WITH {_codepoints_cte(min_len, shingle_n)},
+grams AS (
+  SELECT doc_id, list_distinct([
+      ({_horner(f"c[i:i+{shingle_n - 1}]", GRAM_BASE_1)} << 31)
+      | {_horner(f"c[i:i+{shingle_n - 1}]", GRAM_BASE_2)}
+      for i in range(1, len(c) - {shingle_n - 2})
+  ]) AS g
+  FROM cp
+),
+sh AS (
+  SELECT doc_id,
+       {vote_terms} AS sh
+  FROM grams
+),
+blocks AS (
+  SELECT doc_id, sh, blk, (sh >> ({block_bits}*blk)) & {mask} AS val
+  FROM sh CROSS JOIN range(0, {n_blocks}) rb(blk)
+),
+cool AS (
+  SELECT blk, val FROM blocks GROUP BY blk, val HAVING count(*) <= {max_bucket}
+),
+pruned AS (
+  SELECT b.doc_id, b.sh, b.blk, b.val FROM blocks b JOIN cool USING (blk, val)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.sh AS sh_a, b.sh AS sh_b
+  FROM pruned a JOIN pruned b USING (blk, val)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+"""
+
+
+def fingerprint_dupes_sql() -> str:
+    """(fp, n) duplicate fingerprint groups: min md5 over word 4-grams
+    (textstats.fingerprint) — md5 exists verbatim in both engines."""
+    return r"""
+WITH w AS (
+  SELECT string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words
+  FROM documents
+),
+fp AS (
+  SELECT list_min([
+      md5(array_to_string(words[i:i+3], ' '))
+      for i in range(1, greatest(len(words) - 3, 1) + 1)
+  ]) AS fp
+  FROM w
+)
+SELECT fp, count(*) AS n FROM fp GROUP BY fp HAVING count(*) > 1
+"""
+
+
+# ------------------------------------------------------------------ ANN ----
+
+def _sql_dot(a: str, b: str) -> str:
+    """Ordered left-fold dot product — same summation order as
+    similarity.dot's F.aggregate, so float64 results are bit-identical."""
+    return (f"list_sum(list_transform(list_zip({a}, {b}), "
+            f"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))")
+
+
+def _sql_norm(a: str) -> str:
+    return (f"sqrt(list_sum(list_transform({a}, "
+            f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return f"({_sql_dot(a, b)} / ({_sql_norm(a)} * {_sql_norm(b)} + 1e-12))"
+
+
+def _plane_literal(dim: int, bit: int) -> str:
+    from logunifier_spark.operators.similarity import _hyperplane
+    return "[" + ", ".join(repr(v) for v in _hyperplane(dim, bit)) + "]"
+
+
+def ann_lsh_sql(dim: int = 64, k: int = 5, n_bits: int = 10,
+                n_queries: int = 5) -> str:
+    """(qid, vec_id, rank) of lsh_topk: hyperplane sign buckets (the SAME
+    deterministic plane constants, embedded as literals), 1-bit multiprobe,
+    cosine rank within the candidate set."""
+    bucket_terms = "\n         + ".join(
+        f"(CASE WHEN {_sql_dot('embedding', _plane_literal(dim, b))} >= 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(n_bits))
+    probes = ", ".join(["b0"] + [f"xor(b0, {1 << i})" for i in range(n_bits)])
+    return f"""
+WITH cb AS (
+  SELECT vec_id, embedding,
+         {bucket_terms} AS bucket
+  FROM embeddings
+),
+qb AS (
+  SELECT vec_id AS qid, embedding AS qv, bucket AS b0
+  FROM cb WHERE vec_id < {n_queries}
+),
+probes AS (
+  SELECT qid, qv, unnest([{probes}]) AS bucket FROM qb
+),
+scored AS (
+  SELECT DISTINCT qid, cb.vec_id,
+         {_sql_cosine('cb.embedding', 'qv')} AS score
+  FROM probes JOIN cb USING (bucket)
+)
+SELECT qid, vec_id, rank FROM (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored) WHERE rank <= {k}
+"""
+
+
+def ann_ivf_sql(k: int = 5, n_centroids: int = 16, nprobe: int = 4,
+                n_queries: int = 5, sel_mult: int = 2_654_435_761) -> str:
+    """(qid, vec_id, rank) of ivf_topk: portable centroid selection
+    ((id*MULT) mod 2^31 order), argmax cell assignment with larger-cid
+    tie-break (mirrors array_max on (score, cid) structs), nprobe query
+    cells, cosine rank."""
+    return f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY (vec_id * {sel_mult}) % 2147483648) - 1 AS cid,
+         embedding AS cv
+  FROM embeddings
+  ORDER BY (vec_id * {sel_mult}) % 2147483648
+  LIMIT {n_centroids}
+),
+cell_scores AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         {_sql_cosine('e.embedding', 'c.cv')} AS s
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY s DESC, cid DESC) AS rk
+    FROM cell_scores) WHERE rk = 1
+),
+qcells AS (
+  SELECT qid, qv, cid FROM (
+    SELECT q.vec_id AS qid, q.embedding AS qv, c.cid,
+           {_sql_cosine('q.embedding', 'c.cv')} AS s,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_sql_cosine('q.embedding', 'c.cv')} DESC,
+                                       c.cid DESC) AS rk
+    FROM embeddings q CROSS JOIN cents c
+    WHERE q.vec_id < {n_queries}) WHERE rk <= {nprobe}
+),
+scored AS (
+  SELECT qid, a.vec_id, {_sql_cosine('a.embedding', 'qv')} AS score
+  FROM assigned a JOIN qcells USING (cid)
+)
+SELECT qid, vec_id, rank FROM (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored) WHERE rank <= {k}
+"""
+
+
+# ----------------------------------------------------------- multimodal ----
+
+def media_frame_sample_sql(n: int = 64, every_ms: int = 1000,
+                           duration_ms: int = 10_000) -> str:
+    """(media_id, frame_no, offset_ms) of sample_frames over synth_media(n):
+    videos are every 3rd id (i%3==2), duration 10s → 10 frames each. Pure
+    integer arithmetic — regenerated from range(), no hashing involved."""
+    n_frames = max(duration_ms // every_ms, 1)
+    return f"""
+SELECT 'm' || lpad(CAST(i AS VARCHAR), 6, '0') AS media_id,
+       CAST(frame_no AS INT) AS frame_no,
+       CAST(frame_no * {every_ms} AS INT) AS offset_ms
+FROM range(0, {n}) t(i) CROSS JOIN range(0, {n_frames}) f(frame_no)
+WHERE i % 3 = 2
+"""
+
+
+def media_resize_sql(n: int = 64, width: int = 8, height: int = 6) -> str:
+    """(media_id, w, h, payload_bytes) of resize_images over synth_media(n):
+    images are i%3==0; fake resize emits width*height*3 payload bytes."""
+    return f"""
+SELECT 'm' || lpad(CAST(i AS VARCHAR), 6, '0') AS media_id,
+       {width} AS w, {height} AS h,
+       {width * height * 3} AS payload_bytes
+FROM range(0, {n}) t(i) WHERE i % 3 = 0
+"""
+
+
+def multimodal_features_golden(n: int = 64, dim: int = 8) -> list[tuple]:
+    """Sealed pure-Python re-implementation of synth_media + _fake_decode
+    (hashlib + struct only — no Spark, no pandas): the expected
+    (media_id, kind, decode_ok, f0) rows. Used as a golden-VALUES oracle
+    because DuckDB's sha256() only accepts VARCHAR, not the binary payload."""
+    import hashlib
+    import struct
+
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = hashlib.sha256(str(i).encode()).digest() * 4
+        h = hashlib.sha256(payload).digest()
+        need = dim * 4
+        buf = (h * (need // len(h) + 1))[:need]
+        u0 = struct.unpack("<I", buf[:4])[0]
+        f0 = struct.unpack("<f", struct.pack("<f", u0 / 2**32))[0]  # float32
+        rows.append((f"m{i:06d}", kind, "ok", f0))
+    return rows
+
+
+def multimodal_features_sql(n: int = 64, dim: int = 8) -> str:
+    values = ",\n  ".join(
+        f"('{mid}', '{kind}', '{ok}', {f0!r})"
+        for mid, kind, ok, f0 in multimodal_features_golden(n, dim))
+    # CAST: DuckDB parses the bare literals as DECIMAL(38,18); the driver
+    # float-normalizes only float values, so force DOUBLE (the float32
+    # feature widened to double is exact on both sides)
+    return f"""
+SELECT media_id, kind, decode_ok, CAST(f0 AS DOUBLE) AS f0 FROM (VALUES
+  {values}
+) AS t(media_id, kind, decode_ok, f0)
+"""

@@ -9,10 +9,13 @@ keep-set or duplicate-pair frame. Designed for 100 TB shapes:
                      join; candidate verification by signature similarity.
                      The banding join shuffles only (band_key, id, signature),
                      so the width is O(rows · bands), independent of doc size.
-  - simhash:         64-bit simhash; near-dup candidates via 4×16-bit block
-                     buckets (Hamming ≤ 3 within a block scheme)
+  - simhash:         60-bit portable simhash; near-dup candidates via
+                     4×15-bit block buckets (Hamming ≤ 3 pigeonhole), with
+                     a hot-bucket cap for degenerate corpora
   - ngram_jaccard:   character n-gram Jaccard over a self-join restricted to
-                     shared-shingle buckets (exact, for modest candidate sets)
+                     shared-shingle buckets; document-frequency pruning of
+                     ubiquitous grams ON by default (the exact no-prune mode
+                     is opt-in — it is quadratic on common grams)
 
 Joins/aggregations/banding are native Spark SQL expressions (xxhash64,
 explode, hash joins). The minhash/simhash signature computations are
@@ -74,42 +77,54 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
 # -------------------------------------------------------------- minhash ----
 
-_MINHASH_P = 2_147_483_647
+_MINHASH_P = 2_147_483_647  # Mersenne prime 2^31 - 1: the portable field
+
+# Horner bases for the portable gram hashes (two independent-ish families)
+_GRAM_BASE_1 = 131
+_GRAM_BASE_2 = 137
 
 
-def _mix64(h: "np.ndarray") -> "np.ndarray":
-    """murmur3 fmix64 finalizer, vectorized over uint64 — a raw polynomial
-    rolling hash of small byte values has correlated bits, which biases
-    simhash majority votes and minhash minima; the avalanche fixes it."""
-    h = h.copy()
-    h ^= h >> np.uint64(33)
-    h *= np.uint64(0xFF51AFD7ED558CCD)
-    h ^= h >> np.uint64(33)
-    h *= np.uint64(0xC4CEB9FE1A85EC53)
-    h ^= h >> np.uint64(33)
-    return h
+def _gram_hashes(norm_u32, shingle_n: int, base: int = _GRAM_BASE_1) -> list:
+    """Distinct n-gram hashes per row (list of int64 arrays < p) from
+    UTF-32LE-encoded normalized strings: Horner rolling hash over Unicode
+    CODEPOINTS, h = fold(h*base + cp) mod p.
 
-
-def _poly_weights(shingle_n: int) -> "np.ndarray":
-    """Rolling-hash weights FNV_PRIME^(n-1-i) mod 2^64 (Python-int math to
-    avoid numpy scalar-overflow warnings)."""
-    w, out = 1, []
-    for _ in range(shingle_n):
-        out.append(w)
-        w = (w * 1_099_511_628_211) % (1 << 64)
-    return np.array(out[::-1], dtype=np.uint64)
-
-
-def _gram_hashes(norm_bytes, shingle_n: int, pw: "np.ndarray") -> list:
-    """Distinct avalanche-mixed n-gram hashes per row (list of uint64
-    arrays) from utf-8-encoded normalized strings."""
+    This family is deliberately ENGINE-PORTABLE: the same arithmetic is
+    expressible in plain SQL (DuckDB list comprehensions over unicode()
+    codepoints), which is what lets the minhash/simhash pipelines carry an
+    independent value-hash oracle instead of a rows-only check. All
+    intermediates fit int64: h < p*131 + 2^21 < 2^39."""
     grams_per_row = []
-    for bs in norm_bytes:
-        u8 = np.frombuffer(bs, dtype=np.uint8)
-        if len(u8) < shingle_n:
-            u8 = np.pad(u8, (0, shingle_n - len(u8)))
-        win = np.lib.stride_tricks.sliding_window_view(u8, shingle_n)
-        grams_per_row.append(np.unique(_mix64(win.astype(np.uint64) @ pw)))
+    for bs in norm_u32:
+        cps = np.frombuffer(bs, dtype="<u4").astype(np.int64)
+        if len(cps) < shingle_n:
+            cps = np.pad(cps, (0, shingle_n - len(cps)))
+        win = np.lib.stride_tricks.sliding_window_view(cps, shingle_n)
+        h = np.zeros(len(win), dtype=np.int64)
+        for j in range(shingle_n):
+            h = (h * base + win[:, j]) % _MINHASH_P
+        grams_per_row.append(np.unique(h))
+    return grams_per_row
+
+
+def _gram_pairs(norm_u32, shingle_n: int) -> list:
+    """Distinct combined gram keys per row: (h1 << 31) | h2 where h1/h2 are
+    the two Horner-mod-p hashes of the same window (bases 131/137). The
+    combined 62-bit key is the gram IDENTITY for simhash voting — portable
+    to SQL as a single BIGINT (a list of pairs is not list_distinct-able
+    in DuckDB)."""
+    grams_per_row = []
+    for bs in norm_u32:
+        cps = np.frombuffer(bs, dtype="<u4").astype(np.int64)
+        if len(cps) < shingle_n:
+            cps = np.pad(cps, (0, shingle_n - len(cps)))
+        win = np.lib.stride_tricks.sliding_window_view(cps, shingle_n)
+        h1 = np.zeros(len(win), dtype=np.int64)
+        h2 = np.zeros(len(win), dtype=np.int64)
+        for j in range(shingle_n):
+            h1 = (h1 * _GRAM_BASE_1 + win[:, j]) % _MINHASH_P
+            h2 = (h2 * _GRAM_BASE_2 + win[:, j]) % _MINHASH_P
+        grams_per_row.append(np.unique((h1 << np.int64(31)) | h2))
     return grams_per_row
 
 
@@ -121,7 +136,9 @@ def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     64 array transforms is re-expanded at every downstream reference (e.g.
     16 band-bucket projections), turning O(hashes·grams) into
     O(bands·hashes·grams) per row. The Arrow UDF materializes the signature
-    once."""
+    once. The two paths hash grams DIFFERENTLY (xxhash64 char shingles here
+    vs portable Horner-mod-p codepoints in the UDF): signatures are NOT
+    comparable across them — pick one per corpus."""
     # deterministic affine parameters (odd multipliers); reduce into 31-bit
     # space BEFORE multiplying so ANSI mode can't overflow int64
     p = F.lit(_MINHASH_P)
@@ -139,9 +156,13 @@ def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
 def minhash_signature_udf(num_hashes: int = 64, shingle_n: int = 5):
     """Arrow-vectorized text → minhash signature (numpy, zero per-row Python
     in the hot loops). Normalization matches `_normalize` (lower + collapse
-    whitespace); grams are distinct 64-bit polynomial hashes of character
-    n-grams; sig[i] = min over grams of ((gram mod p) * (2i+1) +
-    1000003*(i+7)) mod p — the same affine family as `minhash_signature`.
+    whitespace); grams are distinct Horner-mod-p codepoint hashes
+    (`_gram_hashes`, engine-portable); sig[i] = min over grams g of
+    (g*(2i+1) + 1000003*(i+7)) mod p.
+
+    NOT interchangeable with the native-expression `minhash_signature`
+    (which hashes xxhash64 char shingles) — signatures from the two paths
+    must never be compared mid-pipeline; pick one per corpus.
 
     Shingling happens inside the UDF (rather than passing a Catalyst
     shingle array in) because a higher-order-function expression as a
@@ -151,21 +172,20 @@ def minhash_signature_udf(num_hashes: int = 64, shingle_n: int = 5):
     from pyspark.sql.functions import pandas_udf
 
     a = np.arange(num_hashes, dtype=np.int64) * 2 + 1
-    b = (np.arange(num_hashes, dtype=np.int64) + 7) * 1_000_003
+    b = ((np.arange(num_hashes, dtype=np.int64) + 7) * 1_000_003) % _MINHASH_P
     p = np.int64(_MINHASH_P)
-    pw = _poly_weights(shingle_n)
 
     @pandas_udf("array<long>")
     def _sig(text: pd.Series) -> pd.Series:
         norm = (text.fillna("").str.lower()
                     .str.replace(r"\s+", " ", regex=True)
-                    .str.encode("utf-8"))
-        grams_per_row = _gram_hashes(norm, shingle_n, pw)
+                    .str.encode("utf-32-le"))
+        grams_per_row = _gram_hashes(norm, shingle_n)
         lens = np.fromiter(map(len, grams_per_row), dtype=np.int64,
                            count=len(grams_per_row))
         out = np.full((len(lens), num_hashes), p, dtype=np.int64)
         if lens.sum():
-            flat = np.concatenate(grams_per_row).view(np.int64) % p
+            flat = np.concatenate(grams_per_row)
             nz = lens > 0
             offsets = np.zeros(int(nz.sum()), dtype=np.int64)
             np.cumsum(lens[nz][:-1], out=offsets[1:])
@@ -245,10 +265,17 @@ def minhash_dedup(df: DataFrame, text_col: str = "text",
 
 # -------------------------------------------------------------- simhash ----
 
-def simhash64_udf(shingle_n: int = 4):
-    """Arrow-vectorized text → 64-bit simhash (numpy). Same normalization
-    and polynomial gram hashing as `minhash_signature_udf`; per-bit
-    majority vote over the distinct gram hashes, packed into a signed long.
+SIMHASH_BITS = 60          # 2 × 30 portable bits (from two 31-bit hashes)
+SIMHASH_BLOCK_BITS = 15    # 4 blocks; pigeonhole covers Hamming <= 3
+
+
+def simhash_udf(shingle_n: int = 4):
+    """Arrow-vectorized text → 60-bit simhash (numpy). Same normalization
+    and portable Horner-mod-p gram hashing as `minhash_signature_udf`, with
+    TWO independent bases: bits 0-29 vote on gram-hash-1 bits, bits 30-59
+    on gram-hash-2 bits (a single 31-bit hash can't supply 60 independent
+    bits). Per-bit majority vote over the distinct gram pairs, packed into
+    a signed long. Engine-portable — the DuckDB oracle recomputes it in SQL.
 
     Preferred over the native-expression `simhash64` in pipelines: the
     Catalyst version extracts bits via binary-string ops per gram per bit
@@ -256,33 +283,39 @@ def simhash64_udf(shingle_n: int = 4):
     thousand docs), while this is a handful of numpy passes."""
     from pyspark.sql.functions import pandas_udf
 
-    pw = _poly_weights(shingle_n)
+    half = SIMHASH_BITS // 2
 
     @pandas_udf("long")
     def _sim(text: pd.Series) -> pd.Series:
         norm = (text.fillna("").str.lower()
                     .str.replace(r"\s+", " ", regex=True)
-                    .str.encode("utf-8"))
-        grams_per_row = _gram_hashes(norm, shingle_n, pw)
+                    .str.encode("utf-32-le"))
+        grams_per_row = _gram_pairs(norm, shingle_n)
         lens = np.fromiter(map(len, grams_per_row), dtype=np.int64,
                            count=len(grams_per_row))
-        out = np.zeros(len(lens), dtype=np.uint64)
+        out = np.zeros(len(lens), dtype=np.int64)
         if lens.sum():
             flat = np.concatenate(grams_per_row)
             nz = lens > 0
             offsets = np.zeros(int(nz.sum()), dtype=np.int64)
             np.cumsum(lens[nz][:-1], out=offsets[1:])
-            packed = np.zeros(int(nz.sum()), dtype=np.uint64)
-            for i in range(64):
-                ones = np.add.reduceat((flat >> np.uint64(i)) & np.uint64(1),
+            packed = np.zeros(int(nz.sum()), dtype=np.int64)
+            for i in range(SIMHASH_BITS):
+                # simhash bit i: h1 bit i for i < 30, else h2 bit (i - 30)
+                src = 31 + i if i < half else i - half
+                ones = np.add.reduceat((flat >> np.int64(src)) & np.int64(1),
                                        offsets)
                 # majority vote: bit set iff ones*2 > gram count
-                packed |= ((ones * 2 > lens[nz]).astype(np.uint64)
-                           << np.uint64(i))
+                packed |= ((ones * 2 > lens[nz]).astype(np.int64)
+                           << np.int64(i))
             out[nz] = packed
-        return pd.Series(out.view(np.int64))
+        return pd.Series(out)
 
     return _sim
+
+
+# back-compat alias (pre-portable name)
+simhash64_udf = simhash_udf
 
 
 def simhash64(text: Column, shingle_n: int = 4) -> Column:
@@ -317,23 +350,42 @@ def simhash64(text: Column, shingle_n: int = 4) -> Column:
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+                  id_col: str = "doc_id", max_hamming: int = 3,
+                  max_bucket: int | None = 10_000) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming, using the
-    4×16-bit block pigeonhole: any pair within distance 3 shares at least one
-    exact 16-bit block — bucket-join per block, then verify."""
+    4×15-bit block pigeonhole: any pair within distance 3 shares at least
+    one exact 15-bit block — bucket-join per block, then verify.
+
+    `max_bucket` caps the per-(block, value) bucket population used for
+    CANDIDATE GENERATION (the simhash analog of ngram_jaccard's df-cap):
+    a degenerate corpus where millions of docs share a block value would
+    otherwise produce O(bucket²) candidates on that block. With the cap,
+    candidate count is bounded by rows·blocks·max_bucket. A true near-dup
+    pair is missed only if ALL FOUR of its shared blocks are hot — at that
+    point the docs are near-identical boilerplate better handled by
+    exact_dedup first. None disables the cap (exact pigeonhole)."""
     s = df.select(F.col(id_col).alias("id"),
-                  simhash64_udf()(F.col(text_col)).alias("sh"))
+                  simhash_udf()(F.col(text_col)).alias("sh"))
+    n_blocks = SIMHASH_BITS // SIMHASH_BLOCK_BITS
+    mask = (1 << SIMHASH_BLOCK_BITS) - 1
     # block array in a Project, exploded separately (keeps the Python UDF
     # out of the Generate node — see minhash_lsh_pairs)
     blk_arr = F.array(*[
         F.struct(F.lit(k).alias("blk"),
-                 F.shiftright(F.col("sh"), 16 * k).bitwiseAND(F.lit(0xFFFF)).alias("val"))
-        for k in range(4)
+                 F.shiftright(F.col("sh"), SIMHASH_BLOCK_BITS * k)
+                  .bitwiseAND(F.lit(mask)).alias("val"))
+        for k in range(n_blocks)
     ])
     blocks = (s.withColumn("blk_arr", blk_arr)
                .select("id", "sh", F.explode("blk_arr").alias("b"))
                .select("id", "sh", F.col("b.blk").alias("blk"),
                        F.col("b.val").alias("val")))
+    if max_bucket is not None:
+        cool = (blocks.groupBy("blk", "val")
+                      .agg(F.count("*").alias("_n"))
+                      .where(F.col("_n") <= max_bucket)
+                      .select("blk", "val"))
+        blocks = blocks.join(cool, ["blk", "val"], "left_semi")
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (a.join(b, on=["blk", "val"])
               .where(F.col("a.id") < F.col("b.id"))
@@ -349,21 +401,23 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.8,
-                        max_df: int | None = None) -> DataFrame:
+                        max_df: int | None = 100) -> DataFrame:
     """Exact character-n-gram Jaccard for pairs sharing at least one shingle.
     Shuffles (shingle, id); candidate pairs deduped before the exact
     intersection/union computation on the shingle arrays.
 
-    `max_df` is the scale path: grams appearing in more than max_df
-    documents are dropped from CANDIDATE GENERATION only (the Jaccard is
-    still computed on the full shingle sets). Ubiquitous grams produce
-    O(bucket²) candidate pairs — unpruned, the self-join is quadratic in
-    the corpus (measured 295 s vs 7.6 s at 5k docs). The recall trade-off
-    is real: a near-dup pair is missed iff ALL its shared grams exceed
+    `max_df` (DEFAULT ON at 100) is the scale guard: grams appearing in
+    more than max_df documents are dropped from CANDIDATE GENERATION only
+    (the Jaccard is still computed on the full shingle sets). Ubiquitous
+    grams produce O(bucket²) candidate pairs — unpruned, the self-join is
+    quadratic in the corpus (measured 295 s vs 7.6 s at 5k docs), which is
+    why exact mode is opt-in (`max_df=None`), not the default. The recall
+    trade-off: a near-dup pair is missed iff ALL its shared grams exceed
     max_df, which template-generated corpora (many mutually-similar docs
-    sharing the same gram families) do hit — on such data prefer
+    sharing the same gram families) can hit — on such data prefer
     minhash_lsh_pairs, whose banding cost is O(rows·bands) regardless of
-    gram frequency. None = exact (default, matches the SQL oracle)."""
+    gram frequency. The DuckDB oracle mirrors the same df-pruning, so the
+    default stays value-hash-verified."""
     sh = df.select(F.col(id_col).alias("id"),
                    char_shingles(F.col(text_col), n).alias("sh"))
     exploded = sh.select("id", F.explode("sh").alias("g"))

@@ -105,6 +105,28 @@ def fold_tags_into_labels(labels: Column, tags: Column) -> Column:
     return F.map_concat(F.coalesce(labels, F.map_from_arrays(F.array(), F.array())), folded)
 
 
+def structured_metadata() -> Column:
+    """Per-entry Loki STRUCTURED METADATA (not index labels) —
+    /root/reference/internal/streams/connectors/lokishipper/lokishipper.go:267-282:
+    traceID / spanID ship when the id is non-empty (IsTraceIdSet /
+    IsSpanIdSet, extensions.go:119-125); `user` ships whenever the user
+    object EXISTS — even with an empty name (IsUserSet is `User != nil`,
+    extensions.go:126-128; mirrored as user_name IS NOT NULL, since the
+    envelope materializes User==nil as null and User{Name:""} as '')."""
+    has_trace = F.col("trace_id").isNotNull() & (F.col("trace_id") != "")
+    has_span = F.col("span_id").isNotNull() & (F.col("span_id") != "")
+    has_user = F.col("user_name").isNotNull()
+    entries = F.filter(F.array(
+        F.when(has_trace, F.struct(F.lit("traceID").alias("key"),
+                                   F.col("trace_id").alias("value"))),
+        F.when(has_span, F.struct(F.lit("spanID").alias("key"),
+                                  F.col("span_id").alias("value"))),
+        F.when(has_user, F.struct(F.lit("user").alias("key"),
+                                  F.col("user_name").alias("value"))),
+    ), lambda e: e.isNotNull())
+    return F.map_from_entries(entries)
+
+
 def _quote_value(v: Column) -> Column:
     """strconv.Quote's escaping for the characters that occur in label
     values (batch.go:106 quotes every value): backslash, double-quote,

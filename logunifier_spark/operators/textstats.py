@@ -67,12 +67,16 @@ def quality_score(text: Column) -> Column:
 
 
 def fingerprint(text: Column, window: int = 8) -> Column:
-    """Winnowing-style document fingerprint: min rolling-window hash over
-    word 4-gram hashes (robust to small edits; native expressions only)."""
+    """Winnowing-style document fingerprint: min hash over word 4-gram
+    hashes (robust to small edits; native expressions only). The gram hash
+    is md5 (hex string) rather than xxhash64 — identical selection
+    behavior (min over a uniform hash), but md5 exists verbatim in other
+    engines, so the duplicate-set output carries an independent DuckDB
+    value-hash oracle instead of a rows-only check."""
     words = F.split(F.regexp_replace(F.lower(text), r"\s+", " "), " ")
     k = F.greatest(F.size(words) - 3, F.lit(1))
     grams = F.transform(F.sequence(F.lit(0), k - 1),
-                        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, 4))))
+                        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, 4))))
     return F.array_min(grams)
 
 

@@ -313,6 +313,13 @@ def ship_labels(df: DataFrame) -> DataFrame:
     )
 
 
+def ship_structured_metadata(df: DataFrame) -> DataFrame:
+    """Per-entry structured metadata as shipped next to the labels:
+    traceID/spanID/user (lokishipper.go:267-282) — unlike `loki_labels`
+    these are NOT stream-index keys; they ride per entry."""
+    return df.withColumn("ship_metadata", enrich_ops.structured_metadata())
+
+
 def stable_order(df: DataFrame) -> DataFrame:
     """M2: the driver-mandated stable turn ordering — a window over
     (conv_id, turn_idx) attaching row_number for per-turn equality checks."""

@@ -291,3 +291,45 @@ def test_stream_key_quotes_special_values(spark):
     r = u.withColumn("sk_map", stream_key(loki_label_map())).collect()[0]
     assert r["stream_key"] == r["sk_map"]
     assert 'service_name="svc\\"with\\\\quote"' in r["stream_key"]
+
+
+def test_stream_key_parity_with_error_type(spark):
+    """The conditional error_type splice in stream_key_native is
+    hand-ordered — pin it against the map-based builder, including
+    newline/tab escaping inside the label value (batch.go:106 quoting)."""
+    from logunifier_spark.operators.enrich import loki_label_map, stream_key
+    ecs = ('{"@timestamp":"2023-06-07T12:00:00Z","message":"boom",'
+           '"error":{"message":"x","type":"java.lang.Illegal\\nState\\tError"}}')
+    data = [("c", 0, "agent", ecs, "ecs", BASE_TS),
+            ("c", 1, "agent", "plain", "", BASE_TS)]
+    df = spark.createDataFrame(data, TRANSCRIPT_SCHEMA)
+    u = unify(df, pattern_labels=default_pattern_labels(spark))
+    rows = u.withColumn("sk_map", stream_key(loki_label_map())).collect()
+    for r in rows:
+        assert r["stream_key"] == r["sk_map"]   # byte parity, both branches
+    with_et = next(r for r in rows if r["turn_idx"] == 0)
+    without = next(r for r in rows if r["turn_idx"] == 1)
+    assert 'error_type="java.lang.Illegal\\nState\\tError"' in with_et["stream_key"]
+    assert "error_type" not in without["stream_key"]
+
+
+def test_structured_metadata_user_quirk(spark):
+    """lokishipper.go:267-282 + extensions.go:126-128: traceID/spanID ship
+    only when non-empty; `user` ships whenever the user OBJECT exists —
+    even with an empty name."""
+    from logunifier_spark.pipeline import ship_structured_metadata
+    base = '{"@timestamp":"2023-06-07T12:00:00Z","message":"m"'
+    rows = [
+        ("c", 0, "agent", base + ',"trace":{"trace":{"id":"T1"},'
+         '"span":{"id":"S1"}},"user":{"name":"alice"}}', "ecs", BASE_TS),
+        ("c", 1, "agent", base + ',"user":{"name":""}}', "ecs", BASE_TS),
+        ("c", 2, "agent", base + ',"trace":{"trace":{"id":""}}}', "ecs", BASE_TS),
+        ("c", 3, "agent", "plain text", "", BASE_TS),
+    ]
+    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    u = ship_structured_metadata(unify(df, pattern_labels=default_pattern_labels(spark)))
+    md = {r["turn_idx"]: dict(r["ship_metadata"]) for r in u.collect()}
+    assert md[0] == {"traceID": "T1", "spanID": "S1", "user": "alice"}
+    assert md[1] == {"user": ""}      # User != nil quirk: empty name ships
+    assert md[2] == {}                # empty trace id does NOT ship
+    assert md[3] == {}
