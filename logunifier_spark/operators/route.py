@@ -53,16 +53,82 @@ def enforce_line_limit(df: DataFrame, max_line_size: int = 0,
     """O3: max-entry-size guard of the Loki client
     (/root/reference/pkg/clients/lokiclient/client.go:308-319; disabled by
     default via maxLineSize=0 at pkg/clients/contruct.go:38): oversize
-    messages are either truncated to the limit or dropped entirely."""
+    messages are either truncated to the limit or dropped entirely.
+
+    The limit is BYTE-based, like the Go client's len(line) on a UTF-8
+    string — octet_length for the check, and truncation keeps the longest
+    character prefix whose UTF-8 encoding fits (never splits a codepoint).
+    The byte-scan runs only on the rare oversize rows; in-limit messages
+    short-circuit on the octet_length comparison. (Deviation note: Go
+    truncates mid-codepoint at the raw byte boundary; we truncate at the
+    last whole character — a shipped line differs only in trailing
+    replacement bytes Loki would reject as invalid UTF-8 anyway.)"""
     if max_line_size <= 0:
         return df
-    over = F.length(F.col(message_col)) > max_line_size
+    msg = F.col(message_col)
+    over = F.octet_length(msg) > max_line_size
     if truncate:
+        # running (bytes, chars-kept) scan over the char array; `b` is
+        # monotone, so `k` freezes at the last prefix that fits
+        chars = F.split(msg, "")
+        fit = F.aggregate(
+            chars,
+            F.struct(F.lit(0).alias("b"), F.lit(0).alias("k")),
+            lambda a, c: F.struct(
+                (a["b"] + F.octet_length(c)).alias("b"),
+                F.when(a["b"] + F.octet_length(c) <= max_line_size,
+                       a["k"] + 1).otherwise(a["k"]).alias("k")),
+        )
         return df.withColumn(
             message_col,
-            F.when(over, F.substring(F.col(message_col), 1, max_line_size))
-             .otherwise(F.col(message_col)))
+            F.when(over, F.substring(msg, 1, fit["k"])).otherwise(msg))
     return df.where(~over)
+
+
+def iceberg_available(spark) -> bool:
+    """True iff the Iceberg Spark runtime is on the JVM classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:  # noqa: BLE001 — Py4J wraps ClassNotFoundException
+        return False
+
+
+def write_sinks_iceberg(df: DataFrame, table: str,
+                        catalog: str = "local") -> None:
+    """Iceberg-native sink commit: one table partitioned by
+    (sink, route_partition), appended via the V2 `writeTo` API — each append
+    is an atomic SNAPSHOT COMMIT, which replaces the parquet + sidecar
+    manifest bookkeeping of `write_sinks`/`run_resumable` with Iceberg's
+    own exactly-once semantics (the reference's JetStream ack bookkeeping,
+    streamcfg.go:96-120, maps onto snapshot lineage).
+
+    The writer plan is built unconditionally (the code path is real); the
+    capability gate fires before execution because this sandbox ships no
+    Iceberg runtime jar. On a real cluster enable it with:
+      --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver>
+      --conf spark.sql.catalog.<catalog>=org.apache.iceberg.spark.SparkCatalog
+      --conf spark.sql.catalog.<catalog>.type=hadoop
+      --conf spark.sql.catalog.<catalog>.warehouse=<path>
+    """
+    spark = df.sparkSession
+    full = f"{catalog}.{table}"
+    # co-locate each output partition in one task before the commit, same
+    # rationale as write_sinks
+    writer = (df.repartition(F.col("sink"), F.col("route_partition"))
+                .writeTo(full)
+                .partitionedBy(F.col("sink"), F.col("route_partition")))
+    if not iceberg_available(spark):
+        raise RuntimeError(
+            "Iceberg Spark runtime not on the classpath — add "
+            "iceberg-spark-runtime and a spark.sql.catalog.* config "
+            "(see write_sinks_iceberg docstring); falling back to "
+            "write_sinks() gives the same layout with sidecar manifests")
+    if spark.catalog.tableExists(full):
+        writer.append()
+    else:
+        writer.create()
 
 
 def write_sinks(df: DataFrame, base_path: str, mode: str = "overwrite",

@@ -232,3 +232,44 @@ def test_write_sinks_single_pass(spark, tmp_path):
     assert set(out) == {r["sink"] for r in u.select("sink").distinct().collect()}
     total = sum(spark.read.parquet(p).count() for p in out.values())
     assert total == 200
+
+
+def test_iceberg_path_gated(spark):
+    # the writeTo plan is constructed for real; the capability gate raises
+    # an actionable error in this sandbox (no Iceberg runtime jar) instead
+    # of an opaque ClassNotFoundException at execution time
+    import pytest
+    from logunifier_spark.fixtures import synth_transcripts
+    from logunifier_spark.operators.enrich import default_pattern_labels
+    from logunifier_spark.operators.route import (
+        iceberg_available,
+        write_sinks_iceberg,
+    )
+    from logunifier_spark.pipeline import unify
+    u = unify(synth_transcripts(spark, 50),
+              pattern_labels=default_pattern_labels(spark)).drop("loki_labels")
+    if iceberg_available(spark):
+        write_sinks_iceberg(u, "unified_sinks")  # real commit on a real cluster
+        assert spark.table("local.unified_sinks").count() == 50
+    else:
+        with pytest.raises(RuntimeError, match="Iceberg"):
+            write_sinks_iceberg(u, "unified_sinks")
+
+
+def test_line_limit_byte_semantics(spark):
+    # the Loki client's maxLineSize is bytes (client.go:308-319): a
+    # multi-byte message must truncate on UTF-8 byte length, never
+    # splitting a codepoint
+    from logunifier_spark.operators.route import enforce_line_limit
+    rows = [("ascii-fits-12",), ("héllo wörld œ",), ("日本語のログ行です",)]
+    df = spark.createDataFrame(rows, "message string")
+    out = {r["message"] for r in
+           enforce_line_limit(df, max_line_size=12, truncate=True).collect()}
+    for m in out:
+        assert len(m.encode("utf-8")) <= 12
+    # maximality: adding the next char of the original would overflow
+    assert "ascii-fits-1" in out          # 13 ascii bytes → 12
+    assert "héllo wörl" in out            # "é"/"ö" are 2 bytes → 12 exactly
+    assert "日本語の" in out               # 3 bytes/char → 12
+    dropped = enforce_line_limit(df, max_line_size=12, truncate=False).collect()
+    assert [r["message"] for r in dropped] == []
