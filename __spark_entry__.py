@@ -184,6 +184,18 @@ def q_validation_errors(spark, sf_dir):
              .agg(F.count("*").alias("hits")))
 
 
+def q_tenant_counts(spark, sf_dir):
+    """Per-tenant routing (X-Scope-OrgID analog): the reference ships one
+    batch per tenant (lokiclient/client.go:273-363); here tenant=org_name
+    is a first-class partition key next to sink."""
+    _ship(spark)
+    from logunifier_spark.operators.route import with_routing
+    u = _unified(spark, sf_dir)
+    t = with_routing(u, tenant=True)
+    return (t.groupBy("tenant", "sink")
+             .agg(F.count("*").alias("routed_rows")))
+
+
 def q_stable_order(spark, sf_dir):
     """M2: stable (conv_id, turn_idx) turn ordering — the window that makes
     per-turn text equality well-defined (north-star invariant)."""
@@ -279,7 +291,9 @@ def q_minhash_dedup(spark, sf_dir):
     _ship(spark)
     from logunifier_spark.operators.dedup import minhash_dedup
     d = _load(spark, sf_dir, "documents").where(F.length("text") >= 20)
-    return minhash_dedup(d, "text", "doc_id").select("doc_id")
+    # max_bucket=500: the scale path (one sf0.1 bucket holds 1170 docs →
+    # 684k candidate pairs in ONE join task); the oracle mirrors the cap
+    return minhash_dedup(d, "text", "doc_id", max_bucket=500).select("doc_id")
 
 
 def q_simhash_pairs(spark, sf_dir):
@@ -629,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "process_errors": q_process_errors,
         "validation_errors": q_validation_errors,
         "stream_keys": q_stream_keys,
+        "tenant_counts": q_tenant_counts,
         "stable_order": q_stable_order,
         # relational capability
         "tpch_pricing": q_tpch_pricing,
@@ -757,6 +772,14 @@ def oracle_sql() -> dict[str, str]:
                    || '", validation_error="true"}}' AS stream_key,
                    count(*) AS entries
             FROM events GROUP BY 1
+        """,
+        "tenant_counts": f"""
+            SELECT CASE WHEN {_SQL_EXPECTED_PATTERN} IN ('Envoy','Traefik','Clf') THEN 'mesh'
+                        WHEN {_SQL_EXPECTED_PATTERN} = 'Unknown' THEN 'noorg'
+                        ELSE 'core' END AS tenant,
+                   {_SQL_EXPECTED_SINK} AS sink,
+                   count(*) AS routed_rows
+            FROM events GROUP BY 1, 2
         """,
         "multiline_reassembly": """
             WITH base AS (
@@ -1047,7 +1070,7 @@ def oracle_sql() -> dict[str, str]:
         # portable hash-family operators: independent DuckDB SQL
         # re-implementations (logunifier_spark/duck_oracles.py) — same spec,
         # different engine, value-hash-compared by the driver
-        "minhash_dedup": _do.minhash_dedup_sql(),
+        "minhash_dedup": _do.minhash_dedup_sql(max_bucket=500),
         "simhash_pairs": _do.simhash_pairs_sql(),
         "fingerprint_dupes": _do.fingerprint_dupes_sql(),
         "ann_lsh": _do.ann_lsh_sql(dim=64, k=5, n_bits=10),

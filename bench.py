@@ -62,12 +62,14 @@ def headline(spark, n_turns: int) -> float:
     from logunifier_spark.operators.enrich import default_pattern_labels
     from logunifier_spark.pipeline import unify
 
-    # at high core counts each task pins a JVM thread AND an Arrow python
-    # worker, so cores/2 concurrent tasks saturate the box; small configs
-    # keep 1 task per core (measured: 16 parts beats 32 on a 32-core box)
-    par = spark.sparkContext.defaultParallelism
-    nparts = par if par <= 8 else par // 2
-    t = synth_transcripts(spark, n_turns).repartition(nparts)
+    # The range is BORN at 1 partition/core — generation fuses into the
+    # parse stage with no shuffle (a repartition here used to move ~200 MB
+    # of synthesized text per 1M turns, and made cores/2 partitions the
+    # optimum; with the fused stage, 1 task/core wins because the Arrow
+    # python worker and the JVM thread of a task alternate, not compete —
+    # measured min 1.79 s @32 parts vs 2.23 s @16 on the 32-core box)
+    nparts = spark.sparkContext.defaultParallelism
+    t = synth_transcripts(spark, n_turns, num_partitions=nparts)
     u = unify(t, pattern_labels=default_pattern_labels(spark))
     # one pass; the aggregate consumes parse-DERIVED columns (log_level,
     # message, timestamp) — aggregating only on sink/log_pattern_key lets
@@ -87,7 +89,9 @@ def operator_benches(spark, sf_dir: str) -> dict[str, float]:
                  "dedup_exact", "minhash_dedup", "ann_bruteforce",
                  "token_counts"]:
         fn = entry.queries()[name]
-        out[name] = _timed(lambda f=fn: f(spark, sf_dir).collect())
+        # min of 2 (shared noisy box — same rationale as the headline)
+        out[name] = min(_timed(lambda f=fn: f(spark, sf_dir).collect())
+                        for _ in range(2))
     return out
 
 
@@ -96,9 +100,9 @@ def run_default() -> dict:
     queries: dict[str, float] = {}
     # warm the python workers + JIT once with a small run (not measured)
     headline(spark, 20_000)
-    # min of 2: single runs on this shared box vary up to 2x
+    # min of 3: single runs on this shared box vary up to 2x
     queries["unify_route_1m"] = min(headline(spark, BENCH_TURNS)
-                                    for _ in range(2))
+                                    for _ in range(3))
     queries.update(operator_benches(spark, SF_DIR))
     spark.stop()
     total = round(sum(queries.values()), 3)

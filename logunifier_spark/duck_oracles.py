@@ -48,9 +48,11 @@ def _horner(window_expr: str, base: int) -> str:
 
 def minhash_dedup_sql(min_len: int = 20, num_hashes: int = 64,
                       bands: int = 16, shingle_n: int = 5,
-                      threshold: float = 0.7) -> str:
-    """Keep-set of minhash_dedup: signature → banded LSH candidates →
-    signature-agreement verify → drop the higher id of each pair."""
+                      threshold: float = 0.7,
+                      max_bucket: int | None = None) -> str:
+    """Keep-set of minhash_dedup: signature → banded LSH candidates
+    (optionally hot-bucket-capped, mirroring minhash_lsh_pairs.max_bucket)
+    → signature-agreement verify → drop the higher id of each pair."""
     rows_per_band = num_hashes // bands
     sig_exprs = ",\n           ".join(
         f"list_min(list_transform(g, x -> (x*{2 * i + 1} "
@@ -59,6 +61,17 @@ def minhash_dedup_sql(min_len: int = 20, num_hashes: int = 64,
     band_key = " || ',' || ".join(
         f"CAST(sig[band*{rows_per_band}+{r + 1}] AS VARCHAR)"
         for r in range(rows_per_band))
+    if max_bucket is not None:
+        bucket_cap = f"""
+cool AS (
+  SELECT band, key FROM bands GROUP BY band, key
+  HAVING count(*) <= {max_bucket}
+),
+pruned AS (SELECT b.* FROM bands b JOIN cool USING (band, key)),"""
+        cand_src = "pruned"
+    else:
+        bucket_cap = ""
+        cand_src = "bands"
     return f"""
 WITH {_codepoints_cte(min_len, shingle_n)},
 grams AS (
@@ -76,10 +89,10 @@ sigs AS (
 bands AS (
   SELECT doc_id, band, {band_key} AS key
   FROM sigs CROSS JOIN range(0, {bands}) br(band)
-),
+),{bucket_cap}
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b USING (band, key)
+  FROM {cand_src} a JOIN {cand_src} b USING (band, key)
   WHERE a.doc_id < b.doc_id
 ),
 pairs AS (

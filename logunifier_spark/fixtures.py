@@ -47,9 +47,17 @@ BASE_TS = "2024-01-01 00:00:00"
 
 def synth_transcripts(spark: SparkSession, n_rows: int,
                       turns_per_conv: int = 20,
-                      hot_factor: int = 30) -> DataFrame:
-    """n_rows transcript turns; deterministic pure function of the row id."""
-    df = spark.range(n_rows).withColumnRenamed("id", "row_id")
+                      hot_factor: int = 30,
+                      num_partitions: int | None = None) -> DataFrame:
+    """n_rows transcript turns; deterministic pure function of the row id.
+
+    `num_partitions` births the range with that partitioning — generation
+    then fuses into the consumer's first stage with NO shuffle (a
+    repartition() after the projection would shuffle the full synthesized
+    text, ~200 B/row)."""
+    rng = (spark.range(0, n_rows, numPartitions=num_partitions)
+           if num_partitions else spark.range(n_rows))
+    df = rng.withColumnRenamed("id", "row_id")
 
     # conversation assignment with skew: a "slot" is hot when slot % 100 == 0;
     # hot slots absorb hot_factor consecutive normal-sized blocks of turns.

@@ -31,6 +31,21 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+def fan_out(df: DataFrame, divisor: int = 1) -> DataFrame:
+    """Small corpora (one parquet file) scan as ONE task, so a pandas-UDF
+    stage runs on one core no matter the cluster size. Fan the input out to
+    the session's parallelism when it arrives under-partitioned (divisor=2
+    for Arrow-UDF stages: each task pins a JVM thread AND a python worker,
+    so cores/2 tasks saturate a box). At production scale the input already
+    has >= this many partitions and this is a no-op — the check costs one
+    plan analysis, no job."""
+    sc = df.sparkSession.sparkContext
+    target = max(sc.defaultParallelism // divisor, 1)
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------- exact ----
 
 
@@ -100,10 +115,14 @@ def _gram_hashes(norm_u32, shingle_n: int, base: int = _GRAM_BASE_1) -> list:
         if len(cps) < shingle_n:
             cps = np.pad(cps, (0, shingle_n - len(cps)))
         win = np.lib.stride_tricks.sliding_window_view(cps, shingle_n)
+        # Horner WITHOUT per-step mod: codepoints < 2^21 and base^(n-1)·n·2^21
+        # < 2^63 for n ≤ 5, so one mod at the end is exact — and ~2× faster
+        # (integer division dominates the vectorized loop). Congruent to the
+        # SQL oracle's per-step (a*base + c) % p by mod homomorphism.
         h = np.zeros(len(win), dtype=np.int64)
         for j in range(shingle_n):
-            h = (h * base + win[:, j]) % _MINHASH_P
-        grams_per_row.append(np.unique(h))
+            h = h * base + win[:, j]
+        grams_per_row.append(np.unique(h % _MINHASH_P))
     return grams_per_row
 
 
@@ -119,11 +138,14 @@ def _gram_pairs(norm_u32, shingle_n: int) -> list:
         if len(cps) < shingle_n:
             cps = np.pad(cps, (0, shingle_n - len(cps)))
         win = np.lib.stride_tricks.sliding_window_view(cps, shingle_n)
+        # deferred mod (see _gram_hashes): exact for n <= 5
         h1 = np.zeros(len(win), dtype=np.int64)
         h2 = np.zeros(len(win), dtype=np.int64)
         for j in range(shingle_n):
-            h1 = (h1 * _GRAM_BASE_1 + win[:, j]) % _MINHASH_P
-            h2 = (h2 * _GRAM_BASE_2 + win[:, j]) % _MINHASH_P
+            h1 = h1 * _GRAM_BASE_1 + win[:, j]
+            h2 = h2 * _GRAM_BASE_2 + win[:, j]
+        h1 %= _MINHASH_P
+        h2 %= _MINHASH_P
         grams_per_row.append(np.unique((h1 << np.int64(31)) | h2))
     return grams_per_row
 
@@ -201,13 +223,25 @@ def minhash_signature_udf(num_hashes: int = 64, shingle_n: int = 5):
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 64,
                       bands: int = 16, shingle_n: int = 5,
-                      threshold: float = 0.7) -> DataFrame:
+                      threshold: float = 0.7,
+                      max_bucket: int | None = None) -> DataFrame:
     """Candidate near-duplicate pairs via banded minhash LSH, verified by
-    signature agreement (estimate of Jaccard). Returns (id_a, id_b, sim)."""
+    signature agreement (estimate of Jaccard). Returns (id_a, id_b, sim).
+
+    `max_bucket` (off by default — the driver oracle runs the exact
+    banding) caps the per-(band, bucket) population used for candidate
+    generation. On corpora with a high similarity floor (templated logs),
+    a single bucket can hold thousands of docs — sf0.1 bench: one bucket
+    of 1170 docs generates 684k of the 2.3M raw candidates AND pins one
+    join task (a bucket's pair explosion is a single join key, which AQE
+    skew-splitting cannot divide). A pair is lost only if ALL its shared
+    bands are hot; at the cap's scale those docs are boilerplate-identical
+    and better collapsed by exact_dedup first."""
     rows_per_band = num_hashes // bands
-    sig = (df.select(F.col(id_col).alias("id"),
-                     minhash_signature_udf(num_hashes, shingle_n)(
-                         F.col(text_col)).alias("sig")))
+    sig = (fan_out(df, divisor=2)
+           .select(F.col(id_col).alias("id"),
+                   minhash_signature_udf(num_hashes, shingle_n)(
+                       F.col(text_col)).alias("sig")))
     # materialize signatures once: the plan references sig three times
     # (banding + two candidate-pair re-joins) and Spark would otherwise
     # re-scan the text and re-run the UDF per reference. At scale this
@@ -233,6 +267,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
               .select("id", F.explode("bb_arr").alias("bb"))
               .select("id", F.col("bb.band").alias("band"),
                       F.col("bb.bucket").alias("bucket")))
+    if max_bucket is not None:
+        cool = (banded.groupBy("band", "bucket")
+                      .agg(F.count("*").alias("_n"))
+                      .where(F.col("_n") <= max_bucket)
+                      .select("band", "bucket"))
+        banded = banded.join(cool, ["band", "bucket"], "left_semi")
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -364,8 +404,9 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     pair is missed only if ALL FOUR of its shared blocks are hot — at that
     point the docs are near-identical boilerplate better handled by
     exact_dedup first. None disables the cap (exact pigeonhole)."""
-    s = df.select(F.col(id_col).alias("id"),
-                  simhash_udf()(F.col(text_col)).alias("sh"))
+    s = fan_out(df, divisor=2).select(
+        F.col(id_col).alias("id"),
+        simhash_udf()(F.col(text_col)).alias("sh"))
     n_blocks = SIMHASH_BITS // SIMHASH_BLOCK_BITS
     mask = (1 << SIMHASH_BLOCK_BITS) - 1
     # block array in a Project, exploded separately (keeps the Python UDF
@@ -418,8 +459,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     minhash_lsh_pairs, whose banding cost is O(rows·bands) regardless of
     gram frequency. The DuckDB oracle mirrors the same df-pruning, so the
     default stays value-hash-verified."""
-    sh = df.select(F.col(id_col).alias("id"),
-                   char_shingles(F.col(text_col), n).alias("sh"))
+    sh = fan_out(df).select(F.col(id_col).alias("id"),
+                            char_shingles(F.col(text_col), n).alias("sh"))
     exploded = sh.select("id", F.explode("sh").alias("g"))
     if max_df is not None:
         rare = (exploded.groupBy("g").agg(F.count("*").alias("_df"))

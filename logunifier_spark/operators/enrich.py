@@ -132,14 +132,21 @@ def _quote_value(v: Column) -> Column:
     values (batch.go:106 quotes every value): backslash, double-quote,
     newline, tab, CR. Go also hex-escapes other non-printables — that long
     tail is a documented deviation (log metadata never carries them
-    unescaped past the journald JSON layer)."""
+    unescaped past the journald JSON layer).
+
+    Fast path: one rlike scan decides whether any escaping is needed; the
+    5-pass replace chain (5 string allocations per value) runs only on the
+    rare dirty rows. With 14 labels per stream key the clean-row cost drops
+    from 70 string rewrites to 9 regex scans per row (the 5 fixed-domain
+    values skip even the scan — see stream_key_native)."""
     v = F.coalesce(v, F.lit(""))
-    v = F.replace(v, F.lit("\\"), F.lit("\\\\"))
-    v = F.replace(v, F.lit('"'), F.lit('\\"'))
-    v = F.replace(v, F.lit("\n"), F.lit("\\n"))
-    v = F.replace(v, F.lit("\t"), F.lit("\\t"))
-    v = F.replace(v, F.lit("\r"), F.lit("\\r"))
-    return v
+    dirty = v.rlike('[\\\\"\n\t\r]')
+    esc = F.replace(v, F.lit("\\"), F.lit("\\\\"))
+    esc = F.replace(esc, F.lit('"'), F.lit('\\"'))
+    esc = F.replace(esc, F.lit("\n"), F.lit("\\n"))
+    esc = F.replace(esc, F.lit("\t"), F.lit("\\t"))
+    esc = F.replace(esc, F.lit("\r"), F.lit("\\r"))
+    return F.when(dirty, esc).otherwise(v)
 
 
 def stream_key(label_map: Column) -> Column:
@@ -173,6 +180,13 @@ def stream_key_native() -> Column:
     def q(c):  # "" for null + strconv.Quote escaping, like the map variant
         return _quote_value(F.col(c))
 
+    def fixed(c):
+        # closed-vocabulary columns (normalized level set, pattern-bank
+        # keys): values can never contain escapable characters, so the
+        # dirty-scan itself is skipped. Byte parity with the map builder
+        # holds because _quote_value is the identity on these values.
+        return F.coalesce(F.col(c), F.lit(""))
+
     # lexicographic key order — matches sort_array(map_entries(...))
     parts = [
         F.lit('{environment="'), q("environment"),
@@ -182,10 +196,10 @@ def stream_key_native() -> Column:
          .otherwise(F.lit("")),
         F.lit('", host="'), q("host_name"),
         F.lit('", ingress="'), q("log_ingress"),
-        F.lit('", level="'), q("log_level"),
+        F.lit('", level="'), fixed("log_level"),
         F.lit('", log_logger="'), q("log_logger"),
         F.lit('", org_name="'), q("org_name"),
-        F.lit('", pattern_key="'), q("log_pattern_key"),
+        F.lit('", pattern_key="'), fixed("log_pattern_key"),
         F.lit('", process_error="'), _bool_str(has_proc),
         F.lit('", service_name="'), q("service_name"),
         F.lit('", service_namespace="'), q("service_namespace"),

@@ -36,15 +36,26 @@ def route_partition(stream_key: Column, conv_id: Column, salt: Column,
 
 
 def with_routing(df: DataFrame, n_partitions: int = 32,
-                 salt_buckets: int = DEFAULT_SALT_BUCKETS) -> DataFrame:
+                 salt_buckets: int = DEFAULT_SALT_BUCKETS,
+                 tenant: bool = False) -> DataFrame:
     """Attach salt + route_partition columns (expects stream_key, conv_id,
-    turn_idx present)."""
+    turn_idx present).
+
+    `tenant=True` additionally attaches a `tenant` column (org_name, the
+    X-Scope-OrgID analog): the reference's Loki client batches and ships
+    per tenant (/root/reference/pkg/clients/lokiclient/client.go:273-363);
+    here the tenant becomes a first-class partition key — pass it to
+    write_sinks' partitionBy (or a per-tenant Iceberg table) so one
+    tenant's volume can never skew another's files."""
     salt = salt_column(F.col("turn_idx"), salt_buckets)
-    return df.withColumns({
+    cols = {
         "salt": salt,
         "route_partition": route_partition(F.col("stream_key"), F.col("conv_id"),
                                            salt, n_partitions),
-    })
+    }
+    if tenant:
+        cols["tenant"] = F.coalesce(F.col("org_name"), F.lit(""))
+    return df.withColumns(cols)
 
 
 def enforce_line_limit(df: DataFrame, max_line_size: int = 0,

@@ -40,7 +40,8 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                      qid_col: str = "qid") -> DataFrame:
     """Exact top-k: broadcast the (small) query set against the corpus and
     rank per query. Returns (qid, vec_id, score, rank)."""
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"))
+    from logunifier_spark.operators.dedup import fan_out
+    c = fan_out(corpus).select(F.col(id_col), F.col(vec_col).alias("_cv"))
     q = queries.select(F.col(qid_col), F.col(vec_col).alias("_qv"))
     scored = c.crossJoin(F.broadcast(q)).select(
         qid_col, id_col, cosine(F.col("_cv"), F.col("_qv")).alias("score"))
@@ -76,7 +77,8 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
              vec_col: str = "embedding", qid_col: str = "qid") -> DataFrame:
     """Approximate top-k: join on hyperplane buckets with 1-bit probing.
     Returns (qid, vec_id, score, rank) over the candidate set."""
-    c = corpus.select(
+    from logunifier_spark.operators.dedup import fan_out
+    c = fan_out(corpus).select(
         F.col(id_col), F.col(vec_col).alias("_cv"),
         hyperplane_bucket(F.col(vec_col), dim, n_bits).alias("bucket"))
     qb = queries.select(
@@ -153,8 +155,9 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     (array_max over broadcast-constant scores); queries probe the nprobe
     nearest cells. The only shuffle in the plan is the cell join itself,
     keyed on cid — the corpus is touched once, never multiplied."""
+    from logunifier_spark.operators.dedup import fan_out
     cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
-    assigned = corpus.select(
+    assigned = fan_out(corpus).select(
         F.col(id_col), F.col(vec_col).alias("_cv"),
         _argmax_cell(F.col(vec_col), cents).alias("cid"))
     q = queries.select(
