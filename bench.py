@@ -118,24 +118,46 @@ def run_default() -> dict:
     }
 
 
+def _headline_once(cpus: int, turns: int, trials: int) -> float:
+    spark = _spark(cpus)
+    headline(spark, 20_000)  # warmup
+    sec = min(headline(spark, turns) for _ in range(trials))
+    spark.stop()
+    return sec
+
+
 def run_scaling(n: int, n4: int) -> dict:
+    """N vs 4N stand-in. `local[c]` caps TASK SLOTS, not CPUs: the Arrow
+    python workers of a local[2] session happily run on the box's other 30
+    cores, inflating the small end's throughput and understating measured
+    efficiency. So each end runs in a SUBPROCESS pinned to exactly c CPUs
+    via `taskset -c 0..c-1` (JVM threads, GC, and python workers all
+    confined) — the faithful analog of a c-core executor. Falls back to
+    unpinned in-process sessions where taskset is unavailable."""
+    import shutil
+    import subprocess
     turns = int(os.environ.get("SCALING_TURNS", "16000000"))
     trials = int(os.environ.get("SCALING_TRIALS", "2"))
+    pinned = shutil.which("taskset") is not None \
+        and os.environ.get("SCALING_PIN", "1") == "1"
     results = {}
     for cpus in (n, n4):
-        spark = _spark(cpus)
-        headline(spark, 20_000)  # warmup
-        # min over trials: the sandbox box is shared/noisy and a single
-        # contended run misstates the plan's capability at that parallelism
-        sec = min(headline(spark, turns) for _ in range(trials))
-        results[cpus] = sec
-        spark.stop()
+        if pinned:
+            cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
+                   os.path.abspath(__file__), "--headline-once",
+                   str(cpus), str(turns), str(trials)]
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 check=True)
+            results[cpus] = float(out.stdout.strip().splitlines()[-1])
+        else:
+            results[cpus] = _headline_once(cpus, turns, trials)
     tput_n = turns / results[n]
     tput_4n = turns / results[n4]
     eff = (tput_4n / tput_n) / (n4 / n)
     return {
         "metric": "scaling_efficiency",
         "turns": turns,
+        "pinned_cpus": pinned,
         "n_cores": n, "sec_n": results[n], "turns_per_sec_n": round(tput_n, 1),
         "n4_cores": n4, "sec_4n": results[n4], "turns_per_sec_4n": round(tput_4n, 1),
         "efficiency": round(eff, 3),
@@ -147,5 +169,9 @@ if __name__ == "__main__":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 2
         n4 = int(sys.argv[3]) if len(sys.argv) > 3 else 8
         print(json.dumps(run_scaling(n, n4)))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--headline-once":
+        # internal: one pinned measurement (see run_scaling); prints seconds
+        cpus, turns, trials = (int(x) for x in sys.argv[2:5])
+        print(_headline_once(cpus, turns, trials))
     else:
         print(json.dumps(run_default()))
