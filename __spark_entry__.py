@@ -587,6 +587,37 @@ def q_ann_ivf(spark, sf_dir):
     return ivf_topk(emb, q, k=5).select("qid", "vec_id", "rank")
 
 
+def q_sample_deterministic(spark, sf_dir):
+    """Deterministic hash-gate sampling: keep-set is a pure function of the
+    row id — stable across runs, partitionings, cluster sizes (unlike
+    df.sample, which is seed-stable only for a fixed partitioning)."""
+    _ship(spark)
+    from logunifier_spark.operators.sampling import sample_deterministic
+    d = _load(spark, sf_dir, "documents")
+    return sample_deterministic(d, rate=0.25).select("doc_id", "source")
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Per-source pretraining-mixture reweighting: each source downsampled
+    to its own rate by the portable hash gate."""
+    _ship(spark)
+    from logunifier_spark.operators.sampling import mixture_sample
+    d = _load(spark, sf_dir, "documents")
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.1}
+    return (mixture_sample(d, rates, default_rate=0.2)
+            .select("doc_id", "source"))
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing: documents laid end-to-end in
+    deterministic (shard, id) order, cut into 256-token context windows;
+    sharded cumulative sums keep the window parallel at scale."""
+    _ship(spark)
+    from logunifier_spark.operators.sampling import pack_sequences
+    d = _load(spark, sf_dir, "documents")
+    return pack_sequences(d, budget=256, n_shards=8)
+
+
 def q_media_resize(spark, sf_dir):
     # stubbed codec (deterministic fake) — rows-only check of the
     # mapInPandas resize plumbing
@@ -675,6 +706,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": q_media_frame_sample,
         "media_resize": q_media_resize,
         "multimodal_features": q_multimodal_features,
+        # dataset curation
+        "sample_deterministic": q_sample_deterministic,
+        "mixture_sample": q_mixture_sample,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1075,6 +1110,39 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_dupes": _do.fingerprint_dupes_sql(),
         "ann_lsh": _do.ann_lsh_sql(dim=64, k=5, n_bits=10),
         "ann_ivf": _do.ann_ivf_sql(k=5, n_centroids=16, nprobe=4),
+        "sample_deterministic": f"""
+            SELECT doc_id, source FROM documents
+            WHERE (doc_id * 2654435761) % 2147483648 < {int(0.25 * 2**31)}
+        """,
+        "mixture_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE (doc_id * 2654435761) % 2147483648 <
+                  floor(CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                                    WHEN 'src2' THEN 0.1 ELSE 0.2 END
+                        * 2147483648.0)
+        """,
+        "pack_sequences": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     (doc_id * 2654435761) % 2147483648 % 8 AS shard,
+                     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                          END AS BIGINT) AS tokens
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, shard, tokens,
+                     sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t
+            )
+            SELECT doc_id, shard, tokens,
+                   cum - tokens AS start_offset,
+                   (cum - tokens) // 256 AS first_pack,
+                   (cum - 1 + CASE WHEN tokens = 0 THEN 1 ELSE 0 END) // 256
+                     AS last_pack
+            FROM c
+        """,
         "media_frame_sample": _do.media_frame_sample_sql(n=64, every_ms=1000),
         "media_resize": _do.media_resize_sql(n=64, width=8, height=6),
         "multimodal_features": _do.multimodal_features_sql(n=64, dim=8),

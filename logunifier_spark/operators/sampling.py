@@ -1,0 +1,91 @@
+"""Dataset curation operators for training-data pipelines: deterministic
+sampling, per-source mixture weighting, and sequence packing.
+
+All native Spark SQL expressions. The sampling hash is the portable
+(id * MULT) mod 2^31 family (same as IVF centroid selection) rather than
+`df.sample` — `sample()` is seed-stable only for a FIXED partitioning,
+while a hash-gate is a pure function of the row: the same document is kept
+or dropped regardless of cluster size, partition count, or retry, which is
+what makes a 100 TB sampling run resumable and auditable. All three ops
+carry DuckDB value-hash oracles (plain SQL arithmetic / windows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# odd multiplier -> bijective on [0, 2^31); the id's hash is uniform-ish
+# and engine-portable (no xxhash64 in DuckDB)
+SAMPLE_MULT = 2_654_435_761
+_MOD = 2**31
+
+
+def sample_gate(id_col: Column, rate: float, salt: int = 0) -> Column:
+    """Deterministic keep-gate: (id*MULT + mix(salt)) mod 2^31 < rate*2^31.
+    The salt is pre-mixed with a large odd constant — the hash is affine in
+    id, so a raw small salt would shift every hash by the same few units
+    and leave the keep-set identical; a large rotation re-windows it."""
+    off = (salt * 0x9E3779B1) % _MOD
+    h = F.pmod(id_col.cast("long") * SAMPLE_MULT + F.lit(off), F.lit(_MOD))
+    return h < F.lit(int(rate * _MOD))
+
+
+def sample_deterministic(df: DataFrame, rate: float, id_col: str = "doc_id",
+                         salt: int = 0) -> DataFrame:
+    """Keep ~rate of rows, decided per-row by the portable hash — stable
+    across runs, partitionings, and cluster sizes (no shuffle, no state)."""
+    return df.where(sample_gate(F.col(id_col), rate, salt))
+
+
+def mixture_sample(df: DataFrame, rates: dict[str, float],
+                   source_col: str = "source", id_col: str = "doc_id",
+                   default_rate: float = 0.0, salt: int = 0) -> DataFrame:
+    """Per-source mixture weighting: each source is downsampled to its own
+    rate (the standard pretraining-mixture reweighting). Sources absent
+    from `rates` get `default_rate`. Pure projection + filter — composes
+    with any scan, no shuffle."""
+    rate_map = F.create_map(*[
+        F.lit(x) for kv in rates.items() for x in (kv[0], float(kv[1]))])
+    rate = F.coalesce(F.element_at(rate_map, F.col(source_col)),
+                      F.lit(float(default_rate)))
+    off = (salt * 0x9E3779B1) % _MOD
+    h = F.pmod(F.col(id_col).cast("long") * SAMPLE_MULT + F.lit(off),
+               F.lit(_MOD))
+    # floor, not cast: double->bigint CAST truncates in Spark but ROUNDS in
+    # DuckDB — floor() is identical in both engines (oracle parity)
+    return df.where(h < F.floor(rate * _MOD))
+
+
+def pack_sequences(df: DataFrame, budget: int, tokens_col: Column | None = None,
+                   id_col: str = "doc_id", n_shards: int = 64) -> DataFrame:
+    """Concat-and-chunk sequence packing (the standard LLM-pretraining
+    layout): documents are laid end-to-end in deterministic (shard, id)
+    order and cut into fixed `budget`-token context windows; a document
+    spans packs [first_pack, last_pack].
+
+    Scale design: a GLOBAL running total would serialize on one partition,
+    so documents are hashed into `n_shards` independent streams and the
+    cumulative sum runs per shard (Window.partitionBy(shard)) — n_shards
+    parallel sorts instead of one global one, and pack ids are stable
+    (shard, pack) composites independent of cluster layout.
+
+    Returns (id, shard, tokens, start_offset, first_pack, last_pack) where
+    offsets are within-shard token positions."""
+    from logunifier_spark.operators.textstats import token_count
+    tokens = tokens_col if tokens_col is not None else token_count(F.col("text"))
+    shard = F.pmod(F.col(id_col).cast("long") * SAMPLE_MULT, F.lit(_MOD)) % n_shards
+    w = (Window.partitionBy("shard").orderBy(id_col)
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = (df.select(F.col(id_col), shard.alias("shard"),
+                     tokens.cast("long").alias("tokens"))
+             .withColumn("_cum", F.sum("tokens").over(w))
+             .withColumn("start_offset", F.col("_cum") - F.col("tokens")))
+    return out.select(
+        id_col, "shard", "tokens", "start_offset",
+        F.floor(F.col("start_offset") / budget).alias("first_pack"),
+        # a zero-token doc occupies the pack at its start offset
+        F.floor((F.col("_cum") - 1 + (F.col("tokens") == 0).cast("long"))
+                / budget).alias("last_pack"),
+    )

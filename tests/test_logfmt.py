@@ -69,3 +69,25 @@ def test_key_alias_normalization():
 def test_duplicate_keys_merge_with_space():
     got, _ = decode("k=a k=b k=c")
     assert got == {"k": "a b c"}
+
+
+def test_tokenize_regex_matches_scanner_reference():
+    # the regex fast path must be BYTE-EQUAL to the character scanner spec
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from logunifier_spark.functions.logfmt import _tokenize, _tokenize_ref
+
+    alphabet = st.sampled_from(list('ab=" \t\r\n\\xyz0'))
+
+    @settings(max_examples=2000, deadline=None)
+    @given(st.text(alphabet=alphabet, max_size=40))
+    def check(line):
+        assert _tokenize(line) == _tokenize_ref(line)
+
+    check()
+    # targeted nasties: quotes, escapes, trailing backslash, empty keys
+    for line in ['k="a\\"', 'k="a\\', 'k="ab\\\\"', '="v"', 'a=b"c',
+                 '"bare" x=1', 'k="multi\nline" y', 'a=b=c d', 'k=""',
+                 'k=" " ts=1 "', "\\", 'x=\\n']:
+        assert _tokenize(line) == _tokenize_ref(line), line

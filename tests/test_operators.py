@@ -273,3 +273,37 @@ def test_line_limit_byte_semantics(spark):
     assert "日本語の" in out               # 3 bytes/char → 12
     dropped = enforce_line_limit(df, max_line_size=12, truncate=False).collect()
     assert [r["message"] for r in dropped] == []
+
+
+def test_sampling_operators(spark):
+    from logunifier_spark.operators.sampling import (
+        mixture_sample,
+        pack_sequences,
+        sample_deterministic,
+    )
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kept = {r["doc_id"] for r in
+            sample_deterministic(d, 0.3).select("doc_id").collect()}
+    # pure function of the row: same keep-set under a different partitioning
+    kept2 = {r["doc_id"] for r in
+             sample_deterministic(d.repartition(7), 0.3).select("doc_id").collect()}
+    assert kept == kept2 and 0 < len(kept) < d.count()
+    # different salt → different (independent-ish) sample
+    kept3 = {r["doc_id"] for r in
+             sample_deterministic(d, 0.3, salt=99).select("doc_id").collect()}
+    assert kept3 != kept
+    # mixture: rate 0 drops a source entirely, rate 1 keeps it entirely
+    m = mixture_sample(d, {"src0": 1.0, "src1": 0.0}, default_rate=0.5)
+    by_src = {r["source"]: r["n"] for r in
+              m.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    n_src0 = d.where("source = 'src0'").count()
+    assert by_src.get("src0") == n_src0 and "src1" not in by_src
+    # packing invariants: offsets contiguous per shard, packs ordered
+    p = pack_sequences(d, budget=128, n_shards=4).collect()
+    by_shard = {}
+    for r in sorted(p, key=lambda r: (r["shard"], r["doc_id"])):
+        prev = by_shard.get(r["shard"], 0)
+        assert r["start_offset"] == prev            # end-to-end layout
+        by_shard[r["shard"]] = prev + r["tokens"]
+        assert r["first_pack"] == r["start_offset"] // 128
+        assert r["last_pack"] >= r["first_pack"]
