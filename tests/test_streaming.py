@@ -47,3 +47,65 @@ def test_stream_unify_and_resume(spark, tmp_path):
     out2 = spark.read.parquet(sink)
     assert out2.count() == 30
     assert out2.dropDuplicates(["conv_id", "turn_idx"]).count() == 30
+
+
+def test_stateful_reassembly_across_batches_and_restart(spark, tmp_path):
+    """applyInPandasWithState multi-part reassembly: fragments of one
+    message arrive in different micro-batches AND across a full query
+    restart — the keyed state (in the checkpoint) carries the open group.
+    Orphan groups (no last fragment) emit nothing."""
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from logunifier_spark.streaming.stateful import stream_reassemble_partials
+
+    schema = StructType([
+        StructField("partial_id", StringType()),
+        StructField("partial_ordinal", IntegerType()),
+        StructField("partial_last", BooleanType()),
+        StructField("message", StringType()),
+        StructField("svc", StringType()),
+    ])
+    src = str(tmp_path / "in")
+    sink = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        # timeout_ms=None: availableNow + processing-time timeouts never
+        # terminates (empty batches are scheduled until the TTL fires)
+        q = (stream_reassemble_partials(stream, timeout_ms=None)
+             .writeStream.format("parquet")
+             .option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(240)
+
+    batch1 = [("p1", 1, False, "frag1-", "m-a"),
+              ("p1", 2, False, "frag2-", "m-b"),
+              (None, 0, False, "whole one", "m-w"),
+              ("orphan", 1, False, "lost-", "m-o")]
+    spark.createDataFrame(batch1, schema).coalesce(1) \
+         .write.mode("append").parquet(src)
+    run_once()
+    got = {r["message"] for r in spark.read.parquet(sink).collect()}
+    assert got == {"whole one"}          # p1 still open, orphan unemitted
+
+    # restart the query: the closing fragment arrives AFTER a stop/start —
+    # state must resume from the checkpoint
+    batch2 = [("p1", 3, True, "frag3", "m-c"),
+              ("p3", 1, True, "solo", "m-s")]
+    spark.createDataFrame(batch2, schema).coalesce(1) \
+         .write.mode("append").parquet(src)
+    run_once()
+    rows = {r["message"]: r["svc"] for r in spark.read.parquet(sink).collect()}
+    assert rows == {"whole one": "m-w",
+                    "frag1-frag2-frag3": "m-c",   # final part's metadata
+                    "solo": "m-s"}
