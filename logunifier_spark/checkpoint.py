@@ -138,6 +138,59 @@ def run_resumable(
     return written
 
 
+def health_check(spark: SparkSession, base_path: str | None = None) -> dict:
+    """S7: the health-endpoint analog — named component checks serialized
+    to the same {"status", "details"} JSON shape as the reference's
+    /health handler (/root/reference/internal/health/check.go:14-53, which
+    wires "nats" and "loki" checks). Spark-native components:
+
+      - "spark":   the session/context is alive and schedulable
+      - "sinks":   the sink base path is writable and lineage is readable
+                   (the Loki-connectivity analog)
+      - "streams": every active streaming query is healthy (no exception)
+
+    Serve it from any HTTP frontend; here it is a pure function so tests
+    and the driver can call it directly."""
+    checks: dict[str, dict] = {}
+
+    try:
+        sc = spark.sparkContext
+        alive = not sc._jsc.sc().isStopped()  # noqa: SLF001
+        checks["spark"] = {
+            "status": "up" if alive else "down",
+            "detail": f"defaultParallelism={sc.defaultParallelism}",
+        }
+    except Exception as e:  # noqa: BLE001
+        checks["spark"] = {"status": "down", "detail": str(e)}
+
+    if base_path is not None:
+        try:
+            os.makedirs(os.path.join(base_path, "_lineage"), exist_ok=True)
+            committed = committed_ranges(base_path)
+            checks["sinks"] = {
+                "status": "up",
+                "detail": f"{len(committed)} ranges committed",
+            }
+        except OSError as e:
+            checks["sinks"] = {"status": "down", "detail": str(e)}
+
+    bad = []
+    try:
+        active = spark.streams.active
+        for q in active:
+            if q.exception() is not None:
+                bad.append(q.name or q.id)
+        checks["streams"] = {
+            "status": "down" if bad else "up",
+            "detail": f"{len(active)} active" + (f", failed: {bad}" if bad else ""),
+        }
+    except Exception as e:  # noqa: BLE001
+        checks["streams"] = {"status": "down", "detail": str(e)}
+
+    status = "up" if all(c["status"] == "up" for c in checks.values()) else "down"
+    return {"status": status, "details": checks}
+
+
 def emit_run_metrics(base_path: str, out_file: str | None = None) -> dict:
     """Aggregate all range manifests into the run-level parse/route/sink
     metrics JSON (the A4 metrics surface)."""

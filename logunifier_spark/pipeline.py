@@ -76,11 +76,15 @@ def _dedup_turns(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
     end-to-end job). Instead:
 
       1. count rows per key — a NARROW hash aggregate (long buffer) whose
-         shuffle carries only (conv_id, turn_idx, count),
-      2. broadcast the (normally tiny) set of keys that actually have
-         duplicates,
-      3. pass every clean row through UNSHUFFLED via broadcast anti-join,
-      4. dedupe only the duplicate subset with a deterministic
+         shuffle carries only (conv_id, turn_idx, count); the tiny dup-key
+         result is materialized once (eager localCheckpoint),
+      2. SHORT-CIRCUIT: if no key duplicates, return the input untouched —
+         the common case pays ONE narrow column-pruned pass and zero joins
+         (previously every call paid two full-input scans for the
+         anti/semi branches even when there was nothing to dedup),
+      3. else broadcast the dup-key set: every clean row passes through
+         UNSHUFFLED via broadcast anti-join,
+      4. and only the duplicate subset is deduped with a deterministic
          max-payload-hash winner.
 
     At 10^12 turns the full input never shuffles for dedup; only key
@@ -88,7 +92,10 @@ def _dedup_turns(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
     the limit — callers with adversarial inputs should pre-filter."""
     keys = keys or ["conv_id", "turn_idx"]
     dup_keys = (df.groupBy(*keys).agg(F.count("*").alias("_n"))
-                  .where(F.col("_n") > 1).select(*keys))
+                  .where(F.col("_n") > 1).select(*keys)
+                  .localCheckpoint(eager=True))
+    if dup_keys.isEmpty():
+        return df
     clean = df.join(F.broadcast(dup_keys), keys, "left_anti")
     dups = df.join(F.broadcast(dup_keys), keys, "left_semi")
     others = [c for c in df.columns if c not in keys]

@@ -307,3 +307,17 @@ def test_sampling_operators(spark):
         by_shard[r["shard"]] = prev + r["tokens"]
         assert r["first_pack"] == r["start_offset"] // 128
         assert r["last_pack"] >= r["first_pack"]
+
+
+def test_health_check(spark, tmp_path):
+    # S7 health-endpoint analog: named component checks, reference JSON
+    # shape ({"status", "details"}), down-propagation on a failing check
+    from logunifier_spark.checkpoint import health_check, run_resumable
+    from logunifier_spark.fixtures import synth_transcripts
+    base = str(tmp_path / "sinks")
+    run_resumable(spark, synth_transcripts(spark, 100), base, n_ranges=2)
+    h = health_check(spark, base)
+    assert h["status"] == "up"
+    assert h["details"]["spark"]["status"] == "up"
+    assert h["details"]["sinks"]["detail"] == "2 ranges committed"
+    assert h["details"]["streams"]["status"] == "up"

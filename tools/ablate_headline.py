@@ -17,8 +17,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from pyspark.sql import functions as F  # noqa: E402
 
 
-def timed(label, df):
+def timed(label, df_thunk):
+    # thunk, not DataFrame: unify() construction runs eager jobs (dedup
+    # key-count short-circuit) that must land inside the timed window
     t0 = time.perf_counter()
+    df = df_thunk() if callable(df_thunk) else df_thunk
     df.groupBy().agg(
         F.count("*"),
         F.sum(F.length("message")) if "message" in df.columns else F.count("*"),
@@ -37,9 +40,8 @@ def main():
     from logunifier_spark.session import get_spark
     spark = get_spark(app_name="ablate", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)
-    par = spark.sparkContext.defaultParallelism
-    nparts = par if par <= 8 else par // 2
-    t = synth_transcripts(spark, turns).repartition(nparts)
+    nparts = spark.sparkContext.defaultParallelism
+    t = synth_transcripts(spark, turns, num_partitions=nparts)
     labels = default_pattern_labels(spark)
 
     # warmup
@@ -48,14 +50,13 @@ def main():
 
     for _ in range(2):
         print("---")
-        timed("synth only", t.withColumn("message", F.col("text")))
-        timed("unify no-enrich no-dedup",
-              unify(t, dedup=False))
-        timed("unify no-enrich", unify(t))
-        timed("unify full", unify(t, pattern_labels=labels))
-        u = unify(t, pattern_labels=labels)
+        timed("synth only", lambda: t.withColumn("message", F.col("text")))
+        timed("unify no-enrich no-dedup", lambda: unify(t, dedup=False))
+        timed("unify no-enrich", lambda: unify(t))
+        timed("unify full", lambda: unify(t, pattern_labels=labels))
         timed("unify full + stream_key consumed",
-              u.withColumn("message", F.col("stream_key")))
+              lambda: unify(t, pattern_labels=labels)
+              .withColumn("message", F.col("stream_key")))
     spark.stop()
 
 
