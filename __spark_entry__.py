@@ -1110,13 +1110,16 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_dupes": _do.fingerprint_dupes_sql(),
         "ann_lsh": _do.ann_lsh_sql(dim=64, k=5, n_bits=10),
         "ann_ivf": _do.ann_ivf_sql(k=5, n_centroids=16, nprobe=4),
+        # portable hash = ((id % 2^31) * MULT) % 2^31 — id reduced BEFORE
+        # the multiply, mirroring sampling._portable_hash's overflow guard
         "sample_deterministic": f"""
             SELECT doc_id, source FROM documents
-            WHERE (doc_id * 2654435761) % 2147483648 < {int(0.25 * 2**31)}
+            WHERE ((doc_id % 2147483648) * 2654435761) % 2147483648
+                  < {int(0.25 * 2**31)}
         """,
         "mixture_sample": """
             SELECT doc_id, source FROM documents
-            WHERE (doc_id * 2654435761) % 2147483648 <
+            WHERE ((doc_id % 2147483648) * 2654435761) % 2147483648 <
                   floor(CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
                                     WHEN 'src2' THEN 0.1 ELSE 0.2 END
                         * 2147483648.0)
@@ -1124,7 +1127,8 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": r"""
             WITH t AS (
               SELECT doc_id,
-                     (doc_id * 2654435761) % 2147483648 % 8 AS shard,
+                     ((doc_id % 2147483648) * 2654435761) % 2147483648 % 8
+                       AS shard,
                      CAST(CASE WHEN length(trim(text)) = 0 THEN 0
                           ELSE len(string_split_regex(trim(text), '\s+'))
                           END AS BIGINT) AS tokens

@@ -35,8 +35,14 @@ class RangeManifest:
     routed_rows: int
     sinks: dict  # sink -> rows
     patterns: dict  # pattern_key -> hits
+    # wall_sec is the range's EVEN SHARE of the single-pass job (all
+    # uncommitted ranges are processed in one job since round 2, so there
+    # is no per-range measurement; summing wall_sec across manifests still
+    # gives the true job wall). run_wall_sec carries the unattributed
+    # total for operators who need the real number.
     wall_sec: float
     status: str = "committed"
+    run_wall_sec: float = 0.0
 
 
 def _manifest_path(base: str, range_id: int) -> str:
@@ -130,6 +136,7 @@ def run_resumable(
             input_rows=sum(sinks.values()), routed_rows=sum(sinks.values()),
             sinks=sinks, patterns=pats_by_range[r],
             wall_sec=round(wall / len(todo), 3),
+            run_wall_sec=round(wall, 3),
         )
         # manifest written LAST → commit point
         with open(_manifest_path(base_path, r), "w") as fh:

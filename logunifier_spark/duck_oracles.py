@@ -239,15 +239,17 @@ SELECT qid, vec_id, rank FROM (
 def ann_ivf_sql(k: int = 5, n_centroids: int = 16, nprobe: int = 4,
                 n_queries: int = 5, sel_mult: int = 2_654_435_761) -> str:
     """(qid, vec_id, rank) of ivf_topk: portable centroid selection
-    ((id*MULT) mod 2^31 order), argmax cell assignment with larger-cid
-    tie-break (mirrors array_max on (score, cid) structs), nprobe query
-    cells, cosine rank."""
+    (((id mod 2^31)*MULT) mod 2^31 order, id tie-break — mirrors
+    ivf_centroids' overflow-safe reduced hash), argmax cell assignment with
+    larger-cid tie-break (mirrors array_max on (score, cid) structs),
+    nprobe query cells, cosine rank."""
+    h = f"((vec_id % 2147483648) * {sel_mult}) % 2147483648"
     return f"""
 WITH cents AS (
-  SELECT row_number() OVER (ORDER BY (vec_id * {sel_mult}) % 2147483648) - 1 AS cid,
+  SELECT row_number() OVER (ORDER BY {h}, vec_id) - 1 AS cid,
          embedding AS cv
   FROM embeddings
-  ORDER BY (vec_id * {sel_mult}) % 2147483648
+  ORDER BY {h}, vec_id
   LIMIT {n_centroids}
 ),
 cell_scores AS (

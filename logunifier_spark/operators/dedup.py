@@ -118,11 +118,18 @@ def _gram_hashes(norm_u32, shingle_n: int, base: int = _GRAM_BASE_1) -> list:
         # Horner WITHOUT per-step mod: codepoints < 2^21 and base^(n-1)·n·2^21
         # < 2^63 for n ≤ 5, so one mod at the end is exact — and ~2× faster
         # (integer division dominates the vectorized loop). Congruent to the
-        # SQL oracle's per-step (a*base + c) % p by mod homomorphism.
+        # SQL oracle's per-step (a*base + c) % p by mod homomorphism. For
+        # n > 5 the deferred form would silently wrap int64 and diverge from
+        # the oracle, so those fall back to the exact per-step mod.
         h = np.zeros(len(win), dtype=np.int64)
-        for j in range(shingle_n):
-            h = h * base + win[:, j]
-        grams_per_row.append(np.unique(h % _MINHASH_P))
+        if shingle_n <= 5:
+            for j in range(shingle_n):
+                h = h * base + win[:, j]
+            h %= _MINHASH_P
+        else:
+            for j in range(shingle_n):
+                h = (h * base + win[:, j]) % _MINHASH_P
+        grams_per_row.append(np.unique(h))
     return grams_per_row
 
 
@@ -138,14 +145,19 @@ def _gram_pairs(norm_u32, shingle_n: int) -> list:
         if len(cps) < shingle_n:
             cps = np.pad(cps, (0, shingle_n - len(cps)))
         win = np.lib.stride_tricks.sliding_window_view(cps, shingle_n)
-        # deferred mod (see _gram_hashes): exact for n <= 5
+        # deferred mod (see _gram_hashes): exact for n <= 5, else per-step
         h1 = np.zeros(len(win), dtype=np.int64)
         h2 = np.zeros(len(win), dtype=np.int64)
-        for j in range(shingle_n):
-            h1 = h1 * _GRAM_BASE_1 + win[:, j]
-            h2 = h2 * _GRAM_BASE_2 + win[:, j]
-        h1 %= _MINHASH_P
-        h2 %= _MINHASH_P
+        if shingle_n <= 5:
+            for j in range(shingle_n):
+                h1 = h1 * _GRAM_BASE_1 + win[:, j]
+                h2 = h2 * _GRAM_BASE_2 + win[:, j]
+            h1 %= _MINHASH_P
+            h2 %= _MINHASH_P
+        else:
+            for j in range(shingle_n):
+                h1 = (h1 * _GRAM_BASE_1 + win[:, j]) % _MINHASH_P
+                h2 = (h2 * _GRAM_BASE_2 + win[:, j]) % _MINHASH_P
         grams_per_row.append(np.unique((h1 << np.int64(31)) | h2))
     return grams_per_row
 

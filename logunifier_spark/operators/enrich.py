@@ -181,10 +181,12 @@ def stream_key_native() -> Column:
         return _quote_value(F.col(c))
 
     def fixed(c):
-        # closed-vocabulary columns (normalized level set, pattern-bank
-        # keys): values can never contain escapable characters, so the
-        # dirty-scan itself is skipped. Byte parity with the map builder
-        # holds because _quote_value is the identity on these values.
+        # closed-vocabulary column (pattern-bank keys only — the resolver
+        # can emit nothing else): values can never contain escapable
+        # characters, so the dirty-scan itself is skipped. Byte parity with
+        # the map builder holds because _quote_value is the identity on
+        # these values. log_level does NOT qualify: unify()'s public
+        # fallback_level parameter can flow arbitrary raw strings into it.
         return F.coalesce(F.col(c), F.lit(""))
 
     # lexicographic key order — matches sort_array(map_entries(...))
@@ -196,7 +198,7 @@ def stream_key_native() -> Column:
          .otherwise(F.lit("")),
         F.lit('", host="'), q("host_name"),
         F.lit('", ingress="'), q("log_ingress"),
-        F.lit('", level="'), fixed("log_level"),
+        F.lit('", level="'), q("log_level"),
         F.lit('", log_logger="'), q("log_logger"),
         F.lit('", org_name="'), q("org_name"),
         F.lit('", pattern_key="'), fixed("log_pattern_key"),

@@ -17,19 +17,30 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 # odd multiplier -> bijective on [0, 2^31); the id's hash is uniform-ish
-# and engine-portable (no xxhash64 in DuckDB)
+# and engine-portable (no xxhash64 in DuckDB). THE canonical copy of the
+# portable-hash constant — similarity.py imports it.
 SAMPLE_MULT = 2_654_435_761
 _MOD = 2**31
 
 
+def _portable_hash(id_col: Column, offset: int = 0) -> Column:
+    """(id mod 2^31) * MULT + offset, mod 2^31. The id is reduced BEFORE
+    the multiply: ids at 100 TB scale (sequential past 3.47e9, or 64-bit
+    hash-derived) would otherwise overflow int64 — a confirmed
+    ARITHMETIC_OVERFLOW crash under Spark 4's default ANSI mode. Reduced
+    product < 2^31 * MULT < 2^63. SQL mirror:
+    ((id % 2147483648) * 2654435761 + off) % 2147483648."""
+    reduced = F.pmod(id_col.cast("long"), F.lit(_MOD))
+    return F.pmod(reduced * SAMPLE_MULT + F.lit(offset), F.lit(_MOD))
+
+
 def sample_gate(id_col: Column, rate: float, salt: int = 0) -> Column:
-    """Deterministic keep-gate: (id*MULT + mix(salt)) mod 2^31 < rate*2^31.
+    """Deterministic keep-gate: portable_hash(id, mix(salt)) < rate*2^31.
     The salt is pre-mixed with a large odd constant — the hash is affine in
     id, so a raw small salt would shift every hash by the same few units
     and leave the keep-set identical; a large rotation re-windows it."""
     off = (salt * 0x9E3779B1) % _MOD
-    h = F.pmod(id_col.cast("long") * SAMPLE_MULT + F.lit(off), F.lit(_MOD))
-    return h < F.lit(int(rate * _MOD))
+    return _portable_hash(id_col, off) < F.lit(int(rate * _MOD))
 
 
 def sample_deterministic(df: DataFrame, rate: float, id_col: str = "doc_id",
@@ -51,8 +62,7 @@ def mixture_sample(df: DataFrame, rates: dict[str, float],
     rate = F.coalesce(F.element_at(rate_map, F.col(source_col)),
                       F.lit(float(default_rate)))
     off = (salt * 0x9E3779B1) % _MOD
-    h = F.pmod(F.col(id_col).cast("long") * SAMPLE_MULT + F.lit(off),
-               F.lit(_MOD))
+    h = _portable_hash(F.col(id_col), off)
     # floor, not cast: double->bigint CAST truncates in Spark but ROUNDS in
     # DuckDB — floor() is identical in both engines (oracle parity)
     return df.where(h < F.floor(rate * _MOD))
@@ -75,7 +85,7 @@ def pack_sequences(df: DataFrame, budget: int, tokens_col: Column | None = None,
     offsets are within-shard token positions."""
     from logunifier_spark.operators.textstats import token_count
     tokens = tokens_col if tokens_col is not None else token_count(F.col("text"))
-    shard = F.pmod(F.col(id_col).cast("long") * SAMPLE_MULT, F.lit(_MOD)) % n_shards
+    shard = _portable_hash(F.col(id_col)) % n_shards
     w = (Window.partitionBy("shard").orderBy(id_col)
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     out = (df.select(F.col(id_col), shard.alias("shard"),

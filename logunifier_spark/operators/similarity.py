@@ -98,24 +98,21 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
 
 # ------------------------------------------------------------------- IVF ---
 
-# multiplier for the portable centroid-selection hash: odd, so
-# id -> (id * MULT) mod 2^31 is injective on [0, 2^31) — no selection ties
-_IVF_SEL_MULT = 2_654_435_761
-
-
 def ivf_centroids(corpus: DataFrame, n_centroids: int = 16,
                   id_col: str = "vec_id",
                   vec_col: str = "embedding") -> list[tuple[int, list[float]]]:
     """Deterministic corpus-sample centroids: the n rows with the lowest
-    (id * MULT) mod 2^31 (seedless, engine-portable — expressible in plain
-    SQL, unlike xxhash64), cid = rank in that order. Collected to the
-    driver: n_centroids vectors are a few KiB, and holding them driver-side
-    is what makes cell assignment a zero-shuffle map (the classic
-    kmeans-style broadcast-constants pattern)."""
+    portable hash of id (seedless, engine-portable — expressible in plain
+    SQL, unlike xxhash64; the multiplier is sampling.SAMPLE_MULT, the one
+    canonical copy), cid = rank in that order with id as tie-break (the
+    hash is injective only on [0, 2^31) ids — ids past that can collide).
+    Collected to the driver: n_centroids vectors are a few KiB, and holding
+    them driver-side is what makes cell assignment a zero-shuffle map (the
+    classic kmeans-style broadcast-constants pattern)."""
+    from logunifier_spark.operators.sampling import _portable_hash
     rows = (corpus
-            .withColumn("_r", F.pmod(F.col(id_col).cast("long") * _IVF_SEL_MULT,
-                                     F.lit(2**31)))
-            .orderBy("_r").limit(n_centroids)
+            .withColumn("_r", _portable_hash(F.col(id_col)))
+            .orderBy("_r", id_col).limit(n_centroids)
             .select(vec_col).collect())
     return [(cid, [float(v) for v in r[vec_col]]) for cid, r in enumerate(rows)]
 

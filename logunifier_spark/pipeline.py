@@ -76,24 +76,30 @@ def _dedup_turns(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
     end-to-end job). Instead:
 
       1. count rows per key — a NARROW hash aggregate (long buffer) whose
-         shuffle carries only (conv_id, turn_idx, count); the tiny dup-key
-         result is materialized once (eager localCheckpoint),
-      2. SHORT-CIRCUIT: if no key duplicates, return the input untouched —
-         the common case pays ONE narrow column-pruned pass and zero joins
-         (previously every call paid two full-input scans for the
-         anti/semi branches even when there was nothing to dedup),
+         shuffle carries only (conv_id, turn_idx, count),
+      2. SHORT-CIRCUIT: if no key has duplicates (isEmpty — a full narrow
+         pass, so the decision is exact), return the input untouched — the
+         common case pays ONE narrow column-pruned pass and zero joins
+         (previously every call paid two full-input scans for the anti/semi
+         branches even when there was nothing to dedup). The probe is NOT
+         localCheckpoint'ed: checkpoint blocks are pinned to executors and
+         unrecoverable on executor loss (lineage truncated), while the rare
+         duplicates-present path simply recomputes the cheap aggregate
+         inside its joins with full lineage fault tolerance,
       3. else broadcast the dup-key set: every clean row passes through
          UNSHUFFLED via broadcast anti-join,
       4. and only the duplicate subset is deduped with a deterministic
          max-payload-hash winner.
+
+    NOTE: because of the probe, CONSTRUCTING a plan through unify() runs
+    one narrow Spark job (dedup=False avoids it).
 
     At 10^12 turns the full input never shuffles for dedup; only key
     triples do. If duplicates are pathologically common the broadcast is
     the limit — callers with adversarial inputs should pre-filter."""
     keys = keys or ["conv_id", "turn_idx"]
     dup_keys = (df.groupBy(*keys).agg(F.count("*").alias("_n"))
-                  .where(F.col("_n") > 1).select(*keys)
-                  .localCheckpoint(eager=True))
+                  .where(F.col("_n") > 1).select(*keys))
     if dup_keys.isEmpty():
         return df
     clean = df.join(F.broadcast(dup_keys), keys, "left_anti")

@@ -90,11 +90,18 @@ def stream_reassemble_partials(parts: DataFrame,
             if timeout_ms is not None:
                 state.setTimeoutDuration(timeout_ms)
 
+    # sanitize JVM-side BEFORE the python state fn: a null ordinal/message
+    # would raise inside applyInPandasWithState, and a failed micro-batch
+    # replays forever from the checkpoint — one malformed row must not be
+    # able to wedge the stream
     assembled = (parts.where(is_part)
                  .select("partial_id",
-                         F.col("partial_ordinal").cast("int").alias("partial_ordinal"),
-                         F.col("partial_last").cast("boolean").alias("partial_last"),
-                         "message", "svc")
+                         F.coalesce(F.col("partial_ordinal").cast("int"),
+                                    F.lit(0)).alias("partial_ordinal"),
+                         F.coalesce(F.col("partial_last").cast("boolean"),
+                                    F.lit(False)).alias("partial_last"),
+                         F.coalesce(F.col("message"), F.lit("")).alias("message"),
+                         F.coalesce(F.col("svc"), F.lit("")).alias("svc"))
                  .groupBy("partial_id")
                  .applyInPandasWithState(
                      assemble_with_ttl,

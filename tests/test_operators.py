@@ -321,3 +321,24 @@ def test_health_check(spark, tmp_path):
     assert h["details"]["spark"]["status"] == "up"
     assert h["details"]["sinks"]["detail"] == "2 ranges committed"
     assert h["details"]["streams"]["status"] == "up"
+
+
+def test_portable_hash_survives_64bit_ids(spark):
+    # regression: id*MULT overflowed int64 under Spark 4's default ANSI
+    # mode for ids >= ~3.47e9 (sequential ids at 100 TB scale, or
+    # hash-derived ids) — the id is now reduced mod 2^31 before the multiply
+    from logunifier_spark.operators.sampling import (
+        pack_sequences,
+        sample_deterministic,
+    )
+    from logunifier_spark.operators.similarity import ivf_centroids
+    df = spark.createDataFrame(
+        [(4_000_000_000, "alpha beta gamma"), (2**62, "delta"), (7, "eps")],
+        "doc_id long, text string")
+    assert sample_deterministic(df, 1.0).count() == 3   # rate 1 keeps all
+    assert pack_sequences(df, 16, n_shards=4).count() == 3
+    vecs = spark.createDataFrame(
+        [(2**62, [1.0, 0.0]), (4_000_000_000, [0.0, 1.0]), (1, [1.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    cents = ivf_centroids(vecs, n_centroids=2)
+    assert len(cents) == 2
