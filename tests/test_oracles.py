@@ -1,0 +1,62 @@
+"""In-suite oracle parity: a fast subset of the driver's correctness gate
+(Spark query vs independent DuckDB SQL, order-insensitive value compare) at
+sf0.001 — guards the oracle plumbing between full `tools/check_oracles.py`
+runs. The full 42-query gate runs at sf0.01 out-of-band."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# cheap, structurally diverse queries: native exprs, portable hash,
+# md5 grams, window packing, generated-media golden
+FAST_QUERIES = [
+    "sink_counts",
+    "tenant_counts",
+    "sample_deterministic",
+    "mixture_sample",
+    "pack_sequences",
+    "fingerprint_dupes",
+    "media_resize",
+    "multimodal_features",
+]
+
+
+def _norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else f"{v:.9g}"
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return str(v)
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in entrymod.TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", FAST_QUERIES)
+def test_oracle_parity(spark, duck, name):
+    sdf = entrymod.queries()[name](spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    res = duck.sql(entrymod.oracle_sql()[name])
+    dcols = list(res.columns)
+    drows = res.fetchall()
+    assert sorted(scols) == sorted(dcols)
+    assert len(srows) == len(drows) > 0
+    assert _canon(srows, scols) == _canon(drows, dcols)
