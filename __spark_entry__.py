@@ -1135,9 +1135,13 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ),
             c AS (
+              -- DuckDB types a windowed sum() as HUGEINT; the driver's
+              -- hasher fetches HUGEINT as float64 while Spark emits BIGINT,
+              -- so the value hash diverges unless we pin the type here.
               SELECT doc_id, shard, tokens,
-                     sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                                       ROWS UNBOUNDED PRECEDING) AS cum
+                     CAST(sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                            ROWS UNBOUNDED PRECEDING)
+                          AS BIGINT) AS cum
               FROM t
             )
             SELECT doc_id, shard, tokens,

@@ -51,6 +51,8 @@ def duck():
 
 @pytest.mark.parametrize("name", FAST_QUERIES)
 def test_oracle_parity(spark, duck, name):
+    from tools.check_oracles import _type_drift
+
     sdf = entrymod.queries()[name](spark, SF_DIR)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
@@ -58,5 +60,28 @@ def test_oracle_parity(spark, duck, name):
     dcols = list(res.columns)
     drows = res.fetchall()
     assert sorted(scols) == sorted(dcols)
+    # the driver hashes through a pandas fetch, where DuckDB HUGEINT/DECIMAL
+    # become float64 — int-vs-float class drift is a hash mismatch even when
+    # fetchall() values coincide (bit pack_sequences in round 2)
+    assert _type_drift(scols, sdf.dtypes, dcols, list(res.types)) == []
     assert len(srows) == len(drows) > 0
     assert _canon(srows, scols) == _canon(drows, dcols)
+
+
+def test_type_drift_catches_hugeint(duck):
+    """Regression: an un-CAST DuckDB windowed sum() is HUGEINT, which the
+    driver fetches as float64 while Spark emits BIGINT — the exact round-2
+    pack_sequences failure. The local gate must flag it."""
+    from tools.check_oracles import _type_drift
+
+    res = duck.sql(
+        "SELECT doc_id, sum(doc_id) OVER (ORDER BY doc_id) AS cum "
+        "FROM documents LIMIT 5"
+    )
+    drift = _type_drift(
+        ["doc_id", "cum"],
+        [("doc_id", "bigint"), ("cum", "bigint")],
+        list(res.columns),
+        list(res.types),
+    )
+    assert drift == ["cum: spark bigint vs duck float-class"]

@@ -7,6 +7,7 @@ Usage: python tools/check_oracles.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import decimal
 import math
 import sys
 from pathlib import Path
@@ -19,12 +20,28 @@ import __spark_entry__ as entrymod  # noqa: E402
 
 
 def _norm(v):
+    """Canonical string for one value, TYPE-TAGGED for numerics.
+
+    The driver's value hasher fetches results through Arrow/pandas dtypes,
+    so an int64 column on one side and a float64 on the other (e.g. DuckDB
+    HUGEINT from a windowed sum) hash differently even when the printed
+    values coincide ("0" vs "0.0").  Tag floats with ":f" so this local gate
+    reproduces the driver's int-vs-float sensitivity; Decimals normalize to
+    float first (both engines surface DECIMAL aggregates as float64 through
+    the driver's fetch).
+    """
     if v is None:
         return "NULL"
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return f"{v:.9g}"
+            return "NaN:f"
+        return f"{v:.9g}:f"
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, int):
+        return f"{v}:i"
     if hasattr(v, "isoformat"):
         return v.isoformat()
     return str(v)
@@ -33,6 +50,40 @@ def _norm(v):
 def _canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+# How the driver's hasher sees each engine type after the pandas fetch.
+# DuckDB HUGEINT/DECIMAL become float64 through .df() even though
+# fetchall() yields exact Python ints — that asymmetry is exactly the
+# class of bug this check exists to catch (pack_sequences, round 2).
+_SPARK_INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+_SPARK_FLOATING = {"float", "double"}
+
+
+def _duck_class(type_str):
+    t = type_str.upper()
+    if t in {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}:
+        return "int"
+    if t in {"HUGEINT", "UHUGEINT", "FLOAT", "DOUBLE"} or t.startswith("DECIMAL"):
+        return "float"
+    return None
+
+
+def _type_drift(scols, sdtypes, dcols, dtypes):
+    """Columns whose numeric class differs between Spark and the driver's
+    view of the DuckDB result (int64 vs float64 after pandas fetch)."""
+    smap = dict(sdtypes)
+    dmap = {c: _duck_class(str(t)) for c, t in zip(dcols, dtypes)}
+    drift = []
+    for c in scols:
+        st = smap.get(c)
+        dc = dmap.get(c)
+        if st in _SPARK_INTEGRAL and dc == "float":
+            drift.append(f"{c}: spark {st} vs duck float-class")
+        elif st in _SPARK_FLOATING and dc == "int":
+            drift.append(f"{c}: spark {st} vs duck int-class")
+    return drift
 
 
 def main() -> int:
@@ -69,10 +120,18 @@ def main() -> int:
         try:
             res = con.sql(oracles[name])
             dcols = [c for c in res.columns]
+            dtypes = list(res.types)
             drows = res.fetchall()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"✗ {name}: DUCKDB ERROR {type(e).__name__}: {e}")
+            continue
+        drift = _type_drift(scols, sdf.dtypes, dcols, dtypes)
+        if drift:
+            failures.append(name)
+            print(f"✗ {name}: NUMERIC TYPE DRIFT (driver would hash-mismatch)")
+            for d in drift:
+                print(f"    {d}")
             continue
         ok_cols = sorted(scols) == sorted(dcols)
         ok_count = len(srows) == len(drows)
