@@ -938,7 +938,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": r"""
             WITH q AS (
               SELECT doc_id, coalesce(text, '') AS t,
-                     string_split_regex(lower(coalesce(text, '')), '\s+') AS words
+                     string_split_regex(lower(coalesce(text, '')), '[ \t\r\n\f\x0B]+') AS words
               FROM documents
             ),
             f AS (
@@ -1031,7 +1031,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      list_distinct([substr(t, i, 3)
                                     for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS g
-              FROM (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+              FROM (SELECT doc_id, regexp_replace(lower(text), '[ \t\r\n\f\x0B]+', ' ', 'g') AS t
                     FROM documents WHERE length(text) >= 20)
             ),
             ex AS (SELECT doc_id, unnest(g) AS gram FROM sh),
@@ -1072,8 +1072,8 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": r"""
             SELECT doc_id,
                    CASE WHEN length(trim(text)) = 0 THEN 0
-                        ELSE length(string_split_regex(trim(text), '\s+')) END AS n_tokens,
-                   length(regexp_extract_all(text, '(\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+)')) AS n_subtokens
+                        ELSE length(string_split_regex(trim(text), '[ \t\r\n\f\x0B]+')) END AS n_tokens,
+                   length(regexp_extract_all(text, '(\p{L}+|\p{N}+|[^ \t\r\n\f\x0B\p{L}\p{N}]+)')) AS n_subtokens
             FROM documents
         """,
         "language_histogram": r"""
@@ -1130,7 +1130,7 @@ def oracle_sql() -> dict[str, str]:
                      ((doc_id % 2147483648) * 2654435761) % 2147483648 % 8
                        AS shard,
                      CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                          ELSE len(string_split_regex(trim(text), '\s+'))
+                          ELSE len(string_split_regex(trim(text), '[ \t\r\n\f\x0B]+'))
                           END AS BIGINT) AS tokens
               FROM documents
             ),

@@ -30,7 +30,7 @@ def _codepoints_cte(min_len: int, shingle_n: int, table: str = "documents",
     return f"""
 docs AS (
   SELECT {id_col} AS doc_id,
-         regexp_replace(lower({text_col}), '\\s+', ' ', 'g') AS t
+         regexp_replace(lower({text_col}), '[ \t\r\n\f\x0B]+', ' ', 'g') AS t
   FROM {table} WHERE length({text_col}) >= {min_len}
 ),
 cp AS (
@@ -163,7 +163,7 @@ def fingerprint_dupes_sql() -> str:
     (textstats.fingerprint) — md5 exists verbatim in both engines."""
     return r"""
 WITH w AS (
-  SELECT string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words
+  SELECT string_split(regexp_replace(lower(text), '[ \t\r\n\f\x0B]+', ' ', 'g'), ' ') AS words
   FROM documents
 ),
 fp AS (
@@ -195,9 +195,22 @@ def _sql_cosine(a: str, b: str) -> str:
     return f"({_sql_dot(a, b)} / ({_sql_norm(a)} * {_sql_norm(b)} + 1e-12))"
 
 
+def _oracle_hyperplane(dim: int, bit: int) -> list[float]:
+    """Independent re-derivation of the hyperplane spec (NOT imported from
+    operators.similarity, so a transcription bug there cannot leak into the
+    oracle). Spec: seed state = (bit+1) * 0x9E3779B97F4A7C15; per component
+    advance the 64-bit LCG state = state*6364136223846793005 +
+    1442695040888963407 (mod 2^64) and emit (state>>32)/2^31 - 1 ∈ [-1,1)."""
+    state = (bit + 1) * 0x9E3779B97F4A7C15
+    out = []
+    for _ in range(dim):
+        state = (state * 6364136223846793005 + 1442695040888963407) & ((1 << 64) - 1)
+        out.append(((state >> 32) / 2**31) - 1.0)
+    return out
+
+
 def _plane_literal(dim: int, bit: int) -> str:
-    from logunifier_spark.operators.similarity import _hyperplane
-    return "[" + ", ".join(repr(v) for v in _hyperplane(dim, bit)) + "]"
+    return "[" + ", ".join(repr(v) for v in _oracle_hyperplane(dim, bit)) + "]"
 
 
 def ann_lsh_sql(dim: int = 64, k: int = 5, n_bits: int = 10,

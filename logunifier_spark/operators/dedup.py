@@ -31,6 +31,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from logunifier_spark.operators.textstats import ASCII_WS
+
 def fan_out(df: DataFrame, divisor: int = 1) -> DataFrame:
     """Small corpora (one parquet file) scan as ONE task, so a pandas-UDF
     stage runs on one core no matter the cluster size. Fan the input out to
@@ -63,7 +65,9 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 # -------------------------------------------------------------- shingles ---
 
 def _normalize(text: Column) -> Column:
-    return F.regexp_replace(F.lower(text), r"\s+", " ")
+    # explicit ASCII class == Java \s; keeps Spark/pandas/DuckDB tokenization
+    # identical for the value-hash gate (see textstats.ASCII_WS)
+    return F.regexp_replace(F.lower(text), ASCII_WS + "+", " ")
 
 
 def char_shingles(text: Column, n: int = 5) -> Column:
@@ -212,7 +216,7 @@ def minhash_signature_udf(num_hashes: int = 64, shingle_n: int = 5):
     @pandas_udf("array<long>")
     def _sig(text: pd.Series) -> pd.Series:
         norm = (text.fillna("").str.lower()
-                    .str.replace(r"\s+", " ", regex=True)
+                    .str.replace(ASCII_WS + "+", " ", regex=True)
                     .str.encode("utf-32-le"))
         grams_per_row = _gram_hashes(norm, shingle_n)
         lens = np.fromiter(map(len, grams_per_row), dtype=np.int64,
@@ -236,19 +240,23 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 64,
                       bands: int = 16, shingle_n: int = 5,
                       threshold: float = 0.7,
-                      max_bucket: int | None = None) -> DataFrame:
+                      max_bucket: int | None = 10_000) -> DataFrame:
     """Candidate near-duplicate pairs via banded minhash LSH, verified by
     signature agreement (estimate of Jaccard). Returns (id_a, id_b, sim).
 
-    `max_bucket` (off by default — the driver oracle runs the exact
-    banding) caps the per-(band, bucket) population used for candidate
-    generation. On corpora with a high similarity floor (templated logs),
-    a single bucket can hold thousands of docs — sf0.1 bench: one bucket
-    of 1170 docs generates 684k of the 2.3M raw candidates AND pins one
-    join task (a bucket's pair explosion is a single join key, which AQE
-    skew-splitting cannot divide). A pair is lost only if ALL its shared
-    bands are hot; at the cap's scale those docs are boilerplate-identical
-    and better collapsed by exact_dedup first."""
+    `max_bucket` (ON by default at 10k, matching simhash_pairs; pass None
+    for the exact banding) caps the per-(band, bucket) population used for
+    candidate generation. On corpora with a high similarity floor
+    (templated logs), a single bucket can hold thousands of docs — sf0.1
+    bench: one bucket of 1170 docs generates 684k of the 2.3M raw
+    candidates AND pins one join task (a bucket's pair explosion is a
+    single join key, which AQE skew-splitting cannot divide); at 100 TB an
+    uncapped hot bucket is the scale-killer. A pair is lost only if ALL
+    its shared bands are hot; at the cap's scale those docs are
+    boilerplate-identical and better collapsed by exact_dedup first.
+    Callers needing the exact pigeonhole guarantee opt out with
+    max_bucket=None explicitly (default flipped in round 3 — see
+    CHANGES_r03.md)."""
     rows_per_band = num_hashes // bands
     sig = (fan_out(df, divisor=2)
            .select(F.col(id_col).alias("id"),
@@ -340,7 +348,7 @@ def simhash_udf(shingle_n: int = 4):
     @pandas_udf("long")
     def _sim(text: pd.Series) -> pd.Series:
         norm = (text.fillna("").str.lower()
-                    .str.replace(r"\s+", " ", regex=True)
+                    .str.replace(ASCII_WS + "+", " ", regex=True)
                     .str.encode("utf-32-le"))
         grams_per_row = _gram_pairs(norm, shingle_n)
         lens = np.fromiter(map(len, grams_per_row), dtype=np.int64,
@@ -366,8 +374,20 @@ def simhash_udf(shingle_n: int = 4):
     return _sim
 
 
-# back-compat alias (pre-portable name)
-simhash64_udf = simhash_udf
+def simhash64_udf(shingle_n: int = 4):
+    """DEPRECATED alias for :func:`simhash_udf`. Since round 2 this
+    produces 60-bit Horner-mod-p hashes, NOT the round-1 64-bit fmix64
+    hashes the name promises — signatures or block buckets persisted from
+    the old family are silently incompatible and must be recomputed. New
+    code should call simhash_udf directly (see CHANGES_r03.md)."""
+    import warnings
+
+    warnings.warn(
+        "simhash64_udf is a deprecated alias for simhash_udf and now emits "
+        "60-bit portable hashes; round-1 64-bit signatures are incompatible "
+        "— recompute persisted signatures/buckets",
+        DeprecationWarning, stacklevel=2)
+    return simhash_udf(shingle_n)
 
 
 def simhash64(text: Column, shingle_n: int = 4) -> Column:

@@ -17,8 +17,6 @@ for downstream per-conversation work.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -142,9 +140,26 @@ def write_sinks_iceberg(df: DataFrame, table: str,
         writer.create()
 
 
+def _list_sink_dirs(spark, base_path: str) -> dict[str, str]:
+    """Enumerate `sink=<name>` partition directories under base_path via
+    the Hadoop FileSystem API — resolves the scheme from the path itself,
+    so the same call works on local FS, HDFS, and object stores (s3a://,
+    gs://, abfss://), unlike os.listdir."""
+    jvm = spark._jvm  # noqa: SLF001
+    jpath = jvm.org.apache.hadoop.fs.Path(base_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    out = {}
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("sink="):
+            out[name[len("sink="):]] = st.getPath().toString()
+    return out
+
+
 def write_sinks(df: DataFrame, base_path: str, mode: str = "overwrite",
                 file_format: str = "parquet") -> dict[str, str]:
     """Fan out to one table per sink, partitioned by route_partition.
+    Returns {sink: path} for exactly the sinks THIS write produced.
 
     One pass over the data: partitionBy(sink, route_partition) gives the
     per-sink directory layout without N separate jobs. On an Iceberg-enabled
@@ -157,19 +172,24 @@ def write_sinks(df: DataFrame, base_path: str, mode: str = "overwrite",
     (tasks × sinks × route partitions small files — measured 507 files for
     5k rows on 8 tasks); with it each output partition is written by one
     task and the file count equals the distinct partition count.
-    """
-    (df.repartition(F.col("sink"), F.col("route_partition"))
+
+    Sink enumeration: a select("sink").distinct() after the fact would
+    re-execute the entire upstream plan (dedup shuffle, parse UDF, enrich,
+    routing) a second time, so the sink set is captured with an Observation
+    riding the write job itself (collect_set over a tiny domain — no extra
+    job, no recompute), then matched to the on-disk partition directories
+    via the Hadoop FileSystem API. Under mode="append" this keeps the
+    returned map honest: directories left by earlier runs that this
+    DataFrame never wrote are excluded."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = df.observe(obs, F.collect_set("sink").alias("sinks"))
+    (observed.repartition(F.col("sink"), F.col("route_partition"))
        .write.mode(mode)
        .partitionBy("sink", "route_partition")
        .format(file_format)
        .save(base_path))
-    # enumerate sinks from the written directory layout — a
-    # select("sink").distinct() here would re-execute the entire upstream
-    # plan (dedup shuffle, parse UDF, enrich, routing) a second time just to
-    # list directory names; the partitionBy layout already has them on disk.
-    # (On an object store / HDFS deployment, swap os.listdir for the Hadoop
-    # FileSystem API or read the sink domain off the pattern_labels dim.)
-    sinks = sorted(
-        d[len("sink="):] for d in os.listdir(base_path)
-        if d.startswith("sink=") and os.path.isdir(os.path.join(base_path, d)))
-    return {s: os.path.join(base_path, f"sink={s}") for s in sinks}
+    written = set(obs.get["sinks"])
+    listed = _list_sink_dirs(df.sparkSession, base_path)
+    return {s: p for s, p in sorted(listed.items()) if s in written}

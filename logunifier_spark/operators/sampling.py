@@ -69,7 +69,8 @@ def mixture_sample(df: DataFrame, rates: dict[str, float],
 
 
 def pack_sequences(df: DataFrame, budget: int, tokens_col: Column | None = None,
-                   id_col: str = "doc_id", n_shards: int = 64) -> DataFrame:
+                   id_col: str = "doc_id",
+                   n_shards: int | None = None) -> DataFrame:
     """Concat-and-chunk sequence packing (the standard LLM-pretraining
     layout): documents are laid end-to-end in deterministic (shard, id)
     order and cut into fixed `budget`-token context windows; a document
@@ -81,10 +82,23 @@ def pack_sequences(df: DataFrame, budget: int, tokens_col: Column | None = None,
     parallel sorts instead of one global one, and pack ids are stable
     (shard, pack) composites independent of cluster layout.
 
+    `n_shards` BOUNDS the parallelism: each shard is one window-sort
+    partition, so a fixed small count would leave a 1000-executor cluster
+    idle and make each shard one giant external sort. The default is
+    therefore adaptive — max(64, input scan partitions) — sized with the
+    data while staying deterministic for a given input layout. Pass an
+    explicit n_shards when the pack layout itself must be reproducible
+    across differently-partitioned reads of the same corpus (the driver
+    query and its oracle both pin n_shards=8).
+
     Returns (id, shard, tokens, start_offset, first_pack, last_pack) where
     offsets are within-shard token positions."""
     from logunifier_spark.operators.textstats import token_count
     tokens = tokens_col if tokens_col is not None else token_count(F.col("text"))
+    if n_shards is None:
+        # plan-time metadata only (no job): scan partition count tracks
+        # input bytes via maxPartitionBytes, so shard count scales with data
+        n_shards = max(64, df.rdd.getNumPartitions())
     shard = _portable_hash(F.col(id_col)) % n_shards
     w = (Window.partitionBy("shard").orderBy(id_col)
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))

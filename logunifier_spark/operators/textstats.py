@@ -8,6 +8,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Canonical tokenization whitespace: an EXPLICIT ASCII class, identical
+# across the three regex engines that must agree for the value-hash gate —
+# Java regex (Spark native), Python re (pandas UDFs), RE2 (DuckDB oracles).
+# A bare `\s` is engine-specific: Java's is exactly this set, Python's is
+# Unicode-wide (matches NBSP etc.), RE2's lacks \x0B — so a document with
+# non-ASCII whitespace would tokenize differently per engine and silently
+# break minhash/simhash/fingerprint/token-count parity (ADVICE r2).
+ASCII_WS = r"[ \t\r\n\f\x0B]"
+
 # tiny per-language stopword marker sets (n-gram heuristic)
 _LANG_MARKERS = {
     "en": ["the", "and", "of", "to", "is", "in", "that", "it", "was", "for"],
@@ -37,14 +46,15 @@ def token_count(text: Column) -> Column:
     """Whitespace token count."""
     t = F.trim(text)
     return F.when(F.length(t) == 0, F.lit(0)).otherwise(
-        F.size(F.split(t, r"\s+")))
+        F.size(F.split(t, ASCII_WS + "+")))
 
 
 def bpe_ish_token_count(text: Column) -> Column:
     """BPE-ish regex segmentation count: word pieces, numbers, punctuation
     runs (a deterministic proxy for subword tokenizers)."""
+    # the negated class spells out ASCII_WS (can't nest a class literal)
     return F.size(F.regexp_extract_all(
-        text, F.lit(r"(\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+)"), 0))
+        text, F.lit(r"(\p{L}+|\p{N}+|[^ \t\r\n\f\x0B\p{L}\p{N}]+)"), 0))
 
 
 def quality_score(text: Column) -> Column:
@@ -52,7 +62,7 @@ def quality_score(text: Column) -> Column:
     ratio, alpha ratio — the standard pretraining-filter features."""
     t = F.coalesce(text, F.lit(""))
     n_chars = F.length(t)
-    words = F.split(F.lower(t), r"\s+")
+    words = F.split(F.lower(t), ASCII_WS + "+")
     n_words = F.size(words)
     alpha = F.length(F.regexp_replace(t, r"[^\p{L}]", ""))
     punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
@@ -73,7 +83,7 @@ def fingerprint(text: Column, window: int = 8) -> Column:
     behavior (min over a uniform hash), but md5 exists verbatim in other
     engines, so the duplicate-set output carries an independent DuckDB
     value-hash oracle instead of a rows-only check."""
-    words = F.split(F.regexp_replace(F.lower(text), r"\s+", " "), " ")
+    words = F.split(F.regexp_replace(F.lower(text), ASCII_WS + "+", " "), " ")
     k = F.greatest(F.size(words) - 3, F.lit(1))
     grams = F.transform(F.sequence(F.lit(0), k - 1),
                         lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, 4))))

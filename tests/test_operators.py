@@ -234,6 +234,28 @@ def test_write_sinks_single_pass(spark, tmp_path):
     assert total == 200
 
 
+def test_write_sinks_append_only_reports_this_write(spark, tmp_path):
+    # append mode: the returned map reflects what THIS DataFrame wrote, not
+    # every sink=* directory accumulated on disk (ADVICE r2); sink names are
+    # captured by an Observation riding the write job — no upstream recompute
+    from logunifier_spark.fixtures import synth_transcripts
+    from logunifier_spark.operators.enrich import default_pattern_labels
+    from logunifier_spark.operators.route import write_sinks
+    from logunifier_spark.pipeline import unify
+    base = str(tmp_path / "out")
+    u = unify(synth_transcripts(spark, 200),
+              pattern_labels=default_pattern_labels(spark)).drop("loki_labels")
+    all_sinks = set(write_sinks(u, base))
+    assert len(all_sinks) >= 2
+    one = sorted(all_sinks)[0]
+    second = write_sinks(u.where(F.col("sink") == one), base, mode="append")
+    assert set(second) == {one}
+    # the other sinks' directories still exist on disk but were not written
+    import os
+    on_disk = {d[len("sink="):] for d in os.listdir(base) if d.startswith("sink=")}
+    assert on_disk == all_sinks
+
+
 def test_iceberg_path_gated(spark):
     # the writeTo plan is constructed for real; the capability gate raises
     # an actionable error in this sandbox (no Iceberg runtime jar) instead
@@ -307,6 +329,27 @@ def test_sampling_operators(spark):
         by_shard[r["shard"]] = prev + r["tokens"]
         assert r["first_pack"] == r["start_offset"] // 128
         assert r["last_pack"] >= r["first_pack"]
+
+
+def test_pack_sequences_shard_scaling(spark):
+    # n_shards bounds window-sort parallelism; the packing invariants must
+    # hold at any shard count, total token mass is shard-invariant, and the
+    # adaptive default sizes shards with the input (>= 64 floor)
+    from logunifier_spark.operators.sampling import pack_sequences
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    totals = {}
+    for n in (4, 16):
+        rows = pack_sequences(d, budget=128, n_shards=n).collect()
+        assert {r["shard"] for r in rows} <= set(range(n))
+        by_shard = {}
+        for r in sorted(rows, key=lambda r: (r["shard"], r["doc_id"])):
+            assert r["start_offset"] == by_shard.get(r["shard"], 0)
+            by_shard[r["shard"]] = r["start_offset"] + r["tokens"]
+        totals[n] = sum(r["tokens"] for r in rows)
+    assert totals[4] == totals[16] > 0
+    auto = pack_sequences(d, budget=128)
+    n_auto = auto.select(F.max("shard")).first()[0]
+    assert n_auto < max(64, d.rdd.getNumPartitions())
 
 
 def test_health_check(spark, tmp_path):
