@@ -145,6 +145,14 @@ def q_sink_counts(spark, sf_dir):
     return u.groupBy("sink").agg(F.count("*").alias("routed_rows"))
 
 
+def q_sink_bytes(spark, sf_dir):
+    """A2/A3 batch-size accounting parity: per-sink payload bytes
+    (batch.go:113-123 sizeBytes) next to the routed-row count."""
+    _ship(spark)
+    from logunifier_spark.operators.aggregate import sink_bytes
+    return sink_bytes(_unified(spark, sf_dir))
+
+
 def q_routed_messages(spark, sf_dir):
     u = _unified(spark, sf_dir)
     return u.select("conv_id", "turn_idx", "message")
@@ -667,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pattern_histogram": q_pattern_histogram,
         "level_histogram": q_level_histogram,
         "sink_counts": q_sink_counts,
+        "sink_bytes": q_sink_bytes,
         "routed_messages": q_routed_messages,
         "parsed_timestamps": q_parsed_timestamps,
         "emoji_histogram": q_emoji_histogram,
@@ -745,6 +754,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sink_counts": f"""
             SELECT {_SQL_EXPECTED_SINK} AS sink, count(*) AS routed_rows
+            FROM events GROUP BY 1
+        """,
+        # strlen = BYTE length in DuckDB (messages are ASCII here, but the
+        # operator uses octet_length for UTF-8 parity with Go's len());
+        # CAST: DuckDB sum(BIGINT) is HUGEINT → float64 at the driver
+        "sink_bytes": f"""
+            SELECT {_SQL_EXPECTED_SINK} AS sink, count(*) AS routed_rows,
+                   CAST(sum(strlen({_SQL_EXPECTED_MESSAGE})) AS BIGINT)
+                     AS payload_bytes
             FROM events GROUP BY 1
         """,
         "routed_messages": f"""

@@ -31,10 +31,26 @@ def level_histogram(df: DataFrame) -> DataFrame:
 
 def stream_counts(df: DataFrame) -> DataFrame:
     """Entries per canonical label-stream key (A1), plus byte accounting
-    analog of batch.go:114-127 (sum of line lengths)."""
+    analog of batch.go:114-127 (sum of line BYTE lengths — octet_length,
+    matching Go's len() on a UTF-8 string)."""
     return (df.groupBy("stream_key")
               .agg(F.count("*").alias("entries"),
-                   F.sum(F.length(F.coalesce(F.col("message"), F.lit("")))).alias("line_bytes")))
+                   F.sum(F.octet_length(F.coalesce(F.col("message"), F.lit("")))).alias("line_bytes")))
+
+
+def sink_bytes(df: DataFrame) -> DataFrame:
+    """(sink, routed_rows, payload_bytes) — A2/A3 batch-size accounting
+    parity: the reference sizes Loki batches by summed entry line bytes
+    (/root/reference/pkg/clients/lokiclient/batch.go:113-123, sizeBytes /
+    sizeBytesAfter gate the flush at BatchSize; age() gates on BatchWait).
+    Batch flush timing itself is a no-op under Spark's bulk execution
+    model, but the accounting surface — bytes routed per sink — is the
+    reference metric users actually read, so it ships as a first-class
+    map-side-combinable aggregate."""
+    return df.groupBy("sink").agg(
+        F.count("*").alias("routed_rows"),
+        F.sum(F.octet_length(F.coalesce(F.col("message"), F.lit(""))))
+         .alias("payload_bytes"))
 
 
 def error_counts(df: DataFrame) -> DataFrame:

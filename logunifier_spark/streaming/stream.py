@@ -6,9 +6,15 @@ Streaming:
   - at-least-once + dedup window  → withWatermark + dropDuplicates on
     (conv_id, turn_idx) (JetStream 5-min duplicate window,
     streamcfg.go:30)
-  - late data ("entry too far behind" → terminated,
-    lokishipper.go:183-188) → rows older than the watermark are diverted
-    to a dead-letter count rather than shipped
+  - late data ("entry too far behind" → terminate + log the lost entry,
+    lokishipper.go:183-188) → rows older than the watermark are dropped
+    by the stateful dedup operator before the sink, and COUNTED: Spark
+    records every such drop in the per-batch progress as
+    stateOperators[].numRowsDroppedByWatermark, which
+    `dead_letter_count(query)` folds into the lost-entry total (surfaced
+    by checkpoint.health_check under "streams"). Same observable
+    semantics as the reference — the entry is not shipped and the loss is
+    accounted — without a second pass over the data.
   - checkpoint/resume (durable consumers, streamcfg.go:42-47)
     → checkpointLocation
   - backpressure (MaxAckPending 32768) → maxFilesPerTrigger /
@@ -68,3 +74,21 @@ def stream_unify(
     else:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dead_letter_count(query) -> int:
+    """Lost-entry count for a streaming query handle: total rows dropped
+    because they arrived older than the watermark (the reference's "entry
+    too far behind" terminate-and-log path, lokishipper.go:183-188).
+
+    Reads the numRowsDroppedByWatermark state-operator metric from the
+    query's progress history — zero extra jobs, exact per-batch accounting,
+    valid on both live and terminated handles. recentProgress is a ring
+    buffer (spark.sql.streaming.numRecentProgressUpdates, default 100
+    batches); for a long-lived query, fold this per-progress-event from a
+    StreamingQueryListener instead of polling the handle."""
+    total = 0
+    for p in query.recentProgress:
+        for op in p.get("stateOperators", []):
+            total += int(op.get("numRowsDroppedByWatermark", 0))
+    return total

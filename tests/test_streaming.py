@@ -49,6 +49,49 @@ def test_stream_unify_and_resume(spark, tmp_path):
     assert out2.dropDuplicates(["conv_id", "turn_idx"]).count() == 30
 
 
+def test_late_rows_dead_lettered_not_shipped(spark, tmp_path):
+    """Reference semantics for 'entry too far behind' (lokishipper.go:
+    183-188: terminate + log the lost entry): a row older than the
+    checkpoint-recovered watermark is NOT shipped to the sink and IS
+    counted by dead_letter_count / health_check."""
+    from logunifier_spark.checkpoint import health_check
+    from logunifier_spark.schema import TRANSCRIPT_SCHEMA
+    from logunifier_spark.streaming.stream import (
+        dead_letter_count,
+        read_transcript_stream,
+        stream_unify,
+    )
+    src = str(tmp_path / "in")
+    sink = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1 advances the watermark to BASE_TS - 5 min (persisted in ckpt)
+    _write_batch(spark, src, "a", 10)
+    q = stream_unify(read_transcript_stream(spark, src), sink, ckpt)
+    q.awaitTermination(240)
+    assert dead_letter_count(q) == 0
+
+    # batch 2: one fresh row + one row 10 min behind the watermark
+    late_ts = BASE_TS - datetime.timedelta(minutes=10)
+    rows = [("fresh0", 100, "agent",
+             "2023-03-20 14:27:28,296 WARNING evt 100", "tslevelmsg", BASE_TS),
+            ("late0", 101, "agent",
+             "2023-03-20 14:27:28,296 WARNING evt 101", "tslevelmsg", late_ts)]
+    (spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+          .coalesce(1).write.mode("append").parquet(src))
+    q2 = stream_unify(read_transcript_stream(spark, src), sink, ckpt)
+    # health_check sees the live query's dead-letter total
+    h = health_check(spark)
+    assert "dead_letter_rows" in h["details"]["streams"]
+    q2.awaitTermination(240)
+
+    out = spark.read.parquet(sink)
+    convs = {r["conv_id"] for r in out.select("conv_id").distinct().collect()}
+    assert "fresh0" in convs and "late0" not in convs   # late row not shipped
+    assert out.count() == 11
+    assert dead_letter_count(q2) == 1                   # ...and accounted
+
+
 def test_stateful_reassembly_across_batches_and_restart(spark, tmp_path):
     """applyInPandasWithState multi-part reassembly: fragments of one
     message arrive in different micro-batches AND across a full query
