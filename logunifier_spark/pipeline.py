@@ -97,10 +97,10 @@ def _dedup_turns(df: DataFrame, keys: list[str] | None = None,
     hash-aggregable, so Spark plans SortAggregate (measured 57% of the
     end-to-end job). Instead:
 
-      1. count rows per key — a NARROW hash aggregate (long buffer) whose
-         shuffle carries only (conv_id, turn_idx, count),
-      2. broadcast the (normally tiny) set of keys that actually have
-         duplicates,
+      1. count rows per 64-bit KEY-HASH — a NARROW hash aggregate (long
+         key, long buffer) whose shuffle carries only (key_hash, count),
+      2. broadcast the (normally tiny) set of key-hashes that actually
+         have duplicates,
       3. pass every clean row through UNSHUFFLED via broadcast anti-join,
       4. dedupe only the duplicate subset with a deterministic
          max-payload-hash winner.
@@ -122,14 +122,27 @@ def _dedup_turns(df: DataFrame, keys: list[str] | None = None,
     triples do. If duplicates are pathologically common the broadcast is
     the limit — callers with adversarial inputs should pre-filter."""
     keys = keys or ["conv_id", "turn_idx"]
-    dup_keys = (df.groupBy(*keys).agg(F.count("*").alias("_n"))
-                  .where(F.col("_n") > 1).select(*keys))
+    # The duplicate FILTER runs on a 64-bit hash of the key tuple, not the
+    # key columns: the count aggregate then hashes/compares longs instead
+    # of strings and the exchange carries 8 B/row instead of the full key
+    # (at 10^12 turns that is the difference between shuffling ~8 TB and
+    # ~100+ TB of key material). Collisions are harmless — the hash is
+    # only a routing filter, never the dedup identity: a clean row whose
+    # key-hash collides with a genuine duplicate's merely takes the
+    # winners path, where the aggregate groups by the TRUE key columns
+    # and passes it through intact (expected extra rows at 10^12 inputs:
+    # n²/2^65 ≈ tens of thousands — noise).
+    kh = F.xxhash64(*[F.col(k) for k in keys])
+    dup_hashes = (df.select(kh.alias("_kh")).groupBy("_kh")
+                    .agg(F.count("*").alias("_n"))
+                    .where(F.col("_n") > 1).select("_kh"))
     if probe is None:
         probe = _is_file_backed(df)
-    if probe and dup_keys.isEmpty():
+    if probe and dup_hashes.isEmpty():
         return df
-    clean = df.join(F.broadcast(dup_keys), keys, "left_anti")
-    dups = df.join(F.broadcast(dup_keys), keys, "left_semi")
+    dfh = df.withColumn("_kh", kh)
+    clean = dfh.join(F.broadcast(dup_hashes), "_kh", "left_anti")
+    dups = dfh.join(F.broadcast(dup_hashes), "_kh", "left_semi")
     others = [c for c in df.columns if c not in keys]
     pick = F.xxhash64(*[F.col(c) for c in df.columns])
     winners = (dups.groupBy(*keys)
@@ -137,7 +150,7 @@ def _dedup_turns(df: DataFrame, keys: list[str] | None = None,
                          .alias("_s"))
                    .select(*keys, "_s.*")
                    .select(*df.columns))
-    return clean.unionByName(winners)
+    return clean.select(*df.columns).unionByName(winners)
 
 
 def unify(
