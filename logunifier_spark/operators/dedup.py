@@ -236,11 +236,31 @@ def minhash_signature_udf(num_hashes: int = 64, shingle_n: int = 5):
     return _sig
 
 
+def _input_bytes_estimate(df: DataFrame) -> int:
+    """Catalyst's size estimate of the optimized plan (file sources report
+    real on-disk bytes; unknown sources report defaultSizeInBytes ≈ 2^63,
+    which conservatively disables any small-input fast path)."""
+    try:
+        # py4j converts the scala BigInt to a Python int directly
+        return int(df._jdf.queryExecution().optimizedPlan()  # noqa: SLF001
+                     .stats().sizeInBytes())
+    except Exception:  # noqa: BLE001
+        return 1 << 62
+
+
+# Broadcast the signature table into the verify joins when the INPUT is
+# estimated under this many bytes (~250k docs of ~2 KB text → a ~70 MB
+# int32 signature broadcast). Above it, signatures stay a shuffled join
+# side — at 10^9+ docs a broadcast is impossible.
+_SIG_BROADCAST_INPUT_BYTES = 512 * 1024 * 1024
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 64,
                       bands: int = 16, shingle_n: int = 5,
                       threshold: float = 0.7,
-                      max_bucket: int | None = 10_000) -> DataFrame:
+                      max_bucket: int | None = 10_000,
+                      broadcast_sigs: bool | None = None) -> DataFrame:
     """Candidate near-duplicate pairs via banded minhash LSH, verified by
     signature agreement (estimate of Jaccard). Returns (id_a, id_b, sim).
 
@@ -256,12 +276,26 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     boilerplate-identical and better collapsed by exact_dedup first.
     Callers needing the exact pigeonhole guarantee opt out with
     max_bucket=None explicitly (default flipped in round 3 — see
-    CHANGES_r03.md)."""
+    CHANGES_r03.md).
+
+    `broadcast_sigs` (default auto from the input's Catalyst size stats):
+    when the signature table is small enough to broadcast, the two
+    verify joins become broadcast hash joins and the candidate-pair frame
+    — the LARGE side on similarity-floor corpora (sf0.1: 1.3M pairs from
+    5k docs) — flows through with NO exchange, instead of being shuffled
+    twice carrying an attached signature per row. At billions of docs the
+    auto path keeps the shuffled join."""
     rows_per_band = num_hashes // bands
+    if broadcast_sigs is None:
+        broadcast_sigs = _input_bytes_estimate(df) < _SIG_BROADCAST_INPUT_BYTES
     sig = (fan_out(df, divisor=2)
            .select(F.col(id_col).alias("id"),
                    minhash_signature_udf(num_hashes, shingle_n)(
                        F.col(text_col)).alias("sig")))
+    # minhash values live in [0, 2^31): int32 exactly represents them, so
+    # the signature column is packed to array<int> — halves every byte the
+    # verify joins move, with bit-identical agreement semantics
+    sig = sig.withColumn("sig", F.col("sig").cast("array<int>"))
     # materialize signatures once: the plan references sig three times
     # (banding + two candidate-pair re-joins) and Spark would otherwise
     # re-scan the text and re-run the UDF per reference. At scale this
@@ -302,11 +336,19 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
               .dropDuplicates(["id_a", "id_b"]))
 
     sigs = with_buckets.select("id", "sig")
-    pairs = (cand
-             .join(sigs.select(F.col("id").alias("id_a"),
-                               F.col("sig").alias("sig_a")), "id_a")
-             .join(sigs.select(F.col("id").alias("id_b"),
-                               F.col("sig").alias("sig_b")), "id_b"))
+    side_a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    side_b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    if broadcast_sigs:
+        side_a, side_b = F.broadcast(side_a), F.broadcast(side_b)
+    pairs = cand.join(side_a, "id_a").join(side_b, "id_b")
+    # Position agreement stays zip_with+filter DELIBERATELY: an explicit
+    # num_hashes-term sum of element_at comparisons looks codegen-friendly
+    # but measured a consistent 5× SLOWER end-to-end (16.1 vs 3.1 s at
+    # sf0.1, interleaved min-of-3) — the ~400-node expression lands in the
+    # fused join stage's generated method, which blows the JIT method-size
+    # budget and drops the whole stage to deoptimized bytecode. The
+    # interpreted higher-order function costs ~17 ns/element and never
+    # poisons the surrounding stage.
     agree = F.size(F.filter(
         F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
         lambda v: v == 1))
