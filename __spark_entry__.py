@@ -384,6 +384,58 @@ def q_multiline_reassembly(spark, sf_dir):
     return reassemble_partials(df).select("message", "svc")
 
 
+def q_docker_parse(spark, sf_dir):
+    """S9: vector-docker ingress (the reference's dormant converter,
+    dockerlogs/docker.go:1-116) — task-name/container-name pattern-key
+    precedence, the keycloak/nexus/connect-proxy-*/*postgres dispatch
+    rules, parse-with-defaults ts/level, container identity + indexed
+    nomad labels, ingress/used_pattern entry labels, corrupt-JSON
+    tolerance."""
+    _ship(spark)
+    from logunifier_spark.sources.dockerlogs import docker_to_ecs
+    e = _load(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    m = F.pmod(eid, F.lit(6))
+    iso = F.date_format(F.col("ts").cast("timestamp"),
+                        "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    task = (F.when(m == 0, F.lit("keycloak"))
+             .when(m == 1, F.lit(""))
+             .when(m == 2, F.lit("connect-proxy-web"))
+             .when(m == 3, F.lit("apppostgres"))
+             .otherwise(F.lit("mysvc")))
+    cname = F.when(m == 1, F.lit("nexus")).otherwise(
+        F.concat(F.lit("cnt"), F.pmod(eid, F.lit(5))))
+    msg = F.when(m == 0, F.concat(
+        F.lit("2023-03-20 14:27:28,296 WARNING evt "), eid)).otherwise(
+        F.concat(F.lit("evt "), eid))
+    raw = F.when(m == 5, F.lit("{corrupt")).otherwise(F.concat(
+        F.lit('{"container_created_at":"'), iso,
+        F.lit('","container_id":"c'), F.pmod(eid, F.lit(7)),
+        F.lit('","container_name":"'), cname,
+        F.lit('","host":"h'), F.pmod(eid, F.lit(13)),
+        F.lit('","image":"img:'), F.pmod(eid, F.lit(3)),
+        F.lit('","label":{"com.hashicorp.nomad.job_name":"job'),
+        F.pmod(eid, F.lit(4)),
+        F.lit('","com.hashicorp.nomad.task_group_name":"tg'),
+        F.pmod(eid, F.lit(3)),
+        F.lit('","com.hashicorp.nomad.task_name":"'), task,
+        F.lit('","com.hashicorp.nomad.namespace":"ns"},"message":"'), msg,
+        F.lit('","source_type":"docker","stream":"stdout","timestamp":"'),
+        iso, F.lit('"}')))
+    d = docker_to_ecs(e.select(eid, raw.alias("raw")), keep=("event_id",))
+    return d.select(
+        "event_id", "id",
+        F.date_format("timestamp", "yyyy-MM-dd HH:mm:ss.SSS").alias("ts_str"),
+        "message", "log_level", "container_name", "container_image",
+        "host_name",
+        F.element_at("labels", "used_pattern").alias("used_pattern"),
+        F.element_at("container_labels", "task").alias("task_label"),
+        F.element_at("container_labels", "stack_name").alias("stack_label"),
+        "tags",
+        F.col("process_error_reason").alias("perr"),
+    )
+
+
 def q_journald_parse(spark, sf_dir):
     """P1/P12-P14/P9: journald JSON envelope — priority→level map, facility→
     job-type map, nomad/container/systemd service-name precedence, ANSI
@@ -693,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_stats": q_event_type_stats,
         # pipeline sources / stateful ops
         "multiline_reassembly": q_multiline_reassembly,
+        "docker_parse": q_docker_parse,
         "journald_parse": q_journald_parse,
         "dedup_turns": q_dedup_turns,
         "line_limit": q_line_limit,
@@ -755,6 +808,68 @@ def oracle_sql() -> dict[str, str]:
         "sink_counts": f"""
             SELECT {_SQL_EXPECTED_SINK} AS sink, count(*) AS routed_rows
             FROM events GROUP BY 1
+        """,
+        # S9 docker ingress: every output reconstructed from the generating
+        # columns; id = sha256 of the byte-identical rebuilt raw JSON
+        "docker_parse": """
+            WITH t AS (
+              SELECT event_id, (event_id % 6) AS m,
+                     strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS iso,
+                     CASE (event_id % 6)
+                       WHEN 0 THEN 'keycloak' WHEN 1 THEN ''
+                       WHEN 2 THEN 'connect-proxy-web'
+                       WHEN 3 THEN 'apppostgres' ELSE 'mysvc' END AS task,
+                     CASE WHEN (event_id % 6) = 1 THEN 'nexus'
+                          ELSE 'cnt' || (event_id % 5) END AS cname,
+                     CASE WHEN (event_id % 6) = 0
+                          THEN '2023-03-20 14:27:28,296 WARNING evt ' || event_id
+                          ELSE 'evt ' || event_id END AS msg,
+                     ts
+              FROM events
+            ),
+            r AS (
+              SELECT *,
+                CASE WHEN m = 5 THEN '{corrupt' ELSE
+                  '{"container_created_at":"' || iso ||
+                  '","container_id":"c' || (event_id % 7) ||
+                  '","container_name":"' || cname ||
+                  '","host":"h' || (event_id % 13) ||
+                  '","image":"img:' || (event_id % 3) ||
+                  '","label":{"com.hashicorp.nomad.job_name":"job' || (event_id % 4) ||
+                  '","com.hashicorp.nomad.task_group_name":"tg' || (event_id % 3) ||
+                  '","com.hashicorp.nomad.task_name":"' || task ||
+                  '","com.hashicorp.nomad.namespace":"ns"},"message":"' || msg ||
+                  '","source_type":"docker","stream":"stdout","timestamp":"' ||
+                  iso || '"}'
+                END AS raw
+              FROM t
+            )
+            SELECT event_id, sha256(raw) AS id,
+                   CASE WHEN m = 5 THEN NULL
+                        WHEN m = 0 THEN '2023-03-20 14:27:28.296'
+                        ELSE strftime(ts, '%Y-%m-%d %H:%M:%S.%g') END AS ts_str,
+                   CASE WHEN m = 5 THEN '' ELSE msg END AS message,
+                   CASE m WHEN 0 THEN 'warn' WHEN 5 THEN 'fatal'
+                          ELSE 'unknown' END AS log_level,
+                   CASE WHEN m = 5 THEN '' ELSE cname END AS container_name,
+                   CASE WHEN m = 5 THEN ''
+                        ELSE 'img:' || (event_id % 3) END AS container_image,
+                   CASE WHEN m = 5 THEN ''
+                        ELSE 'h' || (event_id % 13) END AS host_name,
+                   CASE m WHEN 5 THEN NULL
+                          WHEN 0 THEN 'KeyCloakPattern'
+                          WHEN 1 THEN 'CommonUtcPatternWithCommaTsAndTz'
+                          WHEN 2 THEN 'ConsulConnectPattern'
+                          WHEN 3 THEN 'ConsulConnectPattern'
+                          ELSE 'CommonPattern' END AS used_pattern,
+                   CASE WHEN m = 5 THEN NULL
+                        WHEN m = 1 THEN 'nexus' ELSE task END AS task_label,
+                   CASE WHEN m = 5 THEN NULL
+                        ELSE 'job' || (event_id % 4) END AS stack_label,
+                   CASE WHEN m = 5 THEN NULL ELSE ['docker'] END AS tags,
+                   CASE WHEN m = 5 THEN 'can''t unmarshal docker json'
+                        END AS perr
+            FROM r
         """,
         # strlen = BYTE length in DuckDB (messages are ASCII here, but the
         # operator uses octet_length for UTF-8 parity with Go's len());

@@ -385,3 +385,41 @@ def test_portable_hash_survives_64bit_ids(spark):
         "vec_id long, embedding array<float>")
     cents = ivf_centroids(vecs, n_centroids=2)
     assert len(cents) == 2
+
+
+def test_docker_ingress_dispatch_and_corrupt(spark):
+    # S9 (dockerlogs/docker.go:43-72, recreated from the commented spec):
+    # task-name precedence over container name, the four dispatch rules,
+    # parse-with-defaults, and corrupt-JSON tolerance
+    from logunifier_spark.sources.dockerlogs import (
+        DOCKER_UNMARSHAL_REASON,
+        docker_to_ecs,
+    )
+    mk = ('{{"container_name":"{c}","host":"h1","message":"{m}",'
+          '"source_type":"docker","timestamp":"2024-01-01T00:00:00.000000",'
+          '"label":{{"com.hashicorp.nomad.task_name":"{t}"}}}}')
+    rows = [
+        (1, mk.format(c="ignored", t="keycloak", m="evt a")),
+        (2, mk.format(c="nexus", t="", m="evt b")),        # falls to cname
+        (3, mk.format(c="x", t="connect-proxy-api", m="evt c")),
+        (4, mk.format(c="x", t="mypostgres", m="evt d")),
+        (5, mk.format(c="x", t="plain", m="2023-03-20 14:27:28,296 ERROR boom")),
+        (6, "{nope"),
+    ]
+    df = spark.createDataFrame(rows, "k int, raw string")
+    out = {r["k"]: r for r in docker_to_ecs(df, keep=("k",)).collect()}
+    pat = lambda k: out[k]["labels"]["used_pattern"]  # noqa: E731
+    assert pat(1) == "KeyCloakPattern"
+    assert pat(2) == "CommonUtcPatternWithCommaTsAndTz"
+    assert pat(3) == "ConsulConnectPattern"
+    assert pat(4) == "ConsulConnectPattern"
+    assert pat(5) == "CommonPattern"
+    assert out[1]["container_labels"]["task"] == "keycloak"
+    assert out[2]["container_labels"]["task"] == "nexus"   # precedence
+    assert out[1]["log_level"] == "unknown"                # default level
+    assert str(out[1]["timestamp"]).startswith("2024-01-01")  # default ts
+    assert out[5]["log_level"] == "error"                  # parsed level
+    assert out[5]["message"].endswith("boom")              # ORIGINAL message
+    assert out[6]["log_level"] == "fatal"
+    assert out[6]["process_error_reason"] == DOCKER_UNMARSHAL_REASON
+    assert out[6]["labels"] is None and out[6]["tags"] is None
