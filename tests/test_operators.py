@@ -423,3 +423,35 @@ def test_docker_ingress_dispatch_and_corrupt(spark):
     assert out[6]["log_level"] == "fatal"
     assert out[6]["process_error_reason"] == DOCKER_UNMARSHAL_REASON
     assert out[6]["labels"] is None and out[6]["tags"] is None
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    # co-located join: two tables bucketed by doc_id on the same count
+    # plan their equi-join with NO shuffle exchange; an unbucketed pairing
+    # of the same data does shuffle (the at-scale lever, storage.py)
+    from logunifier_spark.storage import (
+        bucket_info,
+        is_shuffle_free_join,
+        write_bucketed,
+    )
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+             .withColumnRenamed("vec_id", "doc_id")
+    try:
+        write_bucketed(d, "b_docs", "doc_id", 4, path=str(tmp_path / "bd"))
+        write_bucketed(e, "b_embs", "doc_id", 4, path=str(tmp_path / "be"))
+        bd, be = spark.table("b_docs"), spark.table("b_embs")
+        assert bucket_info(spark, "b_docs") == {"buckets": 4,
+                                                "columns": ["doc_id"]}
+        assert is_shuffle_free_join(bd, be, ["doc_id"])
+        assert not is_shuffle_free_join(d, e.limit(10**6), ["doc_id"])
+        # results identical to the plain join
+        assert bd.join(be, "doc_id").count() == d.join(e, "doc_id").count()
+        # keyed aggregate on a bucketed table: also exchange-free
+        plan = (bd.groupBy("doc_id").count()._jdf.queryExecution()
+                  .executedPlan().toString())
+        assert not any(l.lstrip(" :+-*").startswith("Exchange")
+                       for l in plan.splitlines())
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_docs")
+        spark.sql("DROP TABLE IF EXISTS b_embs")
