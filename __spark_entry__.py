@@ -259,6 +259,20 @@ def q_region_revenue(spark, sf_dir):
                     .alias("revenue")))
 
 
+def q_salted_join(spark, sf_dir):
+    """Skew-aware equi-join (operators/join.py): events' hot event_type
+    keys spread over 8 deterministic salts, dim replicated per salt —
+    result rows identical to the plain join (which IS the oracle)."""
+    _ship(spark)
+    from logunifier_spark.operators.join import salted_join
+    e = _load(spark, sf_dir, "events").select("event_id", "event_type")
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("purchase", 3), ("login", 4)],
+        "event_type string, weight int")
+    return salted_join(e, dim, "event_type", salts=8) \
+        .select("event_id", "event_type", "weight")
+
+
 def q_first_event_per_user(spark, sf_dir):
     from pyspark.sql.window import Window
     e = _load(spark, sf_dir, "events")
@@ -741,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing": q_tpch_pricing,
         "top_customer_revenue": q_top_customer_revenue,
         "region_revenue": q_region_revenue,
+        "salted_join": q_salted_join,
         "first_event_per_user": q_first_event_per_user,
         "event_type_stats": q_event_type_stats,
         # pipeline sources / stateful ops
@@ -808,6 +823,15 @@ def oracle_sql() -> dict[str, str]:
         "sink_counts": f"""
             SELECT {_SQL_EXPECTED_SINK} AS sink, count(*) AS routed_rows
             FROM events GROUP BY 1
+        """,
+        # salting only changes physical distribution — the plain join IS
+        # the oracle ("login" absent from events; inner-join drops it)
+        "salted_join": """
+            SELECT event_id, event_type,
+                   CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                                   WHEN 'purchase' THEN 3 ELSE 4 END AS weight
+            FROM events
+            WHERE event_type IN ('click', 'view', 'purchase', 'login')
         """,
         # S9 docker ingress: every output reconstructed from the generating
         # columns; id = sha256 of the byte-identical rebuilt raw JSON

@@ -1,0 +1,52 @@
+"""Skew-aware joins: deterministic two-sided salting.
+
+The routing fan-out already salts conv_id hotspots
+(operators/route.py::salt_column — the north-rule skew requirement for
+the pipeline itself). This module generalizes the lever to ANY equi-join
+where (a) the dimension side is too large to broadcast and (b) a handful
+of hot keys would otherwise pin single shuffle tasks.
+
+AQE's skew-join splitting (on in get_spark) already divides oversized
+partitions of sort-merge joins at runtime, but it cannot split ONE key's
+rows across tasks when they collide into a single hash bucket by key
+equality alone. Salting can: the big side spreads each key over
+`salts` sub-keys; the dim side replicates each row `salts` times.
+Shuffle cost: big side unchanged, dim side ×salts — use the smallest
+salts that caps the hottest key (hot-key rows / salts per task).
+
+The salt is DETERMINISTIC (a hash of the big row's columns, mod salts),
+like every partitioning decision in this repo: reproducible across
+retries, partitionings, and cluster sizes — no rand(), which would make
+shuffle retries non-idempotent."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_JOIN_SALTS = 16
+
+
+def salted_join(big: DataFrame, dim: DataFrame, on: list[str] | str,
+                salts: int = DEFAULT_JOIN_SALTS,
+                how: str = "inner") -> DataFrame:
+    """Equi-join with the big side's hot keys spread over `salts`
+    sub-partitions. Result rows are identical to big.join(dim, on, how);
+    only the physical key distribution changes.
+
+    `how` supports the big-side-preserving joins ("inner", "left",
+    "left_outer") — right/full would multiply unmatched dim rows by the
+    replication factor."""
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    overlap = set(big.columns) & set(dim.columns) - set(keys)
+    if overlap:
+        raise ValueError(f"ambiguous non-key columns on both sides: {sorted(overlap)}")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salts))
+    b = big.withColumn("_join_salt", salt)
+    d = dim.withColumn(
+        "_join_salt",
+        F.explode(F.sequence(F.lit(0).cast("long"),
+                             F.lit(salts - 1).cast("long"))))
+    return b.join(d, keys + ["_join_salt"], how).drop("_join_salt")

@@ -455,3 +455,30 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_docs")
         spark.sql("DROP TABLE IF EXISTS b_embs")
+
+
+def test_salted_join_matches_plain_join(spark):
+    # skew lever (operators/join.py): identical results to the plain join,
+    # with the big side's hot key spread across salt sub-keys
+    from logunifier_spark.operators.join import salted_join
+    import pytest as _pytest
+    big = spark.createDataFrame(
+        [(i, "hot" if i % 10 else f"k{i}", f"p{i}") for i in range(2000)],
+        "row_id long, key string, payload string")
+    dim = spark.createDataFrame(
+        [("hot", 1), ("k10", 2), ("k20", 3), ("absent", 4)],
+        "key string, weight int")
+    got = salted_join(big, dim, "key", salts=8)
+    want = big.join(dim, "key")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    left = salted_join(big, dim, "key", salts=8, how="left")
+    assert left.count() == 2000        # big-side preserving
+    with _pytest.raises(ValueError):
+        salted_join(big, dim, "key", how="full")
+    # the hot key's rows really do spread: >1 distinct salt value
+    from pyspark.sql import functions as FF
+    salts_used = (big.withColumn(
+        "_s", FF.pmod(FF.xxhash64(*[FF.col(c) for c in big.columns]), FF.lit(8)))
+        .where("key = 'hot'").select("_s").distinct().count())
+    assert salts_used > 1
