@@ -274,12 +274,19 @@ def q_salted_join(spark, sf_dir):
 
 
 def q_first_event_per_user(spark, sf_dir):
-    from pyspark.sql.window import Window
+    """First event per user as a PARTIAL-AGGREGABLE min_by, not a window:
+    row_number() would shuffle-and-sort every event, while the aggregate
+    reduces map-side to one row per (user, partition) before the exchange
+    — at 10^12 events with events-per-user >> partitions that is the
+    difference between shuffling the table and shuffling the user set.
+    (event_id is unique, so the (ts, event_id) ordering key is total and
+    both formulations are deterministic and value-identical — verified.)"""
     e = _load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return (e.withColumn("rn", F.row_number().over(w))
-             .where(F.col("rn") == 1)
-             .select("user_id", "event_id", "event_type"))
+    return (e.groupBy("user_id")
+             .agg(F.min_by(F.struct("event_id", "event_type"),
+                           F.struct("ts", "event_id")).alias("_s"))
+             .select("user_id", F.col("_s.event_id").alias("event_id"),
+                     F.col("_s.event_type").alias("event_type")))
 
 
 def q_event_type_stats(spark, sf_dir):
