@@ -103,6 +103,22 @@ _SQL_EXPECTED_SINK = f"""
        WHEN 'Envoy' THEN 'loki_infra' WHEN 'Traefik' THEN 'loki_infra'
        WHEN 'Clf' THEN 'loki_infra' ELSE 'loki_app' END
 """
+# full raw-text replica of _transcripts_from_events (pre-parse input text)
+_SQL_RAW_TEXT = f"""
+  CASE {_SQL_M}
+    WHEN 0 THEN '2023-03-20T15:06:45.' || lpad(CAST(event_id % 1000 AS VARCHAR), 3, '0')
+                || 'Z [DEBUG] evt ' || event_id
+    WHEN 1 THEN '2023-03-20 14:27:28,296 WARNING evt ' || event_id
+    WHEN 2 THEN 'level=err msg="evt ' || event_id || '" user=u' || (user_id % 10)
+    WHEN 3 THEN 'raw text ' || event_id
+    WHEN 4 THEN '[2023-03-30 10:51:43.705][' || (event_id % 100)
+                || '][info][cluster] evt ' || event_id
+    WHEN 5 THEN '2024-12-19T18:22:09Z TRC some/file.go:42 > evt ' || event_id
+    WHEN 6 THEN '{{"@timestamp":"2023-06-07T12:00:00Z","message":"evt '
+                || event_id || '","log":{{"level":"INFO"}}}}'
+    ELSE 'Invalid message' END
+"""
+
 _SQL_EXPECTED_MESSAGE = f"""
   CASE {_SQL_M}
     WHEN 0 THEN 'evt ' || event_id
@@ -257,6 +273,32 @@ def q_region_revenue(spark, sf_dir):
               .groupBy("r_name")
               .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
                     .alias("revenue")))
+
+
+def q_conversation_stats(spark, sf_dir):
+    """Per-conversation filter features as ONE hash aggregate (axis-B
+    transcript unit): partial aggregation reduces map-side to one row per
+    (conv, partition) — the shuffle carries the conversation set, not the
+    turn set."""
+    _ship(spark)
+    from logunifier_spark.operators.conversation import conversation_stats
+    t = _transcripts_from_events(spark, sf_dir)
+    s = conversation_stats(t)
+    return s.select(
+        "conv_id", "n_turns", "n_roles",
+        F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss.SSS").alias("first_ts_str"),
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss.SSS").alias("last_ts_str"),
+        "total_chars", "agent_turns")
+
+
+def q_stitch_conversations(spark, sf_dir):
+    """Ordered conversation stitching without a window or global sort:
+    collect (turn_idx, text) structs per conv, array_sort INSIDE the
+    group, join. Oracle: string_agg(... ORDER BY)."""
+    _ship(spark)
+    from logunifier_spark.operators.conversation import stitch_conversations
+    t = _transcripts_from_events(spark, sf_dir)
+    return stitch_conversations(t)
 
 
 def q_salted_join(spark, sf_dir):
@@ -762,6 +804,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing": q_tpch_pricing,
         "top_customer_revenue": q_top_customer_revenue,
         "region_revenue": q_region_revenue,
+        "conversation_stats": q_conversation_stats,
+        "stitch_conversations": q_stitch_conversations,
         "salted_join": q_salted_join,
         "first_event_per_user": q_first_event_per_user,
         "event_type_stats": q_event_type_stats,
@@ -829,6 +873,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sink_counts": f"""
             SELECT {_SQL_EXPECTED_SINK} AS sink, count(*) AS routed_rows
+            FROM events GROUP BY 1
+        """,
+        "conversation_stats": f"""
+            SELECT 'conv' || (event_id % 97) AS conv_id,
+                   count(*) AS n_turns,
+                   CAST(count(DISTINCT 'agent') AS BIGINT) AS n_roles,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S.%g') AS first_ts_str,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S.%g') AS last_ts_str,
+                   CAST(sum(strlen({_SQL_RAW_TEXT})) AS BIGINT) AS total_chars,
+                   count(*) AS agent_turns
+            FROM events GROUP BY 1
+        """,
+        "stitch_conversations": f"""
+            SELECT 'conv' || (event_id % 97) AS conv_id,
+                   count(*) AS n_turns,
+                   string_agg({_SQL_RAW_TEXT}, chr(10)
+                              ORDER BY CAST(event_id AS INT)) AS conversation
             FROM events GROUP BY 1
         """,
         # salting only changes physical distribution — the plain join IS

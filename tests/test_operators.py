@@ -482,3 +482,28 @@ def test_salted_join_matches_plain_join(spark):
         "_s", FF.pmod(FF.xxhash64(*[FF.col(c) for c in big.columns]), FF.lit(8)))
         .where("key = 'hot'").select("_s").distinct().count())
     assert salts_used > 1
+
+
+def test_conversation_ops_deterministic_across_partitionings(spark):
+    # stitching sorts structs INSIDE the group after collect_list, so the
+    # result is independent of partitioning / task order (no window)
+    from logunifier_spark.operators.conversation import (
+        conversation_stats,
+        stitch_conversations,
+    )
+    import datetime as _dt
+    rows = [("c1", i, "agent" if i % 2 else "user", f"t{i}",
+             "nop", _dt.datetime(2024, 1, 1, 12, 0, i)) for i in (3, 1, 2, 0)]
+    rows += [("c2", 0, "agent", None, "nop", _dt.datetime(2024, 1, 1))]
+    from logunifier_spark.schema import TRANSCRIPT_SCHEMA
+    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    out = {r["conv_id"]: r for r in stitch_conversations(df).collect()}
+    assert out["c1"]["conversation"] == "t0\nt1\nt2\nt3"
+    assert out["c2"]["conversation"] == ""          # null text → ""
+    out7 = {r["conv_id"]: r
+            for r in stitch_conversations(df.repartition(7)).collect()}
+    assert out7["c1"]["conversation"] == out["c1"]["conversation"]
+    s = {r["conv_id"]: r for r in conversation_stats(df).collect()}
+    assert s["c1"]["n_turns"] == 4 and s["c1"]["n_roles"] == 2
+    assert s["c1"]["agent_turns"] == 2
+    assert s["c1"]["first_ts"].second == 0 and s["c1"]["last_ts"].second == 3
