@@ -301,6 +301,32 @@ def q_stitch_conversations(spark, sf_dir):
     return stitch_conversations(t)
 
 
+def q_turn_context(spark, sf_dir):
+    """SFT context assembly: each turn with its previous k=2 turns joined
+    in order — per-conversation window (sorts only within a conv after
+    the conv_id hash shuffle, never globally)."""
+    _ship(spark)
+    from logunifier_spark.operators.conversation import turn_context
+    t = _transcripts_from_events(spark, sf_dir)
+    return turn_context(t, k=2).select("conv_id", "turn_idx", "context")
+
+
+def q_response_pairs(spark, sf_dir):
+    """Instruction-pair extraction: adjacent user→agent turn pairs via
+    lag() over the per-conversation window."""
+    _ship(spark)
+    from logunifier_spark.operators.conversation import response_pairs
+    e = _load(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    t = e.select(
+        F.concat(F.lit("conv"), F.pmod(eid, F.lit(97))).alias("conv_id"),
+        eid.cast("int").alias("turn_idx"),
+        F.when(F.pmod(eid, F.lit(2)) == 0, F.lit("user"))
+         .otherwise(F.lit("agent")).alias("role"),
+        F.concat(F.lit("evt "), eid).alias("text"))
+    return response_pairs(t)
+
+
 def q_salted_join(spark, sf_dir):
     """Skew-aware equi-join (operators/join.py): events' hot event_type
     keys spread over 8 deterministic salts, dim replicated per salt —
@@ -806,6 +832,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_revenue": q_region_revenue,
         "conversation_stats": q_conversation_stats,
         "stitch_conversations": q_stitch_conversations,
+        "turn_context": q_turn_context,
+        "response_pairs": q_response_pairs,
         "salted_join": q_salted_join,
         "first_event_per_user": q_first_event_per_user,
         "event_type_stats": q_event_type_stats,
@@ -891,6 +919,41 @@ def oracle_sql() -> dict[str, str]:
                    string_agg({_SQL_RAW_TEXT}, chr(10)
                               ORDER BY CAST(event_id AS INT)) AS conversation
             FROM events GROUP BY 1
+        """,
+        # empty window frame: Spark array_join(collect_list)='' — coalesce
+        # DuckDB's NULL string_agg to match
+        "turn_context": f"""
+            WITH t AS (
+              SELECT 'conv' || (event_id % 97) AS conv_id,
+                     CAST(event_id AS INT) AS turn_idx,
+                     {_SQL_RAW_TEXT} AS text
+              FROM events
+            )
+            SELECT conv_id, turn_idx,
+                   coalesce(string_agg(text, chr(10)) OVER (
+                     PARTITION BY conv_id ORDER BY turn_idx
+                     ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING), '') AS context
+            FROM t
+        """,
+        "response_pairs": """
+            WITH t AS (
+              SELECT 'conv' || (event_id % 97) AS conv_id,
+                     CAST(event_id AS INT) AS turn_idx,
+                     CASE WHEN event_id % 2 = 0 THEN 'user'
+                          ELSE 'agent' END AS role,
+                     'evt ' || event_id AS text
+              FROM events
+            ),
+            l AS (
+              SELECT conv_id, turn_idx, role, text,
+                     lag(role) OVER w AS prev_role,
+                     lag(text) OVER w AS prompt,
+                     lag(turn_idx) OVER w AS prompt_turn_idx
+              FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            )
+            SELECT conv_id, prompt_turn_idx, prompt,
+                   turn_idx AS response_turn_idx, text AS response
+            FROM l WHERE role = 'agent' AND prev_role = 'user'
         """,
         # salting only changes physical distribution — the plain join IS
         # the oracle ("login" absent from events; inner-join drops it)

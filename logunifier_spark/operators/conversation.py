@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def conversation_stats(df: DataFrame) -> DataFrame:
@@ -46,3 +47,39 @@ def stitch_conversations(df: DataFrame, sep: str = "\n") -> DataFrame:
               .agg(F.count("*").alias("n_turns"),
                    F.array_join(F.transform(collected, lambda s: s["t"]), sep)
                     .alias("conversation")))
+
+
+def turn_context(df: DataFrame, k: int = 3, sep: str = "\n") -> DataFrame:
+    """Per-turn training context: each turn with its previous `k` turns
+    concatenated in order (the SFT example-assembly primitive). A window
+    partitioned by conv_id — the sort is PER CONVERSATION after the hash
+    shuffle on conv_id, never global; skew bound is the longest single
+    conversation, same bound as any per-conv operator here."""
+    w = (Window.partitionBy("conv_id").orderBy("turn_idx")
+               .rowsBetween(-k, -1))
+    ctx = F.array_join(
+        F.collect_list(F.coalesce(F.col("text"), F.lit(""))).over(w), sep)
+    return df.select("conv_id", "turn_idx", "text",
+                     ctx.alias("context"))
+
+
+def response_pairs(df: DataFrame, prompt_role: str = "user",
+                   response_role: str = "agent") -> DataFrame:
+    """Adjacent (prompt_role → response_role) turn pairs — the
+    instruction-tuning pair extractor. lag() over the same per-conv
+    window; only immediate successions qualify (a run of same-role turns
+    yields no pair, matching the strict-alternation convention)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    out = df.select(
+        "conv_id", "turn_idx",
+        F.col("role"), F.col("text"),
+        F.lag("role").over(w).alias("_prev_role"),
+        F.lag("text").over(w).alias("_prev_text"),
+        F.lag("turn_idx").over(w).alias("prompt_turn_idx"),
+    )
+    return (out.where((F.col("role") == response_role)
+                      & (F.col("_prev_role") == prompt_role))
+               .select("conv_id", "prompt_turn_idx",
+                       F.col("_prev_text").alias("prompt"),
+                       F.col("turn_idx").alias("response_turn_idx"),
+                       F.col("text").alias("response")))

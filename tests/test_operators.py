@@ -507,3 +507,26 @@ def test_conversation_ops_deterministic_across_partitionings(spark):
     assert s["c1"]["n_turns"] == 4 and s["c1"]["n_roles"] == 2
     assert s["c1"]["agent_turns"] == 2
     assert s["c1"]["first_ts"].second == 0 and s["c1"]["last_ts"].second == 3
+
+
+def test_turn_context_and_response_pairs(spark):
+    from logunifier_spark.operators.conversation import (
+        response_pairs,
+        turn_context,
+    )
+    import datetime as _dt
+    from logunifier_spark.schema import TRANSCRIPT_SCHEMA
+    ts = _dt.datetime(2024, 1, 1)
+    rows = [("c1", 0, "user", "q1", "nop", ts),
+            ("c1", 1, "agent", "a1", "nop", ts),
+            ("c1", 2, "user", "q2", "nop", ts),
+            ("c1", 3, "user", "q2b", "nop", ts),   # same-role run: no pair
+            ("c1", 4, "agent", "a2", "nop", ts)]
+    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    ctx = {r["turn_idx"]: r["context"] for r in turn_context(df, k=2).collect()}
+    assert ctx[0] == ""                      # empty frame
+    assert ctx[1] == "q1"
+    assert ctx[3] == "a1\nq2"                # previous 2, in order
+    pairs = {(r["prompt_turn_idx"], r["response_turn_idx"]):
+             (r["prompt"], r["response"]) for r in response_pairs(df).collect()}
+    assert pairs == {(0, 1): ("q1", "a1"), (3, 4): ("q2b", "a2")}
