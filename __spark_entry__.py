@@ -393,6 +393,21 @@ def q_minhash_dedup(spark, sf_dir):
     return minhash_dedup(d, "text", "doc_id", max_bucket=500).select("doc_id")
 
 
+def q_dedup_components(spark, sf_dir):
+    """Exact transitive near-dup clustering: connected components of the
+    minhash pair graph via iterative min-label propagation (narrow join +
+    aggregate per iteration, lineage cut per step). Oracle: an INDEPENDENT
+    algorithm — recursive-CTE transitive closure in DuckDB."""
+    _ship(spark)
+    from logunifier_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+    d = _load(spark, sf_dir, "documents").where(F.length("text") >= 20)
+    pairs = minhash_lsh_pairs(d, "text", "doc_id", max_bucket=500)
+    return connected_components(pairs).select("node", "component")
+
+
 def q_simhash_pairs(spark, sf_dir):
     # portable 60-bit simhash — value-hash-verified (duck_oracles.py)
     _ship(spark)
@@ -850,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_dedup": q_minhash_dedup,
+        "dedup_components": q_dedup_components,
         "simhash_pairs": q_simhash_pairs,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
@@ -1394,6 +1410,7 @@ def oracle_sql() -> dict[str, str]:
         # re-implementations (logunifier_spark/duck_oracles.py) — same spec,
         # different engine, value-hash-compared by the driver
         "minhash_dedup": _do.minhash_dedup_sql(max_bucket=500),
+        "dedup_components": _do.minhash_components_sql(max_bucket=500),
         "simhash_pairs": _do.simhash_pairs_sql(),
         "fingerprint_dupes": _do.fingerprint_dupes_sql(),
         "ann_lsh": _do.ann_lsh_sql(dim=64, k=5, n_bits=10),

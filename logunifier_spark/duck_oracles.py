@@ -46,13 +46,10 @@ def _horner(window_expr: str, base: int) -> str:
             f"(a, x) -> (a*{base} + x) % {P})")
 
 
-def minhash_dedup_sql(min_len: int = 20, num_hashes: int = 64,
-                      bands: int = 16, shingle_n: int = 5,
-                      threshold: float = 0.7,
-                      max_bucket: int | None = None) -> str:
-    """Keep-set of minhash_dedup: signature → banded LSH candidates
-    (optionally hot-bucket-capped, mirroring minhash_lsh_pairs.max_bucket)
-    → signature-agreement verify → drop the higher id of each pair."""
+def _minhash_pairs_ctes(min_len: int, num_hashes: int, bands: int,
+                        shingle_n: int, max_bucket: int | None) -> str:
+    """The shared CTE chain docs→…→pairs of the minhash pipeline (used by
+    the keep-set AND the connected-components oracles)."""
     rows_per_band = num_hashes // bands
     sig_exprs = ",\n           ".join(
         f"list_min(list_transform(g, x -> (x*{2 * i + 1} "
@@ -72,8 +69,7 @@ pruned AS (SELECT b.* FROM bands b JOIN cool USING (band, key)),"""
     else:
         bucket_cap = ""
         cand_src = "bands"
-    return f"""
-WITH {_codepoints_cte(min_len, shingle_n)},
+    return f"""{_codepoints_cte(min_len, shingle_n)},
 grams AS (
   SELECT doc_id, list_distinct([
       {_horner(f"c[i:i+{shingle_n - 1}]", GRAM_BASE_1)}
@@ -102,9 +98,51 @@ pairs AS (
   FROM cand
   JOIN sigs sa ON sa.doc_id = cand.id_a
   JOIN sigs sb ON sb.doc_id = cand.id_b
-)
+)"""
+
+
+def minhash_dedup_sql(min_len: int = 20, num_hashes: int = 64,
+                      bands: int = 16, shingle_n: int = 5,
+                      threshold: float = 0.7,
+                      max_bucket: int | None = None) -> str:
+    """Keep-set of minhash_dedup: signature → banded LSH candidates
+    (optionally hot-bucket-capped, mirroring minhash_lsh_pairs.max_bucket)
+    → signature-agreement verify → drop the higher id of each pair."""
+    prelude = _minhash_pairs_ctes(min_len, num_hashes, bands, shingle_n,
+                                  max_bucket)
+    return f"""
+WITH {prelude}
 SELECT doc_id FROM docs
 WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM pairs WHERE sim >= {threshold})
+"""
+
+
+def minhash_components_sql(min_len: int = 20, num_hashes: int = 64,
+                           bands: int = 16, shingle_n: int = 5,
+                           threshold: float = 0.7,
+                           max_bucket: int | None = None) -> str:
+    """(node, component) of connected_components over the minhash pair
+    graph — INDEPENDENT algorithm: a recursive-CTE transitive closure
+    (min reachable id per node), quadratic on dense clusters and only
+    viable at oracle scale, vs the operator's iterative min-label
+    propagation. Disagreement in either implementation breaks the
+    value-hash equality."""
+    prelude = _minhash_pairs_ctes(min_len, num_hashes, bands, shingle_n,
+                                  max_bucket)
+    return f"""
+WITH RECURSIVE {prelude},
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs WHERE sim >= {threshold}
+  UNION
+  SELECT id_b, id_a FROM pairs WHERE sim >= {threshold}
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+)
+SELECT s AS node, least(s, min(d)) AS component
+FROM reach GROUP BY s
 """
 
 

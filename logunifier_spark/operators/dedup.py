@@ -359,10 +359,59 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 def minhash_dedup(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", **kwargs) -> DataFrame:
     """Keep-set after dropping the higher id of every near-dup pair
-    (greedy single-pass; exact connected components would iterate)."""
+    (greedy single-pass; `connected_components` gives the exact
+    transitive clustering when chains A~B~C with A≁C matter)."""
     pairs = minhash_lsh_pairs(df, text_col, id_col, **kwargs)
     drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drops, on=id_col, how="left_anti")
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iter: int = 50) -> DataFrame:
+    """Exact connected components of a duplicate-pair graph via min-label
+    propagation: every node repeatedly takes the minimum label among
+    itself and its neighbors, converging in ≤ graph-diameter iterations
+    (near-dup clusters are shallow — template families converge in 2-4).
+    Returns (node, component) where component = min node id in the
+    component.
+
+    Scale design: each iteration is one shuffle join of the (narrow,
+    2-long) edge list against the label table plus one hash aggregate —
+    never materializing the transitive closure (which is quadratic on
+    dense clusters; the DuckDB oracle does exactly that, which is fine at
+    oracle scale and impossible at 10^12). Lineage is cut per iteration
+    with an eager localCheckpoint — without it each loop doubles the plan
+    and the job re-executes all prior iterations. The convergence probe
+    (isEmpty on changed labels) is one narrow job per iteration —
+    inherent to any driver-terminated iterative algorithm."""
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+                  .unionByName(pairs.select(F.col(id_b).alias("src"),
+                                            F.col(id_a).alias("dst")))
+                  .distinct()
+                  .localCheckpoint(eager=False))
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+                   .withColumn("component", F.col("node")))
+    for _ in range(max_iter):
+        nb_min = (edges.join(labels.select(F.col("node").alias("dst"),
+                                           F.col("component").alias("_nl")),
+                             "dst")
+                       .groupBy("src").agg(F.min("_nl").alias("_nb")))
+        new_labels = (labels.join(nb_min,
+                                  labels["node"] == nb_min["src"], "left")
+                            .select("node",
+                                    F.least(F.col("component"),
+                                            F.coalesce(F.col("_nb"),
+                                                       F.col("component")))
+                                     .alias("component"))
+                            .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .where(F.col("n.component") != F.col("o.component")))
+        labels = new_labels
+        if changed.isEmpty():
+            break
+    return labels
 
 
 # -------------------------------------------------------------- simhash ----

@@ -530,3 +530,20 @@ def test_turn_context_and_response_pairs(spark):
     pairs = {(r["prompt_turn_idx"], r["response_turn_idx"]):
              (r["prompt"], r["response"]) for r in response_pairs(df).collect()}
     assert pairs == {(0, 1): ("q1", "a1"), (3, 4): ("q2b", "a2")}
+
+
+def test_connected_components_transitive_chains(spark):
+    # A~B~C with A never paired to C must still be ONE component (the case
+    # greedy pair-dropping gets wrong); disjoint pairs stay separate;
+    # convergence across a multi-hop chain exercises >1 iteration
+    from logunifier_spark.operators.dedup import connected_components
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),      # 5-node chain -> comp 1
+         (10, 11),                             # pair -> comp 10
+         (20, 22), (21, 22)],                  # star -> comp 20
+        "id_a long, id_b long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
