@@ -547,3 +547,43 @@ def test_connected_components_transitive_chains(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_random_graphs(spark):
+    # property check vs an independent union-find on random edge sets
+    import random
+
+    from logunifier_spark.operators.dedup import connected_components
+
+    def uf_components(edges):
+        parent = {}
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        for a, b in edges:
+            union(a, b)
+        return {n: find(n) for n in parent}
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 30
+        edges = sorted({(rng.randrange(n), rng.randrange(n))
+                        for _ in range(25)})
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r["node"]: r["component"]
+               for r in connected_components(df).collect()}
+        want = uf_components(edges)
+        # path-compressed find may leave stale roots; normalize
+        want = {k: want[want[k]] if want[k] in want else want[k]
+                for k in want}
+        while any(want[k] != want.get(want[k], want[k]) for k in want):
+            want = {k: want.get(want[k], want[k]) for k in want}
+        assert got == want, f"trial {trial}"
