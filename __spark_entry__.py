@@ -925,7 +925,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT 'agent') AS BIGINT) AS n_roles,
                    strftime(min(ts), '%Y-%m-%d %H:%M:%S.%g') AS first_ts_str,
                    strftime(max(ts), '%Y-%m-%d %H:%M:%S.%g') AS last_ts_str,
-                   CAST(sum(strlen({_SQL_RAW_TEXT})) AS BIGINT) AS total_chars,
+                   -- length() = CHARACTER count, matching Spark F.length
+                   -- (strlen would count bytes — ASCII-coincident only)
+                   CAST(sum(length({_SQL_RAW_TEXT})) AS BIGINT) AS total_chars,
                    count(*) AS agent_turns
             FROM events GROUP BY 1
         """,

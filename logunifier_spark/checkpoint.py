@@ -183,20 +183,24 @@ def health_check(spark: SparkSession, base_path: str | None = None) -> dict:
 
     bad = []
     try:
-        from logunifier_spark.streaming.stream import dead_letter_count
         active = spark.streams.active
-        lost = 0
         for q in active:
             if q.exception() is not None:
                 bad.append(q.name or q.id)
-            lost += dead_letter_count(q)
         checks["streams"] = {
             "status": "down" if bad else "up",
             "detail": f"{len(active)} active" + (f", failed: {bad}" if bad else ""),
-            # the reference's "entry too far behind" lost-entry accounting
-            # (lokishipper.go:183-188): rows dropped older than watermark
-            "dead_letter_rows": lost,
         }
+        # the reference's "entry too far behind" lost-entry accounting
+        # (lokishipper.go:183-188): rows dropped older than watermark.
+        # ADVISORY metric in its own guard — a progress-read failure on one
+        # handle must not flip a healthy component to "down"
+        try:
+            from logunifier_spark.streaming.stream import dead_letter_count
+            checks["streams"]["dead_letter_rows"] = sum(
+                dead_letter_count(q) for q in active)
+        except Exception:  # noqa: BLE001
+            checks["streams"]["dead_letter_rows"] = None
     except Exception as e:  # noqa: BLE001
         checks["streams"] = {"status": "down", "detail": str(e)}
 

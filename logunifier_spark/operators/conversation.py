@@ -55,6 +55,8 @@ def turn_context(df: DataFrame, k: int = 3, sep: str = "\n") -> DataFrame:
     partitioned by conv_id — the sort is PER CONVERSATION after the hash
     shuffle on conv_id, never global; skew bound is the longest single
     conversation, same bound as any per-conv operator here."""
+    if k < 1:
+        raise ValueError(f"turn_context needs k >= 1 prior turns, got {k}")
     w = (Window.partitionBy("conv_id").orderBy("turn_idx")
                .rowsBetween(-k, -1))
     ctx = F.array_join(

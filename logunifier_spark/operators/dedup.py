@@ -248,11 +248,16 @@ def _input_bytes_estimate(df: DataFrame) -> int:
         return 1 << 62
 
 
-# Broadcast the signature table into the verify joins when the INPUT is
-# estimated under this many bytes (~250k docs of ~2 KB text → a ~70 MB
-# int32 signature broadcast). Above it, signatures stay a shuffled join
-# side — at 10^9+ docs a broadcast is impossible.
+# Two-stage auto-broadcast gate for the signature table. The broadcast
+# size scales with ROW COUNT (rows × 4·num_hashes B), not input bytes —
+# a 500 MB corpus of 100-byte log lines is ~5M docs → a multi-GB
+# broadcast, while 500 MB of 2 KB docs is a comfortable ~70 MB. So the
+# cheap byte estimate only SCREENS OUT obviously-huge inputs; below it,
+# the decision uses the actual signature row count (counting the sigs
+# frame materializes its localCheckpoint — work the pipeline pays once
+# anyway, pulled forward to decide the join strategy).
 _SIG_BROADCAST_INPUT_BYTES = 512 * 1024 * 1024
+_SIG_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
@@ -286,8 +291,6 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     twice carrying an attached signature per row. At billions of docs the
     auto path keeps the shuffled join."""
     rows_per_band = num_hashes // bands
-    if broadcast_sigs is None:
-        broadcast_sigs = _input_bytes_estimate(df) < _SIG_BROADCAST_INPUT_BYTES
     sig = (fan_out(df, divisor=2)
            .select(F.col(id_col).alias("id"),
                    minhash_signature_udf(num_hashes, shingle_n)(
@@ -302,6 +305,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # trades ~(rows × 8·num_hashes B) of executor-local storage for two
     # full re-reads of the corpus.
     sig = sig.localCheckpoint(eager=False)
+    if broadcast_sigs is None:
+        # screen on the cheap byte estimate, then decide on the ACTUAL
+        # signature row count (materializes the checkpoint we reuse anyway)
+        broadcast_sigs = (
+            _input_bytes_estimate(df) < _SIG_BROADCAST_INPUT_BYTES
+            and sig.count() * (4 * num_hashes + 16) < _SIG_BROADCAST_MAX_BYTES)
     # bucket array in a Project (UDF-derived `sig` referenced only via
     # attribute), exploded in a separate step: keeps the Python UDF out of
     # the Generate node, where ExtractPythonUDFs cannot place it.
@@ -368,7 +377,8 @@ def minhash_dedup(df: DataFrame, text_col: str = "text",
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
-                         max_iter: int = 50) -> DataFrame:
+                         max_iter: int = 50,
+                         strict: bool = True) -> DataFrame:
     """Exact connected components of a duplicate-pair graph via min-label
     propagation: every node repeatedly takes the minimum label among
     itself and its neighbors, converging in ≤ graph-diameter iterations
@@ -411,6 +421,17 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         labels = new_labels
         if changed.isEmpty():
             break
+    else:
+        # partial labels presented as exact are silently WRONG (a >max_iter
+        # diameter chain under-merges) — fail loudly by default
+        msg = (f"connected_components did not converge in {max_iter} "
+               "iterations (graph diameter exceeds max_iter); labels are "
+               "a partial propagation — raise max_iter")
+        if strict:
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels
 
 

@@ -27,6 +27,18 @@ from pyspark.sql import functions as F
 DEFAULT_JOIN_SALTS = 16
 
 
+def _hashable(dt) -> bool:
+    """True iff xxhash64 accepts the type (no MapType anywhere inside)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return _hashable(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_hashable(f.dataType) for f in dt.fields)
+    return True
+
+
 def salted_join(big: DataFrame, dim: DataFrame, on: list[str] | str,
                 salts: int = DEFAULT_JOIN_SALTS,
                 how: str = "inner") -> DataFrame:
@@ -36,14 +48,27 @@ def salted_join(big: DataFrame, dim: DataFrame, on: list[str] | str,
 
     `how` supports the big-side-preserving joins ("inner", "left",
     "left_outer") — right/full would multiply unmatched dim rows by the
-    replication factor."""
+    replication factor.
+
+    LIMITATION (inherent to deterministic salting): byte-identical rows
+    of a hot key necessarily hash to the SAME salt — no deterministic
+    per-row feature distinguishes them, and a non-deterministic salt
+    (rand/monotonic id) in a shuffle key risks rerun inconsistencies
+    under partial-fetch stage retries (the SPARK-23207 class). Collapse
+    exact duplicates first (exact_dedup — the normal pre-dedup step on
+    log corpora); salting then spreads the surviving distinct rows."""
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
     keys = [on] if isinstance(on, str) else list(on)
     overlap = set(big.columns) & set(dim.columns) - set(keys)
     if overlap:
         raise ValueError(f"ambiguous non-key columns on both sides: {sorted(overlap)}")
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salts))
+    # xxhash64 rejects MAP-typed input (and structs containing maps) —
+    # salt over the hashable columns only
+    hashable = [f.name for f in big.schema.fields if _hashable(f.dataType)]
+    if not hashable:
+        raise ValueError("salted_join needs at least one non-map column to salt on")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in hashable]), F.lit(salts))
     b = big.withColumn("_join_salt", salt)
     d = dim.withColumn(
         "_join_salt",

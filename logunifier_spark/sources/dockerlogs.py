@@ -41,6 +41,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from logunifier_spark.sources.common import nz as _nz
 from pyspark.sql.types import StructField, StructType, StringType, TimestampType
 
 DOCKER_UNMARSHAL_REASON = "can't unmarshal docker json"
@@ -70,10 +72,6 @@ DOCKER_SCHEMA = StructType([
     StructField("timestamp", TimestampType()),
     StructField("_corrupt_record", StringType()),
 ])
-
-
-def _nz(c):
-    return F.nullif(c, F.lit(""))
 
 
 def dispatch_pattern(pattern_key_name):

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from logunifier_spark.sources.common import nz as _nz
+
 from logunifier_spark.functions.levels import (
     FACILITY_TO_JOBTYPE,
     PRIORITY_TO_LEVEL,
@@ -61,10 +63,6 @@ JOURNALD_SCHEMA = (
     "_corrupt_record:string"
     ">"
 )
-
-
-def _nz(c: Column) -> Column:
-    return F.nullif(c, F.lit(""))
 
 
 def _map_lit(d: dict) -> Column:

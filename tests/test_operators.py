@@ -476,6 +476,10 @@ def test_salted_join_matches_plain_join(spark):
     assert left.count() == 2000        # big-side preserving
     with _pytest.raises(ValueError):
         salted_join(big, dim, "key", how="full")
+    # map-typed columns can't feed xxhash64 — the salt must skip them
+    big_m = big.withColumn("m", F.create_map(F.lit("k"), F.col("payload")))
+    gm = salted_join(big_m, dim, "key", salts=8)
+    assert gm.count() == big.join(dim, "key").count()
     # the hot key's rows really do spread: >1 distinct salt value
     from pyspark.sql import functions as FF
     salts_used = (big.withColumn(
