@@ -365,6 +365,64 @@ def q_event_type_stats(spark, sf_dir):
                   F.count_distinct("user_id").alias("n_users")))
 
 
+def q_asof_clicks(spark, sf_dir):
+    """As-of join (operators/temporal.py): each purchase matched to the
+    same user's most recent preceding click — union + one keyed window
+    sort, no join explosion. Oracle = DuckDB's NATIVE ASOF LEFT JOIN, an
+    entirely independent implementation of the semantics. (user_id, ts)
+    is unique in `events`, so the match is well-defined without a
+    tiebreak."""
+    _ship(spark)
+    from logunifier_spark.operators.temporal import asof_join
+    e = _load(spark, sf_dir, "events")
+    left = e.where(F.col("event_type") == "purchase") \
+            .select("user_id", "event_id", "ts")
+    right = e.where(F.col("event_type") == "click") \
+             .select("user_id", F.col("event_id").alias("click_id"), "ts")
+    aj = asof_join(left, right, on="user_id", ts="ts")
+    gap = F.floor((F.unix_micros(F.col("ts").cast("timestamp"))
+                   - F.unix_micros(F.col("matched_ts").cast("timestamp")))
+                  / F.lit(1_000_000)).cast("long")
+    return aj.select("user_id", "event_id", "click_id", gap.alias("gap_s"))
+
+
+def q_user_sessions(spark, sf_dir):
+    """Gap sessionization (operators/temporal.py): 1-hour-gap sessions per
+    user over `events`, rolled up to per-session stats. One shuffle on
+    user_id; the lag and the running session counter share a window
+    spec (single sort), the roll-up partial-aggregates."""
+    _ship(spark)
+    from logunifier_spark.operators.temporal import session_stats
+    e = _load(spark, sf_dir, "events")
+    s = session_stats(e, "user_id", ts="ts", gap_s=3600.0)
+    return s.select("user_id", "session_id", "n_events", "duration_s")
+
+
+def q_redact_pii(spark, sf_dir):
+    """PII redaction (operators/redact.py): ordered engine-portable regex
+    rules (email→phone→ipv4→long-digit-run) as a pure JVM-side
+    projection, with per-rule replacement counts. Input text synthesized
+    invertibly from `events` so every rule fires; the oracle re-types the
+    patterns as independent SQL literals — a transcription slip on either
+    side breaks the value hash."""
+    _ship(spark)
+    from logunifier_spark.operators.redact import redact_pii
+    e = _load(spark, sf_dir, "events")
+    uid, eid = F.col("user_id"), F.col("event_id")
+    text = F.concat(
+        F.lit("user u"), uid, F.lit("@example.com via 10."),
+        F.pmod(uid, F.lit(256)), F.lit(".0."), F.pmod(eid, F.lit(256)),
+        F.when(F.pmod(eid, F.lit(3)) == 0,
+               F.concat(F.lit(" tel +1415555"),
+                        F.lpad(F.pmod(eid, F.lit(10000)).cast("string"),
+                               4, "0"))).otherwise(F.lit("")),
+        F.lit(" card 4111111111"),
+        F.lpad(F.pmod(eid, F.lit(1000000)).cast("string"), 6, "0"),
+        F.lit(" evt "), eid)
+    d = e.select("event_id", text.alias("text"))
+    return redact_pii(d, "text")
+
+
 # --- training-data operators ------------------------------------------------
 
 def q_dedup_exact(spark, sf_dir):
@@ -852,6 +910,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "first_event_per_user": q_first_event_per_user,
         "event_type_stats": q_event_type_stats,
+        "asof_clicks": q_asof_clicks,
+        "user_sessions": q_user_sessions,
+        "redact_pii": q_redact_pii,
         # pipeline sources / stateful ops
         "multiline_reassembly": q_multiline_reassembly,
         "docker_parse": q_docker_parse,
@@ -1326,6 +1387,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n, round(sum(value), 3) AS sum_value,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
+        """,
+        # DuckDB's native ASOF JOIN — an independent implementation of the
+        # as-of semantics (ours is union + keyed window scan)
+        "asof_clicks": """
+            SELECT l.user_id, l.event_id, r.event_id AS click_id,
+                   CAST(floor((epoch_us(l.ts) - epoch_us(r.ts)) / 1000000.0)
+                        AS BIGINT) AS gap_s
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        # windowed sums are HUGEINT in DuckDB -> CAST (driver hasher
+        # fetches HUGEINT as float64; the round-2 pack_sequences lesson)
+        "user_sessions": """
+            WITH lagd AS (
+              SELECT user_id, ts,
+                     epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts) AS gap
+              FROM events),
+            sess AS (
+              SELECT user_id, ts,
+                     CAST(sum(CASE WHEN gap > 3600000000 THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS session_id
+              FROM lagd)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   CAST(floor((max(epoch_us(ts)) - min(epoch_us(ts)))
+                              / 1000000.0) AS BIGINT) AS duration_s
+            FROM sess GROUP BY user_id, session_id
+        """,
+        # patterns re-typed as SQL literals (NOT imported from redact.py):
+        # RE2 'g' flag for global replace; counts on the pre-replace text
+        # each rule saw, matching the operator's sequential chain
+        "redact_pii": r"""
+            WITH raw AS (
+              SELECT event_id,
+                     'user u' || user_id || '@example.com via 10.'
+                     || (user_id % 256) || '.0.' || (event_id % 256)
+                     || CASE WHEN event_id % 3 = 0
+                             THEN ' tel +1415555'
+                                  || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0')
+                             ELSE '' END
+                     || ' card 4111111111'
+                     || lpad(CAST(event_id % 1000000 AS VARCHAR), 6, '0')
+                     || ' evt ' || event_id AS text
+              FROM events),
+            s1 AS (SELECT event_id,
+                     regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS text,
+                     CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email
+                   FROM raw),
+            s2 AS (SELECT event_id,
+                     regexp_replace(text, '\+[0-9]{7,15}\b', '<PHONE>', 'g') AS text, n_email,
+                     CAST(len(regexp_extract_all(text, '\+[0-9]{7,15}\b')) AS BIGINT) AS n_phone
+                   FROM s1),
+            s3 AS (SELECT event_id,
+                     regexp_replace(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS text,
+                     n_email, n_phone,
+                     CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4
+                   FROM s2),
+            s4 AS (SELECT event_id,
+                     regexp_replace(text, '\b[0-9]{13,19}\b', '<LONGNUM>', 'g') AS text,
+                     n_email, n_phone, n_ipv4,
+                     CAST(len(regexp_extract_all(text, '\b[0-9]{13,19}\b')) AS BIGINT) AS n_longnum
+                   FROM s3)
+            SELECT event_id, text, n_email, n_phone, n_ipv4, n_longnum FROM s4
         """,
         # training-data ops
         "dedup_exact": """

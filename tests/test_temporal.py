@@ -1,0 +1,159 @@
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1, 12, 0, s)
+
+
+@pytest.fixture()
+def quotes(spark):
+    # (key, ts, qid) — two keys, q3/q4 share k2's timeline
+    rows = [("k1", _ts(0), 10), ("k1", _ts(10), 11), ("k1", _ts(20), 12),
+            ("k2", _ts(5), 20), ("k2", _ts(15), 21)]
+    return spark.createDataFrame(rows, "key string, ts timestamp, qid long")
+
+
+def test_asof_backward_semantics(spark, quotes):
+    from logunifier_spark.operators.temporal import asof_join
+    trades = spark.createDataFrame(
+        [("k1", _ts(0), 1),    # exact tie -> inclusive (matches qid 10)
+         ("k1", _ts(15), 2),   # between -> latest preceding (11)
+         ("k1", _ts(25), 3),   # after all -> 12
+         ("k2", _ts(4), 4),    # before all k2 quotes -> no match
+         ("k3", _ts(10), 5)],  # key absent on the right -> no match
+        "key string, ts timestamp, tid long")
+    out = {r["tid"]: r for r in
+           asof_join(trades, quotes, on="key", ts="ts").collect()}
+    assert out[1]["qid"] == 10 and out[1]["matched_ts"] == _ts(0)
+    assert out[2]["qid"] == 11
+    assert out[3]["qid"] == 12
+    assert out[4]["qid"] is None and out[4]["matched_ts"] is None
+    assert out[5]["qid"] is None
+    assert len(out) == 5          # left-preserving: no drops, no dups
+
+
+def test_asof_forward_and_tolerance(spark, quotes):
+    from logunifier_spark.operators.temporal import asof_join
+    trades = spark.createDataFrame(
+        [("k1", _ts(1), 1),    # next quote at t10 -> 11
+         ("k1", _ts(20), 2),   # forward tie inclusive -> 12
+         ("k1", _ts(21), 3)],  # nothing after -> null
+        "key string, ts timestamp, tid long")
+    fwd = {r["tid"]: r for r in
+           asof_join(trades, quotes, on="key", ts="ts",
+                     direction="forward").collect()}
+    assert fwd[1]["qid"] == 11 and fwd[2]["qid"] == 12 and fwd[3]["qid"] is None
+    # tolerance: t15 matches t10 within 5s, not within 4s
+    tol = {r["tid"]: r for r in
+           asof_join(spark.createDataFrame([("k1", _ts(15), 1)],
+                                           "key string, ts timestamp, tid long"),
+                     quotes, on="key", ts="ts",
+                     tolerance_us=4_000_000).collect()}
+    assert tol[1]["qid"] is None
+    tol5 = asof_join(spark.createDataFrame([("k1", _ts(15), 1)],
+                                           "key string, ts timestamp, tid long"),
+                     quotes, on="key", ts="ts",
+                     tolerance_us=5_000_000).collect()[0]
+    assert tol5["qid"] == 11
+
+
+def test_asof_tiebreak_and_partition_invariance(spark):
+    from logunifier_spark.operators.temporal import asof_join
+    # duplicate (key, ts) on the right: tiebreak picks the LARGEST for
+    # backward, deterministically, regardless of input partitioning
+    right = spark.createDataFrame(
+        [("k", _ts(10), i) for i in (3, 1, 2)],
+        "key string, ts timestamp, qid long")
+    left = spark.createDataFrame([("k", _ts(11), 1)],
+                                 "key string, ts timestamp, tid long")
+    for parts in (1, 7):
+        got = asof_join(left, right.repartition(parts), on="key", ts="ts",
+                        tiebreak="qid").collect()[0]
+        # qid is the tiebreak column, so it is excluded from the payload;
+        # the deterministic choice shows through matched_ts only — verify
+        # via a payload column instead
+        assert got["matched_ts"] == _ts(10)
+    right2 = right.withColumn("tag", F.concat(F.lit("q"), F.col("qid")))
+    for parts in (1, 7):
+        got = asof_join(left, right2, on="key", ts="ts",
+                        tiebreak="qid").collect()[0]
+        assert got["tag"] == "q3"      # largest tiebreak wins (backward)
+    fwd = asof_join(spark.createDataFrame([("k", _ts(9), 1)],
+                                          "key string, ts timestamp, tid long"),
+                    right2, on="key", ts="ts", direction="forward",
+                    tiebreak="qid").collect()[0]
+    assert fwd["tag"] == "q1"          # smallest tiebreak wins (forward)
+
+
+def test_asof_rejects_column_collisions(spark, quotes):
+    from logunifier_spark.operators.temporal import asof_join
+    left_bad = spark.createDataFrame([("k1", _ts(0), 9)],
+                                     "key string, ts timestamp, qid long")
+    with pytest.raises(ValueError):
+        asof_join(left_bad, quotes, on="key", ts="ts")
+
+
+def test_sessionize_gaps_and_stats(spark):
+    from logunifier_spark.operators.temporal import session_stats, sessionize
+    # u1: events at 0s, 10s, 2h, 2h+30s -> sessions {0,0,1,1}
+    base = dt.datetime(2024, 3, 1)
+    rows = [(1, base), (1, base + dt.timedelta(seconds=10)),
+            (1, base + dt.timedelta(hours=2)),
+            (1, base + dt.timedelta(hours=2, seconds=30)),
+            (2, base)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    s = sessionize(df, "user_id", ts="ts", gap_s=3600.0)
+    got = sorted((r["user_id"], r["ts"], r["session_id"]) for r in s.collect())
+    assert [g[2] for g in got if g[0] == 1] == [0, 0, 1, 1]
+    assert [g[2] for g in got if g[0] == 2] == [0]
+    st = {(r["user_id"], r["session_id"]): r
+          for r in session_stats(df, "user_id", gap_s=3600.0).collect()}
+    assert st[(1, 0)]["n_events"] == 2 and st[(1, 0)]["duration_s"] == 10
+    assert st[(1, 1)]["n_events"] == 2 and st[(1, 1)]["duration_s"] == 30
+    assert st[(2, 0)]["n_events"] == 1 and st[(2, 0)]["duration_s"] == 0
+    # partition-invariant (ts unique per user here)
+    s7 = sessionize(df.repartition(7), "user_id", gap_s=3600.0)
+    assert sorted((r["user_id"], r["ts"], r["session_id"])
+                  for r in s7.collect()) == got
+
+
+def test_redact_pii_rules_and_counts(spark):
+    from logunifier_spark.operators.redact import redact_pii
+    rows = [
+        (1, "mail bob.smith+x@corp.example.org now"),
+        (2, "call +4915112345678 or visit 192.168.0.1"),
+        (3, "card 4111111111111111 exp 12/26"),
+        (4, "email hides digits a1234567890123456@x.io"),  # no longnum fire
+        (5, "clean text, nothing to redact"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in redact_pii(df, "text").collect()}
+    assert out[1]["text"] == "mail <EMAIL> now" and out[1]["n_email"] == 1
+    assert out[2]["text"] == "call <PHONE> or visit <IP>"
+    assert out[2]["n_phone"] == 1 and out[2]["n_ipv4"] == 1
+    assert out[3]["text"] == "card <LONGNUM> exp 12/26"
+    assert out[3]["n_longnum"] == 1
+    # ordering: the email rule consumed the digits before longnum ran
+    assert out[4]["text"] == "email hides digits <EMAIL>"
+    assert out[4]["n_longnum"] == 0
+    assert out[5]["text"] == rows[4][1]
+    assert all(out[5][f"n_{k}"] == 0
+               for k in ("email", "phone", "ipv4", "longnum"))
+    assert out[6]["text"] is None     # null passthrough
+    # out= keeps the original column
+    kept = redact_pii(df.where("id = 1"), "text", out="clean").collect()[0]
+    assert kept["text"].startswith("mail bob") and kept["clean"] == "mail <EMAIL> now"
+
+
+def test_redact_is_pure_projection(spark):
+    # no shuffle, no python: the whole chain is one JVM projection
+    from logunifier_spark.operators.redact import redact_pii
+    df = spark.range(100).select(
+        F.concat(F.lit("u"), F.col("id"), F.lit("@x.io")).alias("text"))
+    plan = redact_pii(df, "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan
