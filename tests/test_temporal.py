@@ -149,6 +149,44 @@ def test_redact_pii_rules_and_counts(spark):
     assert kept["text"].startswith("mail bob") and kept["clean"] == "mail <EMAIL> now"
 
 
+def test_asof_matches_pandas_merge_asof(spark):
+    # property check vs an independent implementation: pandas.merge_asof
+    # (backward+forward, inclusive), over seeded random inputs with
+    # unmatched keys, boundary timestamps, and unique (key, ts) rights
+    import random
+
+    import pandas as pd
+    from logunifier_spark.operators.temporal import asof_join
+
+    rng = random.Random(13)
+    base = dt.datetime(2024, 6, 1)
+    for trial, direction in [(0, "backward"), (1, "forward"), (2, "backward")]:
+        keys = ["a", "b", "c", "zz"]          # zz: left-only key
+        lrows = [(rng.choice(keys), base + dt.timedelta(seconds=rng.randrange(100)), i)
+                 for i in range(40)]
+        seen = set()
+        rrows = []
+        for j in range(30):
+            k = rng.choice(keys[:3])
+            t = base + dt.timedelta(seconds=rng.randrange(100))
+            if (k, t) not in seen:            # unique (key, ts) on the right
+                seen.add((k, t))
+                rrows.append((k, t, 100 + j))
+        left = spark.createDataFrame(lrows, "key string, ts timestamp, lid long")
+        right = spark.createDataFrame(rrows, "key string, ts timestamp, rid long")
+        got = sorted((r["lid"], r["rid"]) for r in
+                     asof_join(left.repartition(5), right.repartition(3),
+                               on="key", ts="ts",
+                               direction=direction).collect())
+        lp = pd.DataFrame(lrows, columns=["key", "ts", "lid"]).sort_values("ts", kind="stable")
+        rp = pd.DataFrame(rrows, columns=["key", "ts", "rid"]).sort_values("ts", kind="stable")
+        m = pd.merge_asof(lp, rp, on="ts", by="key", direction=direction,
+                          allow_exact_matches=True)
+        want = sorted((int(r.lid), None if pd.isna(r.rid) else int(r.rid))
+                      for r in m.itertuples())
+        assert got == want, f"trial {trial} ({direction})"
+
+
 def test_redact_is_pure_projection(spark):
     # no shuffle, no python: the whole chain is one JVM projection
     from logunifier_spark.operators.redact import redact_pii
