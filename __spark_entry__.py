@@ -398,6 +398,19 @@ def q_user_sessions(spark, sf_dir):
     return s.select("user_id", "session_id", "n_events", "duration_s")
 
 
+def q_rate_spikes(spark, sf_dir):
+    """Burst detection (operators/timeseries.py): hourly event counts per
+    event_type, flagged when a bucket exceeds 2× the mean of its 6
+    trailing observed buckets. Integer arithmetic end to end (bucket id =
+    us - us%w in int64; criterion cross-multiplied) — no float drift
+    between engines."""
+    _ship(spark)
+    from logunifier_spark.operators.timeseries import rate_spikes
+    e = _load(spark, sf_dir, "events")
+    return rate_spikes(e, "event_type", ts="ts", bucket_s=3600,
+                       trailing=6, mult=2)
+
+
 def q_redact_pii(spark, sf_dir):
     """PII redaction (operators/redact.py): ordered engine-portable regex
     rules (email→phone→ipv4→long-digit-run) as a pure JVM-side
@@ -912,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_stats": q_event_type_stats,
         "asof_clicks": q_asof_clicks,
         "user_sessions": q_user_sessions,
+        "rate_spikes": q_rate_spikes,
         "redact_pii": q_redact_pii,
         # pipeline sources / stateful ops
         "multiline_reassembly": q_multiline_reassembly,
@@ -1417,6 +1431,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((max(epoch_us(ts)) - min(epoch_us(ts)))
                               / 1000000.0) AS BIGINT) AS duration_s
             FROM sess GROUP BY user_id, session_id
+        """,
+        # integer-exact burst detection: bucket = us - us%w (pure int64),
+        # criterion cross-multiplied; windowed sums CAST from HUGEINT
+        "rate_spikes": """
+            WITH counts AS (
+              SELECT event_type,
+                     epoch_us(ts) - (epoch_us(ts) % 3600000000) AS bucket_us,
+                     count(*) AS cnt
+              FROM events GROUP BY 1, 2),
+            win AS (
+              SELECT event_type, bucket_us, cnt,
+                     CAST(coalesce(sum(cnt) OVER
+                       (PARTITION BY event_type ORDER BY bucket_us
+                        ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS trail_sum,
+                     CAST(count(cnt) OVER
+                       (PARTITION BY event_type ORDER BY bucket_us
+                        ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+                       AS BIGINT) AS n_trail
+              FROM counts)
+            SELECT event_type, bucket_us, cnt, trail_sum, n_trail
+            FROM win WHERE n_trail > 0 AND cnt * n_trail > 2 * trail_sum
         """,
         # patterns re-typed as SQL literals (NOT imported from redact.py):
         # RE2 'g' flag for global replace; counts on the pre-replace text

@@ -76,6 +76,37 @@ def stream_unify(
     return writer.start()
 
 
+def stream_session_stats(stream: DataFrame, keys: list[str] | str,
+                         ts: str = "ts", gap: str = "30 minutes",
+                         watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of operators/temporal.py::session_stats — per-key
+    gap sessions as a native stateful streaming aggregation
+    (`F.session_window`): events within `gap` of each other extend the
+    session; state merges and emits when the watermark passes the
+    session's close. Returns a streaming DataFrame for an append-mode
+    writeStream (only watermark-finalized sessions are emitted —
+    exactly-once per session under checkpoint resume).
+
+    Parity with the batch operator (asserted in test_streaming): the
+    session membership (which events group) is identical to the batch
+    gap rule, and start/end/duration come from min/max event ts inside
+    the session (NOT the window struct, whose `end` is last-event+gap).
+    Scale: state is per OPEN session, bounded by the watermark horizon —
+    not per event."""
+    from pyspark.sql import functions as F
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    return (stream.withWatermark(ts, watermark)
+            .groupBy(*keys, F.session_window(ts, gap).alias("w"))
+            .agg(F.count("*").alias("n_events"),
+                 F.min(ts).alias("session_start"),
+                 F.max(ts).alias("session_end"))
+            .select(*keys, "n_events", "session_start", "session_end",
+                    F.floor((F.unix_micros(F.col("session_end"))
+                             - F.unix_micros(F.col("session_start")))
+                            / F.lit(1_000_000)).cast("long")
+                    .alias("duration_s")))
+
+
 def dead_letter_count(query) -> int:
     """Lost-entry count for a streaming query handle: total rows dropped
     because they arrived older than the watermark (the reference's "entry

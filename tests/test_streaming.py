@@ -152,3 +152,47 @@ def test_stateful_reassembly_across_batches_and_restart(spark, tmp_path):
     assert rows == {"whole one": "m-w",
                     "frag1-frag2-frag3": "m-c",   # final part's metadata
                     "solo": "m-s"}
+
+
+def test_stream_session_stats_matches_batch(spark, tmp_path):
+    """Streaming gap sessions (session_window + watermark, append mode)
+    emit EXACTLY the batch session_stats rollup for watermark-closed
+    sessions: same membership, same start/end/duration."""
+    from logunifier_spark.operators.temporal import session_stats
+    from logunifier_spark.streaming.stream import stream_session_stats
+
+    src = str(tmp_path / "in")
+    sink = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, ts timestamp"
+
+    def t(minute):
+        return BASE_TS + datetime.timedelta(minutes=minute)
+
+    # u1: two sessions (0,10 | 120,121); u2: one event; the u99 sentinel
+    # sits far in the future so the final watermark closes every real
+    # session (append mode only emits watermark-finalized sessions)
+    rows = [(1, t(0)), (1, t(10)), (1, t(120)), (1, t(121)), (2, t(5))]
+    sentinel = [(99, t(100000))]
+    spark.createDataFrame(rows + sentinel, schema).coalesce(1) \
+         .write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 8).parquet(src))
+    q = (stream_session_stats(stream, "user_id", gap="30 minutes",
+                              watermark="1 hour")
+         .writeStream.format("parquet")
+         .option("path", sink).option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(240)
+
+    got = sorted((r["user_id"], r["n_events"],
+                  r["session_start"], r["session_end"], r["duration_s"])
+                 for r in spark.read.parquet(sink).collect())
+    batch = session_stats(
+        spark.createDataFrame(rows, schema), "user_id", gap_s=1800.0)
+    want = sorted((r["user_id"], r["n_events"],
+                   r["session_start"], r["session_end"], r["duration_s"])
+                  for r in batch.collect())
+    assert got == want        # the sentinel's own session is NOT emitted
+    assert len(got) == 3      # (u1 s0), (u1 s1), (u2 s0)

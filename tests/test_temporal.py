@@ -195,3 +195,29 @@ def test_redact_is_pure_projection(spark):
     plan = redact_pii(df, "text")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+def test_rate_spikes_detects_bursts(spark):
+    from logunifier_spark.operators.timeseries import bucket_counts, rate_spikes
+    base = dt.datetime(2024, 5, 1)
+    rows = []
+    # key "k": 6 calm hours at 2 events, then a 10-event burst in hour 6
+    for h in range(6):
+        rows += [("k", base + dt.timedelta(hours=h, minutes=m)) for m in (5, 25)]
+    rows += [("k", base + dt.timedelta(hours=6, minutes=m)) for m in range(10)]
+    # key "q": flat rate, no spike ever
+    for h in range(8):
+        rows.append(("q", base + dt.timedelta(hours=h)))
+    df = spark.createDataFrame(rows, "key string, ts timestamp")
+
+    bc = {(r["key"], r["bucket_us"]): r["cnt"]
+          for r in bucket_counts(df, "key", bucket_s=3600).collect()}
+    h0 = int(base.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    assert bc[("k", h0)] == 2 and bc[("k", h0 + 6 * 3600_000_000)] == 10
+
+    got = rate_spikes(df, "key", bucket_s=3600, trailing=6, mult=2).collect()
+    assert [(r["key"], r["bucket_us"], r["cnt"], r["trail_sum"], r["n_trail"])
+            for r in got] == [("k", h0 + 6 * 3600_000_000, 10, 12, 6)]
+    # first bucket (no trailing history) never flags even at mult=0
+    first = rate_spikes(df, "key", bucket_s=3600, trailing=6, mult=0)
+    assert all(r["n_trail"] > 0 for r in first.collect())
