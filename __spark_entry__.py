@@ -1432,12 +1432,17 @@ def oracle_sql() -> dict[str, str]:
                               / 1000000.0) AS BIGINT) AS duration_s
             FROM sess GROUP BY user_id, session_id
         """,
-        # integer-exact burst detection: bucket = us - us%w (pure int64),
-        # criterion cross-multiplied; windowed sums CAST from HUGEINT
+        # integer-exact burst detection: bucket = us - pmod(us, w) (pure
+        # int64), criterion cross-multiplied; windowed sums CAST from
+        # HUGEINT. DuckDB's % truncates (sign of the dividend) while
+        # Spark's pmod floors, so the oracle spells out floor-mod
+        # ((x%w+w)%w) to agree on pre-1970 (negative-epoch) timestamps
         "rate_spikes": """
             WITH counts AS (
               SELECT event_type,
-                     epoch_us(ts) - (epoch_us(ts) % 3600000000) AS bucket_us,
+                     epoch_us(ts)
+                       - ((epoch_us(ts) % 3600000000 + 3600000000)
+                          % 3600000000) AS bucket_us,
                      count(*) AS cnt
               FROM events GROUP BY 1, 2),
             win AS (

@@ -77,9 +77,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
     join inclusive.
 
     Null semantics: right rows with a null ts are dropped (they order
-    before everything and would otherwise match every left row); null
-    join keys group with each other (window partitioning), unlike an SQL
-    equi-join — filter them upstream if join semantics are required.
+    before everything and would otherwise match every left row); left
+    rows with a null ts are kept but never match; null join keys group
+    with each other (window partitioning), unlike an SQL equi-join —
+    filter them upstream if join semantics are required.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -120,7 +121,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
     matched = (u.withColumn("_m", F.last(_PAYLOAD, ignorenulls=True).over(w))
                 .where(F.col(_SIDE) == 1))
 
-    valid = F.col("_m").isNotNull()
+    # a null left ts is unmatchable in EITHER direction: backward sorts it
+    # before all rights (no running payload yet) but forward's ts.desc()
+    # sorts it after them, where it would pick up the running last() —
+    # gate explicitly rather than rely on sort-order luck
+    valid = F.col("_m").isNotNull() & F.col(ts).isNotNull()
     if tolerance_us is not None:
         lt = _ts_micros(matched, ts)
         rt = F.unix_micros(F.col("_m._rts").cast("timestamp")) \

@@ -95,6 +95,9 @@ def stream_session_stats(stream: DataFrame, keys: list[str] | str,
     not per event."""
     from pyspark.sql import functions as F
     keys = [keys] if isinstance(keys, str) else list(keys)
+    # withWatermark/unix_micros reject TIMESTAMP_NTZ (the corpus ts type)
+    # — normalize the event-time column upfront (UTC session tz)
+    stream = stream.withColumn(ts, F.col(ts).cast("timestamp"))
     return (stream.withWatermark(ts, watermark)
             .groupBy(*keys, F.session_window(ts, gap).alias("w"))
             .agg(F.count("*").alias("n_events"),

@@ -196,3 +196,24 @@ def test_stream_session_stats_matches_batch(spark, tmp_path):
                   for r in batch.collect())
     assert got == want        # the sentinel's own session is NOT emitted
     assert len(got) == 3      # (u1 s0), (u1 s1), (u2 s0)
+
+
+def test_stream_session_stats_accepts_timestamp_ntz(spark, tmp_path):
+    # the corpus ts type is TIMESTAMP_NTZ, which withWatermark/unix_micros
+    # reject — the operator must normalize the event-time column itself
+    from logunifier_spark.streaming.stream import stream_session_stats
+    src, sink, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    rows = [(1, BASE_TS), (1, BASE_TS + datetime.timedelta(minutes=5)),
+            (99, BASE_TS + datetime.timedelta(days=2000))]
+    spark.createDataFrame(rows, "user_id long, ts timestamp_ntz") \
+         .coalesce(1).write.parquet(src)
+    st = spark.readStream.schema("user_id long, ts timestamp_ntz").parquet(src)
+    q = (stream_session_stats(st, "user_id", gap="30 minutes",
+                              watermark="1 hour")
+         .writeStream.format("parquet")
+         .option("path", sink).option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(240)
+    got = [(r["user_id"], r["n_events"], r["duration_s"])
+           for r in spark.read.parquet(sink).collect()]
+    assert got == [(1, 2, 300)]

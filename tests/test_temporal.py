@@ -221,3 +221,27 @@ def test_rate_spikes_detects_bursts(spark):
     # first bucket (no trailing history) never flags even at mult=0
     first = rate_spikes(df, "key", bucket_s=3600, trailing=6, mult=0)
     assert all(r["n_trail"] > 0 for r in first.collect())
+
+
+def test_asof_null_left_ts_never_matches(spark, quotes):
+    # a null left ts is unmatchable in BOTH directions — forward's
+    # descending scan must not hand it the running payload
+    from logunifier_spark.operators.temporal import asof_join
+    left = spark.createDataFrame([("k1", None, 1)],
+                                 "key string, ts timestamp, tid long")
+    for direction in ("backward", "forward"):
+        got = asof_join(left, quotes, on="key", ts="ts",
+                        direction=direction).collect()
+        assert len(got) == 1
+        assert got[0]["qid"] is None and got[0]["matched_ts"] is None
+
+
+def test_rate_spikes_pre_epoch_buckets(spark):
+    # negative epoch micros: bucket id must FLOOR (pmod), not truncate —
+    # the documented Spark-vs-DuckDB % divergence
+    from logunifier_spark.operators.timeseries import bucket_counts
+    pre = dt.datetime(1969, 12, 31, 23, 30, 0)   # -1800s epoch
+    df = spark.createDataFrame([("k", pre)], "key string, ts timestamp")
+    [(bucket, cnt)] = [(r["bucket_us"], r["cnt"])
+                       for r in bucket_counts(df, "key", bucket_s=3600).collect()]
+    assert bucket == -3600 * 1_000_000 and cnt == 1   # floor, not trunc(0)
