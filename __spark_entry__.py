@@ -398,6 +398,18 @@ def q_user_sessions(spark, sf_dir):
     return s.select("user_id", "session_id", "n_events", "duration_s")
 
 
+def q_doc_length_quantiles(spark, sf_dir):
+    """Exact per-group discrete quantiles (operators/stats.py): doc-length
+    p50/p95 per source with integer-only rank math (pos = ceil(n*p/100)
+    computed as floor((n*p+99)/100) — float q flips positions at exact
+    multiples). Oracle = DuckDB's NATIVE quantile_disc, an independent
+    implementation of the same type-1 semantics."""
+    _ship(spark)
+    from logunifier_spark.operators.stats import group_quantiles
+    d = _load(spark, sf_dir, "documents")
+    return group_quantiles(d, "source", "n_chars", percents=(50, 95))
+
+
 def q_rate_spikes(spark, sf_dir):
     """Burst detection (operators/timeseries.py): hourly event counts per
     event_type, flagged when a bucket exceeds 2× the mean of its 6
@@ -926,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_clicks": q_asof_clicks,
         "user_sessions": q_user_sessions,
         "rate_spikes": q_rate_spikes,
+        "doc_length_quantiles": q_doc_length_quantiles,
         "redact_pii": q_redact_pii,
         # pipeline sources / stateful ops
         "multiline_reassembly": q_multiline_reassembly,
@@ -1431,6 +1444,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((max(epoch_us(ts)) - min(epoch_us(ts)))
                               / 1000000.0) AS BIGINT) AS duration_s
             FROM sess GROUP BY user_id, session_id
+        """,
+        # DuckDB's native quantile_disc — independent implementation of
+        # the type-1 discrete quantile the operator computes by rank math
+        "doc_length_quantiles": """
+            SELECT source, CAST(count(n_chars) AS BIGINT) AS n,
+                   CAST(quantile_disc(n_chars, 0.50) AS BIGINT) AS p50,
+                   CAST(quantile_disc(n_chars, 0.95) AS BIGINT) AS p95
+            FROM documents WHERE n_chars IS NOT NULL GROUP BY source
         """,
         # integer-exact burst detection: bucket = us - pmod(us, w) (pure
         # int64), criterion cross-multiplied; windowed sums CAST from

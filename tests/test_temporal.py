@@ -245,3 +245,26 @@ def test_rate_spikes_pre_epoch_buckets(spark):
     [(bucket, cnt)] = [(r["bucket_us"], r["cnt"])
                        for r in bucket_counts(df, "key", bucket_s=3600).collect()]
     assert bucket == -3600 * 1_000_000 and cnt == 1   # floor, not trunc(0)
+
+
+def test_group_quantiles_exact(spark):
+    from logunifier_spark.operators.stats import group_quantiles
+    import pytest as _pytest
+    # n=4 and n=5 groups with known type-1 quantiles (pos = ceil(q*n));
+    # nulls ignored; ties deterministic by value
+    rows = ([("a", v) for v in (40, 10, 30, 20)]
+            + [("b", v) for v in (50, 10, 30, 20, 40)]
+            + [("t", v) for v in (7, 7, 7, 9)]
+            + [("nul", None), ("nul", 5)])
+    df = spark.createDataFrame(rows, "key string, x long")
+    out = {r["key"]: r for r in
+           group_quantiles(df, "key", "x", percents=(25, 50, 95)).collect()}
+    assert (out["a"]["n"], out["a"]["p25"], out["a"]["p50"], out["a"]["p95"]) \
+        == (4, 10, 20, 40)
+    assert (out["b"]["n"], out["b"]["p50"], out["b"]["p95"]) == (5, 30, 50)
+    assert (out["t"]["p50"], out["t"]["p95"]) == (7, 9)
+    assert (out["nul"]["n"], out["nul"]["p50"]) == (1, 5)
+    with _pytest.raises(ValueError):
+        group_quantiles(df, "key", "x", percents=(0,))
+    with _pytest.raises(ValueError):
+        group_quantiles(df, "key", "x", percents=(50.0,))
