@@ -398,6 +398,18 @@ def q_user_sessions(spark, sf_dir):
     return s.select("user_id", "session_id", "n_events", "duration_s")
 
 
+def q_curate_corpus(spark, sf_dir):
+    """The full curation funnel (logunifier_spark/curate.py): exact dedup
+    → language filter → quality filter → deterministic sample, verified
+    END TO END by one oracle — stage-boundary bugs break the hash even
+    when each stage passes in isolation."""
+    _ship(spark)
+    from logunifier_spark.curate import curate
+    d = _load(spark, sf_dir, "documents")
+    out = curate(d, langs=("en",), min_quality=0.5, sample_rate=0.5)
+    return out.select("doc_id", "source", "lang_id", "quality")
+
+
 def q_doc_length_quantiles(spark, sf_dir):
     """Exact per-group discrete quantiles (operators/stats.py): doc-length
     p50/p95 per source with integer-only rank math (pos = ceil(n*p/100)
@@ -939,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "rate_spikes": q_rate_spikes,
         "doc_length_quantiles": q_doc_length_quantiles,
+        "curate_corpus": q_curate_corpus,
         "redact_pii": q_redact_pii,
         # pipeline sources / stateful ops
         "multiline_reassembly": q_multiline_reassembly,
@@ -1444,6 +1457,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((max(epoch_us(ts)) - min(epoch_us(ts)))
                               / 1000000.0) AS BIGINT) AS duration_s
             FROM sess GROUP BY user_id, session_id
+        """,
+        # the whole curation funnel in one oracle: dedup keep-set,
+        # language CASE + quality expr (same formulas as the
+        # language_histogram / quality_scores oracles), portable hash gate
+        "curate_corpus": r"""
+            WITH keep AS (
+              SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+            d AS (
+              SELECT doc_id, source, text FROM documents
+              WHERE doc_id IN (SELECT doc_id FROM keep)),
+            w AS (
+              SELECT doc_id, source, text,
+                     string_split_regex(lower(text), '[^\p{L}]+') AS words,
+                     string_split_regex(lower(coalesce(text, '')),
+                                        '[ \t\r\n\f\x0B]+') AS qwords
+              FROM d),
+            scores AS (
+              SELECT *,
+                len(list_filter(words, x -> list_contains(['the','and','of','to','is','in','that','it','was','for'], x))) AS en,
+                len(list_filter(words, x -> list_contains(['der','die','und','das','ist','nicht','ein','mit','auf','zu'], x))) AS de,
+                len(list_filter(words, x -> list_contains(['le','la','les','et','est','pas','une','des','dans','que'], x))) AS fr,
+                len(list_filter(words, x -> list_contains(['el','la','los','y','es','no','una','del','con','para'], x))) AS es
+              FROM w),
+            langd AS (
+              SELECT *,
+                CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+                     WHEN es = greatest(en, de, fr, es) THEN 'es'
+                     WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+                     WHEN en = greatest(en, de, fr, es) THEN 'en'
+                     ELSE 'de' END AS lang_id
+              FROM scores),
+            qual AS (
+              SELECT doc_id, source, lang_id,
+                round(least(length(coalesce(text, '')) / 500.0, 1.0) * 0.25
+                      + (length(regexp_replace(coalesce(text, ''), '[^\p{L}]', '', 'g'))
+                         / (length(coalesce(text, '')) + 1e-9)) * 0.35
+                      + greatest(0.0, 1.0 - length(regexp_replace(coalesce(text, ''), '[^.,;:!?]', '', 'g'))
+                                 / (len(qwords) + 1.0)) * 0.2
+                      + least(len(list_filter(qwords, x -> list_contains(['the','and','of','to','is','in','that','it','was','for'], x)))
+                              / (len(qwords) * 0.1 + 1e-9), 1.0) * 0.2,
+                      6) AS quality
+              FROM langd)
+            SELECT doc_id, source, lang_id, quality FROM qual
+            WHERE lang_id = 'en' AND quality >= 0.5
+              AND ((doc_id % 2147483648) * 2654435761) % 2147483648
+                  < 1073741824
         """,
         # DuckDB's native quantile_disc — independent implementation of
         # the type-1 discrete quantile the operator computes by rank math

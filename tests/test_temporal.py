@@ -268,3 +268,32 @@ def test_group_quantiles_exact(spark):
         group_quantiles(df, "key", "x", percents=(0,))
     with _pytest.raises(ValueError):
         group_quantiles(df, "key", "x", percents=(50.0,))
+
+
+def test_curate_funnel_stages(spark):
+    from logunifier_spark.curate import curate
+    en = ("the cat and the dog sat in the house, and it was warm. "
+          "the light of the day is good for the garden and the trees.")
+    rows = [
+        (0, en, "s0"),          # survives everything (even id, hash-kept)
+        (1, en, "s0"),          # exact dup of 0 -> dropped by dedup
+        (2, "der hund und die katze, das ist nicht ein mit auf zu", "s1"),
+        (3, "zzz qqq xxx", "s1"),              # lang 'und'
+        (4, "!!!! ???? ....", "s2"),           # junk -> low quality
+        (5, en + " extra tail of the story.", "s2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = curate(df, langs=("en",), min_quality=0.3, sample_rate=None)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [0, 5]                   # dup, de, und, junk all gone
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[0]["lang_id"] == "en" and got[0]["quality"] >= 0.3
+    # stages are individually optional
+    no_dedup = curate(df, dedup=False, langs=None, min_quality=None)
+    assert no_dedup.count() == 6
+    # sampling keep-set is monotone in rate (auditable superset property)
+    lo = {r["doc_id"] for r in
+          curate(df, langs=None, min_quality=None, sample_rate=0.3).collect()}
+    hi = {r["doc_id"] for r in
+          curate(df, langs=None, min_quality=None, sample_rate=0.8).collect()}
+    assert lo <= hi
