@@ -410,6 +410,44 @@ def q_curate_corpus(spark, sf_dir):
     return out.select("doc_id", "source", "lang_id", "quality")
 
 
+def q_decontam_hits(spark, sf_dir):
+    """Benchmark decontamination (operators/decontam.py): training docs
+    sharing any word 4-gram with the benchmark slice (doc_id % 97 == 0),
+    with the distinct shared-gram count. Bench gram set is broadcast; the
+    corpus side is probed map-side (no corpus shuffle)."""
+    _ship(spark)
+    from logunifier_spark.operators.decontam import contaminated_ids
+    d = _load(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    train = d.where(F.col("doc_id") % 97 != 0)
+    return contaminated_ids(train, bench, n=4)
+
+
+def q_chunk_windows(spark, sf_dir):
+    """Token-window chunking (operators/chunk.py): 32-word windows with
+    stride 24 (8-word overlap); chunk text carried as md5 so the oracle
+    hash stays small."""
+    _ship(spark)
+    from logunifier_spark.operators.chunk import chunk_by_tokens
+    d = _load(spark, sf_dir, "documents")
+    c = chunk_by_tokens(d, size=32, stride=24)
+    return c.select("doc_id", F.col("chunk_id").cast("long").alias("chunk_id"),
+                    "n_tokens", F.md5("chunk_text").alias("chunk_md5"))
+
+
+def q_gopher_stats(spark, sf_dir):
+    """Gopher-style repetition/shape filters (operators/textstats.py
+    repetition_stats): word count, mean word length, alpha-word fraction,
+    duplicate-line and duplicate-2gram fractions, and the combined pass
+    flag."""
+    _ship(spark)
+    from logunifier_spark.operators.textstats import repetition_stats
+    d = _load(spark, sf_dir, "documents")
+    return repetition_stats(d).select(
+        "doc_id", "n_words", "mean_word_len", "alpha_word_frac",
+        "dup_line_frac", "dup_2gram_frac", "gopher_pass")
+
+
 def q_doc_length_quantiles(spark, sf_dir):
     """Exact per-group discrete quantiles (operators/stats.py): doc-length
     p50/p95 per source with integer-only rank math (pos = ceil(n*p/100)
@@ -952,6 +990,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_spikes": q_rate_spikes,
         "doc_length_quantiles": q_doc_length_quantiles,
         "curate_corpus": q_curate_corpus,
+        "decontam_hits": q_decontam_hits,
+        "chunk_windows": q_chunk_windows,
+        "gopher_stats": q_gopher_stats,
         "redact_pii": q_redact_pii,
         # pipeline sources / stateful ops
         "multiline_reassembly": q_multiline_reassembly,
@@ -1503,6 +1544,95 @@ def oracle_sql() -> dict[str, str]:
             WHERE lang_id = 'en' AND quality >= 0.5
               AND ((doc_id % 2147483648) * 2654435761) % 2147483648
                   < 1073741824
+        """,
+        # decontamination: canonical word stream (lower -> collapse ASCII
+        # ws -> trim -> split), 4-gram identity, distinct-gram hit counts
+        "decontam_hits": r"""
+            WITH norm AS (
+              SELECT doc_id, trim(regexp_replace(lower(coalesce(text, '')),
+                     '[ \t\r\n\f\x0B]+', ' ', 'g')) AS norm
+              FROM documents),
+            w AS (
+              SELECT doc_id, string_split(norm, ' ') AS words FROM norm),
+            g AS (
+              SELECT doc_id,
+                     unnest([array_to_string(words[i:i+3], ' ')
+                             for i in range(1, len(words) - 2)]) AS gram
+              FROM w WHERE len(words) >= 4),
+            bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+            SELECT g.doc_id, count(DISTINCT g.gram) AS n_hits
+            FROM g JOIN bench USING (gram)
+            WHERE g.doc_id % 97 <> 0
+            GROUP BY g.doc_id
+        """,
+        # chunking: start offsets 0,24,48,... with window count
+        # 1 + ceil(max(nw-32,0)/24); floor() on both engines (Spark casts
+        # truncate, DuckDB casts round)
+        "chunk_windows": r"""
+            WITH norm AS (
+              SELECT doc_id, trim(regexp_replace(lower(coalesce(text, '')),
+                     '[ \t\r\n\f\x0B]+', ' ', 'g')) AS norm
+              FROM documents),
+            w AS (
+              SELECT doc_id,
+                     CASE WHEN norm = '' THEN []::VARCHAR[]
+                          ELSE string_split(norm, ' ') END AS words
+              FROM norm),
+            c AS (
+              SELECT doc_id, len(words) AS nw,
+                     [array_to_string(words[(i*24)+1:(i*24)+32], ' ')
+                      for i in range(0, CAST(floor((greatest(len(words) - 32, 0)
+                                                    + 23) / 24.0) AS BIGINT) + 1)
+                     ] AS chunks
+              FROM w),
+            e AS (
+              SELECT doc_id, nw, unnest(chunks) AS chunk_text,
+                     generate_subscripts(chunks, 1) - 1 AS chunk_id
+              FROM c)
+            SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                   CAST(greatest(least(32, nw - chunk_id * 24), 0) AS BIGINT)
+                     AS n_tokens,
+                   md5(chunk_text) AS chunk_md5
+            FROM e
+        """,
+        # Gopher-style filters: distinct-ratio duplicate metrics, pass flag
+        # computed on the UNROUNDED doubles (identical IEEE ops both sides)
+        "gopher_stats": r"""
+            WITH norm AS (
+              SELECT doc_id, coalesce(text, '') AS t,
+                     trim(regexp_replace(lower(coalesce(text, '')),
+                          '[ \t\r\n\f\x0B]+', ' ', 'g')) AS norm
+              FROM documents),
+            w AS (
+              SELECT doc_id, t, norm,
+                     CASE WHEN norm = '' THEN []::VARCHAR[]
+                          ELSE string_split(norm, ' ') END AS words
+              FROM norm),
+            feat AS (
+              SELECT doc_id, len(words) AS nw,
+                CASE WHEN len(words) > 0
+                     THEN (length(norm) - len(words) + 1) / len(words)
+                     ELSE 0.0 END AS mwl,
+                CASE WHEN len(words) > 0
+                     THEN len(list_filter(words, x -> regexp_matches(x, '\p{L}')))
+                          / len(words)
+                     ELSE 0.0 END AS awf,
+                1 - len(list_distinct(string_split(t, chr(10))))
+                    / len(string_split(t, chr(10))) AS dlf,
+                CASE WHEN len(words) >= 2
+                     THEN 1 - len(list_distinct([array_to_string(words[i:i+1], ' ')
+                                                 for i in range(1, len(words))]))
+                              / (len(words) - 1)
+                     ELSE 0.0 END AS dgf
+              FROM w)
+            SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+              round(mwl, 6) AS mean_word_len,
+              round(awf, 6) AS alpha_word_frac,
+              round(dlf, 6) AS dup_line_frac,
+              round(dgf, 6) AS dup_2gram_frac,
+              (nw BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+               AND awf >= 0.8 AND dlf <= 0.3 AND dgf <= 0.2) AS gopher_pass
+            FROM feat
         """,
         # DuckDB's native quantile_disc — independent implementation of
         # the type-1 discrete quantile the operator computes by rank math

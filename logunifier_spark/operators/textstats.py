@@ -90,6 +90,60 @@ def fingerprint(text: Column, window: int = 8) -> Column:
     return F.array_min(grams)
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     min_words: int = 50, max_words: int = 100_000,
+                     min_mean_word_len: float = 3.0,
+                     max_mean_word_len: float = 10.0,
+                     min_alpha_word_frac: float = 0.8,
+                     max_dup_line_frac: float = 0.3,
+                     max_dup_2gram_frac: float = 0.2) -> DataFrame:
+    """Gopher-style repetition / shape filters (Rae et al. 2021 §A1.1,
+    re-expressed with distinct-ratio duplicate metrics so both Spark and
+    the DuckDB oracle compute them natively):
+
+      n_words            canonical ASCII-ws word count
+      mean_word_len      (chars - spaces) / n_words, from the normalized text
+      alpha_word_frac    fraction of words containing a letter
+      dup_line_frac      1 - distinct(raw lines)/count(lines)
+      dup_2gram_frac     1 - distinct(word 2-grams)/count(2-grams)
+      gopher_pass        all thresholds hold (defaults are the paper's
+                         bounds where they translate)
+
+    Pure projection — no shuffle, no Python; ratios are rounded to 6
+    places for cross-engine hashing, the pass flag is computed on the
+    unrounded values (identical IEEE ops on both engines)."""
+    from logunifier_spark.operators.decontam import norm_words, word_ngrams
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    d = df.withColumn("_w", norm_words(t))
+    nw = F.size("_w")
+    d = d.withColumn("_g2", word_ngrams(F.col("_w"), 2)) \
+         .withColumn("_lines", F.split(t, "\n"))
+    norm_len = F.length(F.concat_ws(" ", F.col("_w")))
+    mean_wl = F.when(nw > 0, (norm_len - nw + 1) / nw).otherwise(F.lit(0.0))
+    alpha_frac = F.when(nw > 0, F.size(F.filter(
+        F.col("_w"), lambda w: w.rlike(r"\p{L}"))) / nw).otherwise(F.lit(0.0))
+    n_lines = F.size("_lines")
+    dup_line = F.when(n_lines > 0,
+                      1 - F.size(F.array_distinct("_lines")) / n_lines
+                      ).otherwise(F.lit(0.0))
+    n_g2 = F.size("_g2")
+    dup_g2 = F.when(n_g2 > 0, 1 - F.size(F.array_distinct("_g2")) / n_g2
+                    ).otherwise(F.lit(0.0))
+    gopher = (nw.between(min_words, max_words)
+              & mean_wl.between(min_mean_word_len, max_mean_word_len)
+              & (alpha_frac >= min_alpha_word_frac)
+              & (dup_line <= max_dup_line_frac)
+              & (dup_g2 <= max_dup_2gram_frac))
+    return d.withColumns({
+        "n_words": nw.cast("long"),
+        "mean_word_len": F.round(mean_wl, 6),
+        "alpha_word_frac": F.round(alpha_frac, 6),
+        "dup_line_frac": F.round(dup_line, 6),
+        "dup_2gram_frac": F.round(dup_g2, 6),
+        "gopher_pass": gopher,
+    }).drop("_w", "_g2", "_lines")
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return df.withColumns({

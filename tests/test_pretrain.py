@@ -1,0 +1,131 @@
+"""Pretraining-hygiene operators: decontamination, token-window chunking,
+Gopher-style repetition stats. Cross-checked against plain-Python
+reference implementations on deterministic synthetic corpora."""
+
+import random
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from logunifier_spark.operators.chunk import chunk_by_tokens
+from logunifier_spark.operators.decontam import (contaminated_ids,
+                                                 decontaminate)
+from logunifier_spark.operators.textstats import repetition_stats
+
+WS_RE = re.compile(r"[ \t\r\n\f\x0B]+")
+
+
+def _pywords(text):
+    norm = WS_RE.sub(" ", (text or "").lower()).strip()
+    return norm.split(" ") if norm else []
+
+
+def _pygrams(text, n):
+    w = _pywords(text)
+    return [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+
+
+def _salad(rng, n):
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa"]
+    return " ".join(rng.choice(vocab) for _ in range(n))
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = random.Random(7)
+    rows = [(i, _salad(rng, rng.randint(0, 40)), f"s{i % 3}")
+            for i in range(60)]
+    # plant a benchmark phrase (doc 20 is bench) inside two training docs
+    rows[20] = (20, rows[20][1] + " the quick brown fox jumps", "s2")
+    rows[10] = (10, rows[10][1] + " the quick brown fox jumps high", "s1")
+    rows[11] = (11, "the quick brown fox jumps " + rows[11][1], "s2")
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    return rows, df
+
+
+def test_decontaminate_matches_python(spark, corpus):
+    rows, df = corpus
+    bench = df.where(F.col("doc_id") % 20 == 0)      # ids 0,20,40
+    train = df.where(F.col("doc_id") % 20 != 0)
+    n = 5
+    bgrams = set()
+    for i, text, _ in rows:
+        if i % 20 == 0:
+            bgrams.update(_pygrams(text, n))
+    expect = {}
+    for i, text, _ in rows:
+        if i % 20 != 0:
+            hits = {g for g in _pygrams(text, n) if g in bgrams}
+            if hits:
+                expect[i] = len(hits)
+    got = {r["doc_id"]: r["n_hits"]
+           for r in contaminated_ids(train, bench, n=n).collect()}
+    assert got == expect and 10 in got and 11 in got
+    survivors = {r["doc_id"] for r in decontaminate(train, bench, n=n).collect()}
+    train_ids = {i for i, _, _ in rows if i % 20 != 0}
+    assert survivors == train_ids - set(expect)      # partition: disjoint, total
+
+
+def test_chunk_reconstruction_and_windows(spark, corpus):
+    rows, df = corpus
+    # non-overlapping chunks concatenate back to the normalized text
+    out = chunk_by_tokens(df, size=7, stride=7).orderBy("doc_id", "chunk_id")
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, text, _ in rows:
+        words = _pywords(text)
+        chunks = by_doc[i]
+        assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+        joined = " ".join(c["chunk_text"] for c in chunks if c["chunk_text"])
+        assert joined == " ".join(words)
+        assert sum(c["n_tokens"] for c in chunks) == len(words)
+    # overlapping windows equal python slicing; every word covered
+    size, stride = 8, 3
+    out2 = chunk_by_tokens(df, size=size, stride=stride)
+    got = {(r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+           for r in out2.collect()}
+    for i, text, _ in rows:
+        words = _pywords(text)
+        n_chunks = 1 + -(-max(len(words) - size, 0) // stride)
+        for c in range(n_chunks):
+            piece = words[c * stride: c * stride + size]
+            assert got[(i, c)] == (" ".join(piece), len(piece))
+        assert (i, n_chunks) not in got
+
+
+def test_chunk_validates_params(spark):
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_by_tokens(df, size=0)
+    with pytest.raises(ValueError):
+        chunk_by_tokens(df, size=4, stride=5)
+    with pytest.raises(ValueError):
+        chunk_by_tokens(df, size=4, stride=0)
+
+
+def test_repetition_stats_rules(spark):
+    good = " ".join(f"word{i} item{i} thing{i}" for i in range(20))  # 60 distinct
+    dup2 = "spam ham " * 40                                          # all dup 2-grams
+    lines = "\n".join(["same line"] * 8 + [f"l{i}" for i in range(2)])
+    numeric = " ".join(str(i) for i in range(100, 160))              # no alpha
+    rows = [(0, good), (1, dup2), (2, lines), (3, numeric), (4, ""), (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert out[0]["gopher_pass"] and out[0]["dup_2gram_frac"] == 0.0
+    assert not out[1]["gopher_pass"] and out[1]["dup_2gram_frac"] > 0.9
+    assert out[2]["dup_line_frac"] == pytest.approx(0.7)
+    assert not out[3]["gopher_pass"] and out[3]["alpha_word_frac"] == 0.0
+    for i in (4, 5):   # empty/null: all-zero stats, fails the floor rules
+        assert out[i]["n_words"] == 0 and not out[i]["gopher_pass"]
+        assert out[i]["mean_word_len"] == 0.0
+    # python cross-check of the distinct-ratio metrics
+    g2 = _pygrams(dup2, 2)
+    assert out[1]["dup_2gram_frac"] == pytest.approx(
+        1 - len(set(g2)) / len(g2), abs=1e-6)
+    w = _pywords(good)
+    assert out[0]["n_words"] == len(w)
+    assert out[0]["mean_word_len"] == pytest.approx(
+        sum(map(len, w)) / len(w), abs=1e-6)
