@@ -448,6 +448,17 @@ def q_gopher_stats(spark, sf_dir):
         "dup_line_frac", "dup_2gram_frac", "gopher_pass")
 
 
+def q_kmeans_clusters(spark, sf_dir):
+    """Fixed-point k-means (operators/kmeans.py): 2 exact Lloyd iterations,
+    k=8, over int64-quantized embeddings — final per-vector assignment and
+    squared distance. Deterministic end to end, so the iterative algorithm
+    is value-hash oracleable (the oracle unrolls both iterations in SQL)."""
+    _ship(spark)
+    from logunifier_spark.operators.kmeans import kmeans_fixed_point
+    e = _load(spark, sf_dir, "embeddings")
+    return kmeans_fixed_point(e, k=8, iters=2)
+
+
 def q_doc_length_quantiles(spark, sf_dir):
     """Exact per-group discrete quantiles (operators/stats.py): doc-length
     p50/p95 per source with integer-only rank math (pos = ceil(n*p/100)
@@ -993,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_hits": q_decontam_hits,
         "chunk_windows": q_chunk_windows,
         "gopher_stats": q_gopher_stats,
+        "kmeans_clusters": q_kmeans_clusters,
         "redact_pii": q_redact_pii,
         # pipeline sources / stateful ops
         "multiline_reassembly": q_multiline_reassembly,
@@ -1633,6 +1645,78 @@ def oracle_sql() -> dict[str, str]:
               (nw BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
                AND awf >= 0.8 AND dlf <= 0.3 AND dgf <= 0.2) AS gopher_pass
             FROM feat
+        """,
+        # fixed-point k-means: both Lloyd iterations unrolled in SQL.
+        # Integer-exact everywhere the operator is (floor-quantize, int64
+        # squared-L2, floor-div centroid update), so the iterative
+        # algorithm value-hash matches. min([d, cid]) = the operator's
+        # array_min(struct(dist, cluster)) lexicographic tie-break.
+        "kmeans_clusters": r"""
+            WITH q AS (
+              SELECT vec_id,
+                     [CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                      for x in embedding] AS qv
+              FROM embeddings),
+            c0 AS (
+              SELECT row_number() OVER (
+                       ORDER BY ((vec_id % 2147483648) * 2654435761)
+                                % 2147483648, vec_id) - 1 AS cid,
+                     qv AS cv
+              FROM q
+              ORDER BY ((vec_id % 2147483648) * 2654435761) % 2147483648,
+                       vec_id
+              LIMIT 8),
+            s1 AS (
+              SELECT vec_id, qv, cid,
+                     CAST(list_sum([(qv[i]-cv[i])*(qv[i]-cv[i])
+                                    for i in range(1, len(qv)+1)])
+                          AS BIGINT) AS d
+              FROM q CROSS JOIN c0),
+            a1 AS (
+              SELECT vec_id, qv, min([d, cid])[2] AS cluster
+              FROM s1 GROUP BY vec_id, qv),
+            u1 AS (
+              SELECT cluster AS cid, pos,
+                     CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT)
+                       AS comp
+              FROM (SELECT cluster, unnest(qv) AS v,
+                           generate_subscripts(qv, 1) AS pos
+                    FROM a1)
+              GROUP BY cluster, pos),
+            c1 AS (
+              SELECT c0.cid, coalesce(n.cv, c0.cv) AS cv
+              FROM c0 LEFT JOIN (SELECT cid, list(comp ORDER BY pos) AS cv
+                                 FROM u1 GROUP BY cid) n USING (cid)),
+            s2 AS (
+              SELECT vec_id, qv, cid,
+                     CAST(list_sum([(qv[i]-cv[i])*(qv[i]-cv[i])
+                                    for i in range(1, len(qv)+1)])
+                          AS BIGINT) AS d
+              FROM q CROSS JOIN c1),
+            a2 AS (
+              SELECT vec_id, qv, min([d, cid])[2] AS cluster
+              FROM s2 GROUP BY vec_id, qv),
+            u2 AS (
+              SELECT cluster AS cid, pos,
+                     CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT)
+                       AS comp
+              FROM (SELECT cluster, unnest(qv) AS v,
+                           generate_subscripts(qv, 1) AS pos
+                    FROM a2)
+              GROUP BY cluster, pos),
+            c2 AS (
+              SELECT c1.cid, coalesce(n.cv, c1.cv) AS cv
+              FROM c1 LEFT JOIN (SELECT cid, list(comp ORDER BY pos) AS cv
+                                 FROM u2 GROUP BY cid) n USING (cid)),
+            s3 AS (
+              SELECT vec_id, cid,
+                     CAST(list_sum([(qv[i]-cv[i])*(qv[i]-cv[i])
+                                    for i in range(1, len(qv)+1)])
+                          AS BIGINT) AS d
+              FROM q CROSS JOIN c2)
+            SELECT vec_id, min([d, cid])[2] AS cluster,
+                   min([d, cid])[1] AS dist
+            FROM s3 GROUP BY vec_id
         """,
         # DuckDB's native quantile_disc — independent implementation of
         # the type-1 discrete quantile the operator computes by rank math

@@ -1,0 +1,79 @@
+"""Fixed-point k-means: cross-checked against an independent numpy Lloyd
+implementation (exact integer equality — the operator is integer-exact by
+design), plus partitioning invariance."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, FloatType, LongType, StructField,
+                               StructType)
+
+from logunifier_spark.operators.kmeans import kmeans_fixed_point
+
+MOD = 2_147_483_648
+MULT = 2_654_435_761
+
+SCHEMA = StructType([
+    StructField("vec_id", LongType()),
+    StructField("embedding", ArrayType(FloatType())),
+])
+
+
+def _synth(n=200, dim=8, seed=7):
+    rng = np.random.RandomState(seed)
+    # three well-separated blobs + noise, float32 like the real table
+    centers = rng.uniform(-1, 1, size=(3, dim))
+    rows = []
+    for i in range(n):
+        v = centers[i % 3] + rng.normal(0, 0.05, size=dim)
+        rows.append((i, [float(np.float32(x)) for x in v]))
+    return rows
+
+
+def _numpy_kmeans(rows, k, iters, scale=1000):
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    q = np.array([[int(np.floor(float(x) * scale)) for x in r[1]]
+                  for r in rows], dtype=np.int64)
+    order = np.lexsort((ids, (ids % MOD) * MULT % MOD))
+    cents = q[order[:k]].copy()
+    for _ in range(iters):
+        d = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)  # argmin takes the first (lowest cid) tie
+        for cid in range(k):
+            m = assign == cid
+            if m.any():
+                # exact floor division, matching the operator's Python //
+                cents[cid] = q[m].sum(axis=0) // int(m.sum())
+    d = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    assign = d.argmin(axis=1)
+    return {int(i): (int(a), int(dd))
+            for i, a, dd in zip(ids, assign, d[np.arange(len(ids)), assign])}
+
+
+@pytest.mark.parametrize("k,iters", [(3, 1), (5, 3)])
+def test_kmeans_matches_numpy(spark, k, iters):
+    rows = _synth()
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {int(r["vec_id"]): (int(r["cluster"]), int(r["dist"]))
+           for r in kmeans_fixed_point(df, k=k, iters=iters).collect()}
+    assert got == _numpy_kmeans(rows, k, iters)
+
+
+def test_kmeans_partitioning_invariant(spark):
+    rows = _synth(n=120)
+    a = kmeans_fixed_point(spark.createDataFrame(rows, SCHEMA).coalesce(1),
+                           k=4, iters=2).collect()
+    b = kmeans_fixed_point(
+        spark.createDataFrame(rows, SCHEMA).repartition(13), k=4,
+        iters=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_kmeans_empty_cluster_keeps_seed(spark):
+    # two identical points, k=2: one centroid captures everything, the
+    # other keeps its seed and must still exist without crashing
+    rows = [(0, [0.5, 0.5]), (1, [0.5, 0.5]), (2, [0.5, 0.5])]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = kmeans_fixed_point(df, k=2, iters=2).collect()
+    assert len(out) == 3
+    assert {int(r["dist"]) for r in out} == {0}
