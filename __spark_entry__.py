@@ -874,6 +874,18 @@ def q_embedding_neardup(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
 
 
+def q_semdedup_pairs(spark, sf_dir):
+    """SemDeDup (operators/semdedup.py): integer-exact k-means partitions
+    the embedding space, cosine near-dup pairs are found WITHIN clusters
+    only — the paper's recipe for bounding the all-pairs compare at web
+    scale. Oracle: the unrolled-Lloyd CTE generator + the same ordered
+    double-precision cosine fold (duck_oracles.semdedup_pairs_sql)."""
+    _ship(spark)
+    from logunifier_spark.operators.semdedup import semdedup_pairs
+    e = _load(spark, sf_dir, "embeddings")
+    return semdedup_pairs(e, k=8, iters=2, threshold=0.45)
+
+
 def q_dedup_turns(spark, sf_dir):
     """M3: duplicate-window dedup — transcripts unioned with themselves
     collapse back to one row per (conv_id, turn_idx) (JetStream 5-min
@@ -1028,6 +1040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_dupes": q_fingerprint_dupes,
         "quality_scores": q_quality_scores,
         "embedding_neardup": q_embedding_neardup,
+        "semdedup_pairs": q_semdedup_pairs,
         "ann_ivf": q_ann_ivf,
         "media_frame_sample": q_media_frame_sample,
         "media_resize": q_media_resize,
@@ -1879,6 +1892,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_dupes": _do.fingerprint_dupes_sql(),
         "ann_lsh": _do.ann_lsh_sql(dim=64, k=5, n_bits=10),
         "ann_ivf": _do.ann_ivf_sql(k=5, n_centroids=16, nprobe=4),
+        "semdedup_pairs": _do.semdedup_pairs_sql(k=8, iters=2,
+                                                 threshold=0.45),
         # portable hash = ((id % 2^31) * MULT) % 2^31 — id reduced BEFORE
         # the multiply, mirroring sampling._portable_hash's overflow guard
         "sample_deterministic": f"""

@@ -398,3 +398,72 @@ SELECT media_id, kind, decode_ok, CAST(f0 AS DOUBLE) AS f0 FROM (VALUES
   {values}
 ) AS t(media_id, kind, decode_ok, f0)
 """
+
+
+# ------------------------------------------------------------- SemDeDup ----
+
+def _kmeans_ctes(k: int = 8, iters: int = 2, scale: int = 1000,
+                 table: str = "embeddings", id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> str:
+    """Unrolled integer-exact Lloyd iterations as a CTE chain ending in
+    `kassign(vec_id, cluster)` — the SQL mirror of kmeans.kmeans_centroids
+    + the final zero-shuffle assignment. Same spec as the handwritten
+    kmeans_clusters oracle (floor-quantize, int64 squared-L2,
+    min([d, cid]) lexicographic tie-break, floor-div update, empty
+    clusters keep their previous centroid), generated for any (k, iters)
+    so composite oracles (semdedup) can reuse it."""
+    seed_key = "((vec_id % 2147483648) * 2654435761) % 2147483648"
+    dist = ("CAST(list_sum([(qv[i]-cv[i])*(qv[i]-cv[i]) "
+            "for i in range(1, len(qv)+1)]) AS BIGINT)")
+    parts = [f"""q AS (
+  SELECT {id_col} AS vec_id,
+         [CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)
+          for x in {vec_col}] AS qv
+  FROM {table}),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY {seed_key}, vec_id) - 1 AS cid,
+         qv AS cv
+  FROM q ORDER BY {seed_key}, vec_id LIMIT {k})"""]
+    for it in range(1, iters + 1):
+        parts.append(f"""s{it} AS (
+  SELECT vec_id, qv, cid, {dist} AS d
+  FROM q CROSS JOIN c{it - 1}),
+a{it} AS (
+  SELECT vec_id, qv, min([d, cid])[2] AS cluster
+  FROM s{it} GROUP BY vec_id, qv),
+u{it} AS (
+  SELECT cluster AS cid, pos,
+         CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS comp
+  FROM (SELECT cluster, unnest(qv) AS v,
+               generate_subscripts(qv, 1) AS pos
+        FROM a{it})
+  GROUP BY cluster, pos),
+c{it} AS (
+  SELECT c{it - 1}.cid, coalesce(n.cv, c{it - 1}.cv) AS cv
+  FROM c{it - 1} LEFT JOIN (SELECT cid, list(comp ORDER BY pos) AS cv
+                            FROM u{it} GROUP BY cid) n USING (cid))""")
+    parts.append(f"""sfin AS (
+  SELECT vec_id, cid, {dist} AS d
+  FROM q CROSS JOIN c{iters}),
+kassign AS (
+  SELECT vec_id, min([d, cid])[2] AS cluster FROM sfin GROUP BY vec_id)""")
+    return ",\n".join(parts)
+
+
+def semdedup_pairs_sql(k: int = 8, iters: int = 2, scale: int = 1000,
+                       threshold: float = 0.7) -> str:
+    """(cluster, id_a, id_b, cos) of semdedup.semdedup_pairs: k-means
+    cluster assignment (unrolled, integer-exact) + within-cluster cosine
+    pairs. Cosine is the same ordered double-precision fold as the
+    embedding_neardup oracle (`_sql_dot`)."""
+    cos = _sql_cosine("a.embedding", "b.embedding")
+    return f"""
+WITH {_kmeans_ctes(k, iters, scale)},
+e AS (
+  SELECT em.vec_id, em.embedding, ka.cluster
+  FROM embeddings em JOIN kassign ka USING (vec_id))
+SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+       round({cos}, 4) AS cos
+FROM e a JOIN e b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+WHERE {cos} >= CAST({threshold} AS DOUBLE)
+"""

@@ -72,19 +72,20 @@ def seed_centroids(corpus: DataFrame, k: int, id_col: str = "vec_id",
     return [list(r["_q"]) for r in rows]
 
 
-def kmeans_fixed_point(corpus: DataFrame, k: int = 8, iters: int = 2,
-                       scale: int = 1000, id_col: str = "vec_id",
-                       vec_col: str = "embedding") -> DataFrame:
-    """Run `iters` exact Lloyd iterations; returns one row per input row:
-    (id, cluster, dist) with the FINAL assignment and its squared
-    distance, all BIGINT.
+def kmeans_centroids(corpus: DataFrame, k: int = 8, iters: int = 2,
+                     scale: int = 1000, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> list[list[int]]:
+    """Run `iters` exact Lloyd iterations and return the FINAL centroids
+    (k x dim int64, driver-held — a few KiB). Downstream consumers embed
+    them as literals so assignment stays a zero-shuffle projection
+    (`kmeans_fixed_point` for the per-row assignment table, `semdedup`
+    for within-cluster pruning).
 
     Per iteration: assignment is a zero-shuffle projection against
     centroid literals; the update is posexplode -> groupBy (cluster, pos)
     -> sum/count (map-side combined to k*dim rows) -> driver floor-div.
     A cluster that captures no rows keeps its previous centroid."""
-    q = corpus.select(F.col(id_col),
-                      quantize(F.col(vec_col), scale).alias("_q"))
+    q = corpus.select(quantize(F.col(vec_col), scale).alias("_q"))
     cents = seed_centroids(corpus, k, id_col, vec_col, scale)
     for _ in range(iters):
         assigned = q.select(
@@ -103,6 +104,18 @@ def kmeans_fixed_point(corpus: DataFrame, k: int = 8, iters: int = 2,
             if cid in by_cid else cents[cid]
             for cid in range(k)
         ]
+    return cents
+
+
+def kmeans_fixed_point(corpus: DataFrame, k: int = 8, iters: int = 2,
+                       scale: int = 1000, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Train via `kmeans_centroids`, then return one row per input row:
+    (id, cluster, dist) with the FINAL assignment and its squared
+    distance, all BIGINT."""
+    cents = kmeans_centroids(corpus, k, iters, scale, id_col, vec_col)
+    q = corpus.select(F.col(id_col),
+                      quantize(F.col(vec_col), scale).alias("_q"))
     near = _nearest(F.col("_q"), cents)
     return q.select(F.col(id_col), near["cluster"].alias("cluster"),
                     near["dist"].alias("dist"))

@@ -1,0 +1,101 @@
+"""SemDeDup — semantic deduplication of an embedding-indexed corpus.
+
+The SemDeDup recipe (Abbas et al. 2023, "SemDeDup: Data-efficient
+learning at web-scale through semantic deduplication"): cluster the
+embedding space with k-means, then look for near-identical pairs ONLY
+within each cluster — the O(n²) all-pairs cosine compare becomes
+O(sum over clusters of |c|²), and with k chosen so clusters average a
+few thousand docs the quadratic term is bounded per cluster.
+
+Spark shape, built for 10^12 rows:
+
+  - clustering is `kmeans.kmeans_centroids` — integer-exact Lloyd with
+    driver-held centroids, so the final assignment here is a ZERO-shuffle
+    projection against centroid literals (no assignment table, no join
+    back to the corpus: the corpus is scanned once for training stats per
+    iteration and once for the pairing pass);
+  - the within-cluster self-join shuffles the corpus once on `cluster`.
+    Join-key cardinality = k, so k IS the parallelism of the pairing
+    stage: size k so the average cluster holds ~10^3-10^4 docs (the paper
+    uses 110k clusters for 5B docs) and the per-task pair work stays
+    bounded. A degenerate giant cluster (boilerplate corpus) is the same
+    failure mode as a hot minhash bucket — collapse exact duplicates
+    first (`dedup.exact_dedup`), or cap with `max_cluster`;
+  - `max_cluster` (opt-in) drops clusters larger than the cap from the
+    pairing pass entirely — the count is one tiny agg over the
+    assignment projection, and the filter is a broadcast semi-join on at
+    most k rows.
+
+Everything stays JVM-side: quantization, distance argmin, and the cosine
+are Catalyst expressions (see kmeans.py / similarity.py for why the
+arithmetic is engine-portable), so the whole pipeline carries a DuckDB
+value-hash oracle (duck_oracles.semdedup_pairs_sql) despite being an
+iterative algorithm.
+
+No reference counterpart (the reference is a log pipeline;
+/root/reference has no embedding ops) — this extends the training-data
+toolkit: dedup.py removes textual near-dups, this removes SEMANTIC ones
+(same content re-phrased, translations, re-renders) that no shingle
+family can see.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from logunifier_spark.operators.kmeans import (
+    _nearest,
+    kmeans_centroids,
+    quantize,
+)
+from logunifier_spark.operators.similarity import cosine
+
+
+def semdedup_pairs(emb: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding", k: int = 8, iters: int = 2,
+                   scale: int = 1000, threshold: float = 0.7,
+                   max_cluster: int | None = None) -> DataFrame:
+    """Within-cluster near-duplicate pairs: (cluster, id_a, id_b, cos)
+    with cos >= threshold, cos rounded to 4 places (same float discipline
+    as embedding_neardup — dot/norm in ordered double-precision folds).
+
+    A pair is reported only if BOTH ends land in the same k-means
+    cluster — the deliberate approximation that buys the paper its
+    scalability; raise k for finer recall control, not the threshold."""
+    cents = kmeans_centroids(emb, k, iters, scale, id_col, vec_col)
+    # pre-project the quantized vector ONCE — inlining quantize() into
+    # _nearest would re-evaluate the transform per centroid distance
+    assigned = (emb
+                .select(F.col(id_col), F.col(vec_col).alias("_v"),
+                        quantize(F.col(vec_col), scale).alias("_q"))
+                .select(id_col, "_v",
+                        _nearest(F.col("_q"), cents)["cluster"]
+                        .alias("cluster")))
+    if max_cluster is not None:
+        small = (assigned.groupBy("cluster")
+                         .agg(F.count("*").alias("_n"))
+                         .where(F.col("_n") <= max_cluster)
+                         .select("cluster"))
+        assigned = assigned.join(F.broadcast(small), "cluster", "left_semi")
+    a = assigned.select("cluster", F.col(id_col).alias("id_a"),
+                        F.col("_v").alias("_va"))
+    b = assigned.select("cluster", F.col(id_col).alias("id_b"),
+                        F.col("_v").alias("_vb"))
+    return (a.join(b, "cluster")
+             .where(F.col("id_a") < F.col("id_b"))
+             .withColumn("cos", cosine(F.col("_va"), F.col("_vb")))
+             .where(F.col("cos") >= threshold)
+             .select("cluster", "id_a", "id_b",
+                     F.round("cos", 4).alias("cos")))
+
+
+def semdedup(emb: DataFrame, id_col: str = "vec_id",
+             vec_col: str = "embedding", **kwargs) -> DataFrame:
+    """Keep-set after dropping the higher id of every within-cluster
+    near-dup pair (greedy single-pass, same convention as
+    dedup.minhash_dedup; `dedup.connected_components` over
+    `semdedup_pairs` gives the exact transitive clustering)."""
+    pairs = semdedup_pairs(emb, id_col, vec_col, **kwargs)
+    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return emb.join(drops, on=id_col, how="left_anti")

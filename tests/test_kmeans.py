@@ -77,3 +77,71 @@ def test_kmeans_empty_cluster_keeps_seed(spark):
     out = kmeans_fixed_point(df, k=2, iters=2).collect()
     assert len(out) == 3
     assert {int(r["dist"]) for r in out} == {0}
+
+
+# ------------------------------------------------------------- SemDeDup ----
+
+def _python_semdedup(rows, k, iters, threshold, max_cluster=None):
+    """Independent reference: numpy kmeans assignment + ORDERED-fold cosine
+    (python loop — same left-to-right summation as similarity.dot's
+    F.aggregate) over within-cluster pairs."""
+    assign = {i: c for i, (c, _) in _numpy_kmeans(rows, k, iters).items()}
+    by_cluster: dict[int, list[tuple[int, list[float]]]] = {}
+    for i, v in rows:
+        by_cluster.setdefault(assign[i], []).append((i, v))
+    if max_cluster is not None:
+        by_cluster = {c: m for c, m in by_cluster.items()
+                      if len(m) <= max_cluster}
+    out = set()
+    for c, members in by_cluster.items():
+        for ai in range(len(members)):
+            for bi in range(ai + 1, len(members)):
+                (ia, va), (ib, vb) = members[ai], members[bi]
+                if ia > ib:
+                    ia, ib, va, vb = ib, ia, vb, va
+                dot = na = nb = 0.0
+                for x, y in zip(va, vb):
+                    dot += float(x) * float(y)
+                    na += float(x) * float(x)
+                    nb += float(y) * float(y)
+                cos = dot / ((na ** 0.5) * (nb ** 0.5) + 1e-12)
+                if cos >= threshold:
+                    out.add((c, ia, ib, round(cos, 4)))
+    return out
+
+
+def test_semdedup_pairs_matches_python(spark):
+    from logunifier_spark.operators.semdedup import semdedup_pairs
+    rows = _synth(n=150)
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {(int(r["cluster"]), int(r["id_a"]), int(r["id_b"]),
+            float(r["cos"]))
+           for r in semdedup_pairs(df, k=3, iters=2,
+                                   threshold=0.999).collect()}
+    want = _python_semdedup(rows, k=3, iters=2, threshold=0.999)
+    assert got == want
+    assert len(got) > 0  # the blobs guarantee near-identical members
+
+
+def test_semdedup_keepset_drops_higher_ids(spark):
+    from logunifier_spark.operators.semdedup import semdedup, semdedup_pairs
+    rows = _synth(n=150)
+    df = spark.createDataFrame(rows, SCHEMA)
+    kw = dict(k=3, iters=2, threshold=0.999)
+    pairs = semdedup_pairs(df, **kw).collect()
+    dropped = {int(r["id_b"]) for r in pairs}
+    kept = {int(r["vec_id"]) for r in semdedup(df, **kw).collect()}
+    assert kept == {i for i, _ in rows} - dropped
+
+
+def test_semdedup_max_cluster_prunes_hot_clusters(spark):
+    from logunifier_spark.operators.semdedup import semdedup_pairs
+    rows = _synth(n=150)
+    df = spark.createDataFrame(rows, SCHEMA)
+    # every blob lands ~50 members; a cap below that kills all pairing
+    got = semdedup_pairs(df, k=3, iters=2, threshold=0.999,
+                         max_cluster=10).collect()
+    assert got == []
+    want = _python_semdedup(rows, k=3, iters=2, threshold=0.999,
+                            max_cluster=10)
+    assert want == set()
