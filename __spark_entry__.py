@@ -874,6 +874,17 @@ def q_embedding_neardup(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF keyword extraction (operators/tfidf.py): top-5 terms per
+    document, idf = ln((N+1)/(df+1)). One token-stream shuffle + a
+    vocab-keyed join + a doc-keyed window — see the module docstring for
+    the cross-engine float discipline that makes ln() value-hashable."""
+    _ship(spark)
+    from logunifier_spark.operators.tfidf import tfidf_top_terms
+    d = _load(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, k=5)
+
+
 def q_semdedup_pairs(spark, sf_dir):
     """SemDeDup (operators/semdedup.py): integer-exact k-means partitions
     the embedding space, cosine near-dup pairs are found WITHIN clusters
@@ -1041,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "embedding_neardup": q_embedding_neardup,
         "semdedup_pairs": q_semdedup_pairs,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "ann_ivf": q_ann_ivf,
         "media_frame_sample": q_media_frame_sample,
         "media_resize": q_media_resize,
@@ -1894,6 +1906,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _do.ann_ivf_sql(k=5, n_centroids=16, nprobe=4),
         "semdedup_pairs": _do.semdedup_pairs_sql(k=8, iters=2,
                                                  threshold=0.45),
+        "tfidf_top_terms": _do.tfidf_top_terms_sql(k=5),
         # portable hash = ((id % 2^31) * MULT) % 2^31 — id reduced BEFORE
         # the multiply, mirroring sampling._portable_hash's overflow guard
         "sample_deterministic": f"""

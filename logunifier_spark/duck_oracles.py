@@ -467,3 +467,36 @@ SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
 FROM e a JOIN e b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
 WHERE {cos} >= CAST({threshold} AS DOUBLE)
 """
+
+
+# --------------------------------------------------------------- TF-IDF ----
+
+def tfidf_top_terms_sql(k: int = 5) -> str:
+    """(doc_id, term, tf, df, rank, score) of tfidf.tfidf_top_terms —
+    same tokenization (ASCII whitespace class + ^[a-z]{2,}$ term filter),
+    same idf = ln((N+1)/(df+1)) with the division done exactly once in
+    double (correctly rounded on both engines), rank on the unrounded
+    score with term-ascending tie-break."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '[ \t\r\n\f\x0B]+')) AS term
+  FROM documents),
+terms AS (
+  SELECT doc_id, term FROM toks WHERE regexp_full_match(term, '[a-z]{{2,}}')),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         tf * ln(CAST(n + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) AS score
+  FROM tf JOIN dfr USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, term, tf, df, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rnk
+  FROM scored)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(rnk AS INT) AS rank, round(score, 6) AS score
+FROM ranked WHERE rnk <= {k}
+"""

@@ -129,3 +129,61 @@ def test_repetition_stats_rules(spark):
     assert out[0]["n_words"] == len(w)
     assert out[0]["mean_word_len"] == pytest.approx(
         sum(map(len, w)) / len(w), abs=1e-6)
+
+
+# --------------------------------------------------------------- TF-IDF ----
+
+def _py_tfidf(rows, k=3):
+    """Independent reference: python dict tf/df + math.log."""
+    import math
+    import re
+    tf = {}
+    for doc_id, text in rows:
+        if text is None:
+            continue
+        for t in re.split("[ \t\r\n\f\x0B]+", text.lower()):
+            if re.fullmatch("[a-z]{2,}", t):
+                tf[(doc_id, t)] = tf.get((doc_id, t), 0) + 1
+    df = {}
+    for (_, t) in tf:
+        df[t] = df.get(t, 0) + 1
+    n = len(rows)
+    out = []
+    for doc_id in {d for d, _ in rows}:
+        scored = sorted(
+            ((t, c, df[t], c * math.log((n + 1) / (df[t] + 1)))
+             for (d, t), c in tf.items() if d == doc_id),
+            key=lambda x: (-x[3], x[0]))
+        for rank, (t, c, dfv, s) in enumerate(scored[:k], 1):
+            out.append((doc_id, t, c, dfv, rank, round(s, 6)))
+    return sorted(out)
+
+
+def test_tfidf_matches_python(spark):
+    from logunifier_spark.operators.tfidf import tfidf_top_terms
+    rows = [
+        (0, "the cat sat on the mat the cat"),
+        (1, "the dog sat on the log"),
+        (2, "cat dog cat dog cat"),
+        (3, "Zebra zebra ZEBRA unique"),          # case folding
+        (4, "123 456 !!! a"),                     # no valid terms at all
+        (5, ""),                                  # empty
+        (6, None),                                # null
+        (7, "tie tie vie vie"),                   # same tf+df → term order
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(map(tuple, tfidf_top_terms(df, k=3).collect()))
+    assert got == _py_tfidf(rows, k=3)
+    docs_with_rows = {r[0] for r in got}
+    assert docs_with_rows == {0, 1, 2, 3, 7}  # 4/5/6 yield nothing
+
+
+def test_tfidf_tie_break_is_term_ascending(spark):
+    from logunifier_spark.operators.tfidf import tfidf_top_terms
+    rows = [(0, "bb aa bb aa"), (1, "cc dd")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["doc_id"], r["rank"]): r["term"]
+           for r in tfidf_top_terms(df, k=2).collect()}
+    # equal tf and df inside each doc → alphabetical rank
+    assert out[(0, 1)] == "aa" and out[(0, 2)] == "bb"
+    assert out[(1, 1)] == "cc" and out[(1, 2)] == "dd"
