@@ -928,6 +928,20 @@ def q_sample_deterministic(spark, sf_dir):
     return sample_deterministic(d, rate=0.25).select("doc_id", "source")
 
 
+def q_epoch_shuffle(spark, sf_dir):
+    """Deterministic per-epoch training-order permutation
+    (operators/sampling.py): global contiguous pos in (hash, id) order,
+    computed via hash-range shards + driver prefix offsets — no global
+    sort partition. n_shards only sets sort parallelism (output is
+    invariant to it); pinned here for a stable plan, not a stable result.
+    Oracle: ONE global window — an independent algorithm for the same
+    permutation."""
+    _ship(spark)
+    from logunifier_spark.operators.sampling import epoch_shuffle
+    d = _load(spark, sf_dir, "documents")
+    return epoch_shuffle(d, epoch=1, n_shards=8)
+
+
 def q_mixture_sample(spark, sf_dir):
     """Per-source pretraining-mixture reweighting: each source downsampled
     to its own rate by the portable hash gate."""
@@ -1059,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         # dataset curation
         "sample_deterministic": q_sample_deterministic,
+        "epoch_shuffle": q_epoch_shuffle,
         "mixture_sample": q_mixture_sample,
         "pack_sequences": q_pack_sequences,
     }
@@ -1913,6 +1928,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source FROM documents
             WHERE ((doc_id % 2147483648) * 2654435761) % 2147483648
                   < {int(0.25 * 2**31)}
+        """,
+        # the oracle ranks with ONE global window — an independent
+        # algorithm for the permutation the operator assembles from
+        # hash-range shards + prefix offsets. epoch offset = the same
+        # salt mix as sample_gate: (epoch * 0x9E3779B1) mod 2^31
+        "epoch_shuffle": f"""
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                     ORDER BY ((doc_id % 2147483648) * 2654435761
+                               + {(1 * 0x9E3779B1) % 2**31}) % 2147483648,
+                              doc_id) - 1 AS BIGINT) AS pos
+            FROM documents
         """,
         "mixture_sample": """
             SELECT doc_id, source FROM documents

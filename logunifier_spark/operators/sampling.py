@@ -68,6 +68,58 @@ def mixture_sample(df: DataFrame, rates: dict[str, float],
     return df.where(h < F.floor(rate * _MOD))
 
 
+def epoch_shuffle(df: DataFrame, id_col: str = "doc_id", epoch: int = 0,
+                  n_shards: int | None = None) -> DataFrame:
+    """Deterministic global training-order permutation: every row gets a
+    contiguous 0-based `pos` in the order (portable_hash(id, epoch), id)
+    — a reproducible per-epoch shuffle of the corpus. Changing `epoch`
+    re-windows the hash (same salt-mixing as `sample_gate`), giving a
+    fresh permutation per epoch from pure arithmetic: no stored
+    permutation table, stable across partitionings, cluster sizes, and
+    retries (the property `df.orderBy(rand(seed))` does NOT have).
+
+    Scale design — a global row_number would serialize on one sort
+    partition, so:
+      - rows are RANGE-bucketed by hash value (shard = h div
+        ceil(2^31/n_shards)): every hash in shard s sorts before every
+        hash in shard s+1, so within-shard ranks + per-shard prefix
+        offsets reproduce the exact global order;
+      - per-shard counts are one map-side-combined agg collapsing to
+        <= n_shards rows on the driver, which prefix-sums them and
+        broadcast-joins the offsets back;
+      - the hash is uniform on [0, 2^31), so range buckets are balanced
+        without sampling (no range-partitioner scan like orderBy runs).
+    The OUTPUT is independent of n_shards (it only sets the parallelism
+    of the sort), so the default adapts to the input scan — unlike
+    pack_sequences, where shard identity is part of the result.
+
+    Returns (id, pos), pos BIGINT in [0, n_rows)."""
+    if n_shards is None:
+        n_shards = max(64, df.rdd.getNumPartitions())
+    off = (epoch * 0x9E3779B1) % _MOD
+    h = _portable_hash(F.col(id_col), off)
+    width = -(-_MOD // n_shards)  # ceil; double-div floor below is exact
+    # (1/width >= 2^-31 dwarfs the quotient's ulp <= n_shards * 2^-52)
+    keyed = (df.select(F.col(id_col), h.alias("_h"))
+               .withColumn("_shard",
+                           F.floor(F.col("_h") / F.lit(width)).cast("int")))
+    sizes = {int(r["_shard"]): int(r["n"])
+             for r in keyed.groupBy("_shard")
+                           .agg(F.count("*").alias("n")).collect()}
+    acc, offsets = 0, []
+    for s in sorted(sizes):
+        offsets.append((s, acc))
+        acc += sizes[s]
+    off_df = df.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "_shard int, _offset long")
+    w = Window.partitionBy("_shard").orderBy("_h", id_col)
+    return (keyed.withColumn("_rank", F.row_number().over(w))
+                 .join(F.broadcast(off_df), "_shard")
+                 .select(F.col(id_col),
+                         (F.col("_offset") + F.col("_rank") - 1)
+                         .cast("long").alias("pos")))
+
+
 def pack_sequences(df: DataFrame, budget: int, tokens_col: Column | None = None,
                    id_col: str = "doc_id",
                    n_shards: int | None = None) -> DataFrame:

@@ -591,3 +591,33 @@ def test_connected_components_random_graphs(spark):
         while any(want[k] != want.get(want[k], want[k]) for k in want):
             want = {k: want.get(want[k], want[k]) for k in want}
         assert got == want, f"trial {trial}"
+
+
+def test_epoch_shuffle_matches_python_and_is_shard_invariant(spark):
+    from logunifier_spark.operators.sampling import epoch_shuffle
+    MOD, MULT = 2**31, 2_654_435_761
+    # include ids that collide mod 2^31 (the 100-TB id regime) — the
+    # tie-break must order them by raw id
+    ids = [0, 1, 5, 7, 2**31, 2**31 + 1, 3_600_000_000, 12345, 99999]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+
+    def ref(epoch):
+        off = (epoch * 0x9E3779B1) % MOD
+        order = sorted(ids, key=lambda i: ((i % MOD) * MULT + off) % MOD)
+        # stable sort + secondary key by raw id
+        order = sorted(order, key=lambda i: (((i % MOD) * MULT + off) % MOD, i))
+        return {i: p for p, i in enumerate(order)}
+
+    got = {r["doc_id"]: r["pos"]
+           for r in epoch_shuffle(df, epoch=1, n_shards=4).collect()}
+    assert got == ref(1)
+    # output invariant to BOTH partitioning and shard count
+    got2 = {r["doc_id"]: r["pos"]
+            for r in epoch_shuffle(df.repartition(5), epoch=1,
+                                   n_shards=64).collect()}
+    assert got2 == got
+    # a different epoch is a different permutation over the same 0..n-1
+    other = {r["doc_id"]: r["pos"]
+             for r in epoch_shuffle(df, epoch=2, n_shards=4).collect()}
+    assert other == ref(2) != got
+    assert sorted(other.values()) == list(range(len(ids)))
