@@ -78,16 +78,19 @@ def semdedup_pairs(emb: DataFrame, id_col: str = "vec_id",
                          .where(F.col("_n") <= max_cluster)
                          .select("cluster"))
         assigned = assigned.join(F.broadcast(small), "cluster", "left_semi")
-    a = assigned.select("cluster", F.col(id_col).alias("id_a"),
-                        F.col("_v").alias("_va"))
-    b = assigned.select("cluster", F.col(id_col).alias("id_b"),
-                        F.col("_v").alias("_vb"))
-    return (a.join(b, "cluster")
-             .where(F.col("id_a") < F.col("id_b"))
-             .withColumn("cos", cosine(F.col("_va"), F.col("_vb")))
-             .where(F.col("cos") >= threshold)
-             .select("cluster", "id_a", "id_b",
-                     F.round("cos", 4).alias("cos")))
+    # alias-style self-join, NOT two renamed projections: both sides then
+    # canonicalize to the SAME plan, so the shuffle-join path plans ONE
+    # scan + one Exchange with a ReusedExchange on the probe side —
+    # renamed projections defeat the reuse rule and read the corpus twice
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = cosine(F.col("a._v"), F.col("b._v"))
+    return (a.join(b, on=F.col("a.cluster") == F.col("b.cluster"))
+             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+             .where(cos >= threshold)
+             .select(F.col("a.cluster").alias("cluster"),
+                     F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"),
+                     F.round(cos, 4).alias("cos")))
 
 
 def semdedup(emb: DataFrame, id_col: str = "vec_id",

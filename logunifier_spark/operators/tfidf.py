@@ -55,6 +55,15 @@ def tfidf_top_terms(docs: DataFrame, text_col: str = "text",
                                        ASCII_WS + "+")).alias("term"))
              .where(F.col("term").rlike(TERM_RE)))
     tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # df derives FROM tf, and the plan references tf twice (df agg + the
+    # score join): without materialization Spark re-scans the corpus and
+    # re-aggregates the token stream per reference. Same trade as the
+    # minhash signature checkpoint — executor-local storage of the
+    # (doc, term) frame buys back a full second pass. (The alternative —
+    # df as count().over(Window.partitionBy(term)) — is one scan with no
+    # checkpoint but puts ALL rows of a hot term in one window task:
+    # stopword skew at corpus scale. Partial aggregation is skew-safe.)
+    tf = tf.localCheckpoint(eager=False)
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = (tf.join(df_, "term")
                 .withColumn(
