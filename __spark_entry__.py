@@ -885,6 +885,19 @@ def q_tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(d, k=5)
 
 
+def q_unigram_logppl(spark, sf_dir):
+    """CCNet-style LM quality scoring (operators/perplexity.py): mean
+    negative log-prob under the corpus's own add-one unigram LM.
+    Per-term contributions are fixed-point int64 (order-free sums — a
+    double sum over tokens is partial-aggregation-order-dependent and
+    not even run-stable), divided back out in two correctly-rounded
+    double ops."""
+    _ship(spark)
+    from logunifier_spark.operators.perplexity import unigram_logppl
+    d = _load(spark, sf_dir, "documents")
+    return unigram_logppl(d)
+
+
 def q_semdedup_pairs(spark, sf_dir):
     """SemDeDup (operators/semdedup.py): integer-exact k-means partitions
     the embedding space, cosine near-dup pairs are found WITHIN clusters
@@ -1067,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "semdedup_pairs": q_semdedup_pairs,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "unigram_logppl": q_unigram_logppl,
         "ann_ivf": q_ann_ivf,
         "media_frame_sample": q_media_frame_sample,
         "media_resize": q_media_resize,
@@ -1922,6 +1936,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup_pairs": _do.semdedup_pairs_sql(k=8, iters=2,
                                                  threshold=0.45),
         "tfidf_top_terms": _do.tfidf_top_terms_sql(k=5),
+        "unigram_logppl": _do.unigram_logppl_sql(),
         # portable hash = ((id % 2^31) * MULT) % 2^31 — id reduced BEFORE
         # the multiply, mirroring sampling._portable_hash's overflow guard
         "sample_deterministic": f"""

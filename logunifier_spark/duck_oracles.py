@@ -500,3 +500,37 @@ SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
        CAST(rnk AS INT) AS rank, round(score, 6) AS score
 FROM ranked WHERE rnk <= {k}
 """
+
+
+# -------------------------------------------------- unigram perplexity ----
+
+def unigram_logppl_sql(quant: int = 10**6) -> str:
+    """(doc_id, n_tokens, logppl) of perplexity.unigram_logppl — same
+    tokenization as tfidf, same fixed-point contribution
+    floor(quant * ln((cnt+1)/(T+V))) summed as integers (order-free),
+    same two correctly-rounded double ops to divide back out."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '[ \t\r\n\f\x0B]+')) AS term
+  FROM documents),
+terms AS (
+  SELECT doc_id, term FROM toks WHERE regexp_full_match(term, '[a-z]{{2,}}')),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+lm AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) + count(*) AS denom FROM lm),
+contrib AS (
+  SELECT doc_id, tf,
+         tf * CAST(floor(CAST({quant} AS DOUBLE)
+                         * ln(CAST(cnt + 1 AS DOUBLE)
+                              / CAST(denom AS DOUBLE))) AS BIGINT) AS c
+  FROM tf JOIN lm USING (term) CROSS JOIN tot),
+agg AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         CAST(sum(c) AS BIGINT) AS s
+  FROM contrib GROUP BY 1)
+SELECT doc_id, n_tokens,
+       round(-(CAST(s AS DOUBLE)
+               / (CAST({quant} AS DOUBLE) * n_tokens)), 6) AS logppl
+FROM agg
+"""

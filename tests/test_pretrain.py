@@ -187,3 +187,58 @@ def test_tfidf_tie_break_is_term_ascending(spark):
     # equal tf and df inside each doc → alphabetical rank
     assert out[(0, 1)] == "aa" and out[(0, 2)] == "bb"
     assert out[(1, 1)] == "cc" and out[(1, 2)] == "dd"
+
+
+# --------------------------------------------------- unigram perplexity ----
+
+def test_unigram_logppl_matches_python(spark):
+    import math
+    import re
+    from logunifier_spark.operators.perplexity import QUANT, unigram_logppl
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the the the the"),            # all high-freq → low logppl
+        (2, "zyzzyva qwertyish blorp"),    # all hapax → high logppl
+        (3, "123 !!!"),                    # no tokens → no row
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["logppl"])
+           for r in unigram_logppl(df).collect()}
+
+    tf = {}
+    for d, t in rows:
+        for w in re.split("[ \t\r\n\f\x0B]+", (t or "").lower()):
+            if re.fullmatch("[a-z]{2,}", w):
+                tf[(d, w)] = tf.get((d, w), 0) + 1
+    cnt = {}
+    for (_, w), c in tf.items():
+        cnt[w] = cnt.get(w, 0) + c
+    denom = sum(cnt.values()) + len(cnt)
+    want = {}
+    for d in {r[0] for r in rows}:
+        items = [(w, c) for (dd, w), c in tf.items() if dd == d]
+        if not items:
+            continue
+        n = sum(c for _, c in items)
+        s = sum(c * math.floor(QUANT * math.log((cnt[w] + 1) / denom))
+                for w, c in items)
+        want[d] = (n, round(-(float(s) / (float(QUANT) * n)), 6))
+    assert got == want
+    assert set(got) == {0, 1, 2}
+    assert got[1][1] < got[0][1] < got[2][1]  # freq ordering is sane
+
+
+def test_perplexity_filter_keeps_low_tail(spark):
+    from logunifier_spark.operators.perplexity import (
+        perplexity_filter,
+        unigram_logppl,
+    )
+    rows = [(i, "common words repeat here " * 3) for i in range(8)]
+    rows.append((8, "xqzzt vvkpw jjqrr"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    scores = {r["doc_id"]: r["logppl"] for r in unigram_logppl(df).collect()}
+    cut = (max(v for d, v in scores.items() if d != 8)
+           + scores[8]) / 2
+    kept = {r["doc_id"] for r in perplexity_filter(df, cut).collect()}
+    assert kept == set(range(8))
