@@ -471,6 +471,31 @@ def q_doc_length_quantiles(spark, sf_dir):
     return group_quantiles(d, "source", "n_chars", percents=(50, 95))
 
 
+def q_interval_events(spark, sf_dir):
+    """Bucketized interval join (operators/temporal.py::interval_join):
+    every 97th event opens a 30-minute incident window; events are
+    matched to the windows containing them via fixed time buckets —
+    an equi-join on bucket id plus an exact containment filter, never
+    the O(|E|·|I|) BroadcastNestedLoopJoin Spark plans for a raw
+    BETWEEN join. Oracle = DuckDB's native inequality join, an
+    independent evaluation strategy for the same semantics."""
+    _ship(spark)
+    from logunifier_spark.operators.temporal import interval_join
+    e = _load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    incidents = (e.where(F.col("event_id") % 97 == 0)
+                  .select(F.col("event_id").alias("incident_id"),
+                          us.alias("start"),
+                          (us + F.lit(1_800_000_000)).alias("end")))
+    ev = e.select("event_id", "user_id", "ts")
+    j = interval_join(ev, incidents, ts="ts", bucket_s=1800.0)
+    return (j.groupBy("incident_id")
+             .agg(F.count("*").alias("n_events"),
+                  F.countDistinct("user_id").alias("n_users"),
+                  F.min("event_id").alias("min_event"),
+                  F.max("event_id").alias("max_event")))
+
+
 def q_rate_spikes(spark, sf_dir):
     """Burst detection (operators/timeseries.py): hourly event counts per
     event_type, flagged when a bucket exceeds 2× the mean of its 6
@@ -1047,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_event_per_user": q_first_event_per_user,
         "event_type_stats": q_event_type_stats,
         "asof_clicks": q_asof_clicks,
+        "interval_events": q_interval_events,
         "user_sessions": q_user_sessions,
         "rate_spikes": q_rate_spikes,
         "doc_length_quantiles": q_doc_length_quantiles,
@@ -1544,6 +1570,19 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'purchase') l
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "interval_events": """
+            WITH inc AS (
+              SELECT event_id AS incident_id, epoch_us(ts) AS s,
+                     epoch_us(ts) + 1800000000 AS e
+              FROM events WHERE event_id % 97 = 0)
+            SELECT incident_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   min(event_id) AS min_event,
+                   max(event_id) AS max_event
+            FROM inc JOIN events ON epoch_us(ts) BETWEEN s AND e
+            GROUP BY incident_id
         """,
         # windowed sums are HUGEINT in DuckDB -> CAST (driver hasher
         # fetches HUGEINT as float64; the round-2 pack_sequences lesson)

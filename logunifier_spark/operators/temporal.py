@@ -21,6 +21,15 @@ two general-purpose forms a transcript/telemetry corpus needs at scale:
   bound as any keyed window; if one key dominates, pre-split it by a
   coarse time bucket and stitch the bucket boundaries.
 
+- `interval_join` — match point events to the intervals containing them
+  without the O(|E|·|I|) blowup Spark plans for a raw inequality join
+  (BroadcastNestedLoopJoin — every event row tested against every
+  interval). Both sides are quantized to fixed time buckets (events to
+  one bucket, intervals exploded to the buckets they overlap), the join
+  becomes an equi-join on (keys…, bucket) that hash-partitions and AQE
+  can size/skew-split, and the exact containment predicate filters the
+  bucket-local candidates. Cost is O(|E| + |I|·span/bucket + matches).
+
 - `sessionize` / `session_stats` — gap-based session assignment
   (a new session starts when the inter-event gap exceeds `gap_s`), the
   standard event-stream segmentation. One hash shuffle on the key, one
@@ -139,6 +148,70 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
     out_cols.append(F.when(valid, F.col("_m._rts")).alias(matched_ts))
     out_cols += [F.when(valid, F.col(f"_m.{c}")).alias(c) for c in payload_cols]
     return matched.select(*out_cols)
+
+
+def interval_join(events: DataFrame, intervals: DataFrame,
+                  ts: str = "ts", start: str = "start", end: str = "end",
+                  on: list[str] | str | None = None,
+                  bucket_s: float = 300.0) -> DataFrame:
+    """Inner-join point events to the intervals that contain them
+    (inclusive bounds: start <= ts <= end), returning every event column
+    plus every interval column. `on` optionally adds equi-keys that must
+    also match (present in both frames, not renamed).
+
+    Spark plans a raw `e.ts BETWEEN i.start AND i.end` join as
+    BroadcastNestedLoopJoin — O(|E|·|I|) comparisons, single-threaded per
+    broadcast batch, a non-starter once the interval side outgrows a few
+    thousand rows. This operator quantizes time into `bucket_s`-wide
+    buckets: each event lands in one bucket, each interval is exploded to
+    the buckets it overlaps (sequence + explode, pure JVM), and the join
+    is an equi-join on (keys…, bucket) — hash-partitioned, AQE-sizable,
+    skew-splittable — followed by the exact containment filter. An event's
+    single bucket meets each overlapping interval exactly once, so no
+    dedup pass is needed.
+
+    Pick `bucket_s` near the typical interval length: cost is
+    O(|E| + |I|·(span/bucket + 2) + matches). A bucket much smaller than
+    the spans multiplies the interval side; much larger packs unrelated
+    rows into each bucket and shifts work to the post-join filter. Rows
+    with a null ts/start/end, and intervals with end < start, are
+    dropped (inner-join semantics).
+
+    Timestamps may be timestamp/timestamp_ntz or already-numeric (treated
+    as int64 micros); the two frames' other column names must be disjoint.
+    """
+    keys = [on] if isinstance(on, str) else list(on or [])
+    overlap = (set(events.columns) & set(intervals.columns)) - set(keys)
+    if overlap:
+        raise ValueError(
+            f"event/interval columns collide (rename or pass as `on`): "
+            f"{sorted(overlap)}")
+    bucket_us = int(bucket_s * 1_000_000)
+    if bucket_us <= 0:
+        raise ValueError(f"bucket_s must be positive, got {bucket_s}")
+
+    e_us = _ts_micros(events, ts)
+    ev = (events.withColumn("_ivj_us", e_us)
+                .where(F.col("_ivj_us").isNotNull())
+                .withColumn("_ivj_b", F.floor(F.col("_ivj_us")
+                                              / F.lit(bucket_us))))
+    s_us = _ts_micros(intervals, start)
+    t_us = _ts_micros(intervals, end)
+    iv = (intervals.withColumn("_ivj_s", s_us).withColumn("_ivj_e", t_us)
+                   .where(F.col("_ivj_s").isNotNull()
+                          & F.col("_ivj_e").isNotNull()
+                          & (F.col("_ivj_s") <= F.col("_ivj_e")))
+                   .withColumn(
+                       "_ivj_b",
+                       F.explode(F.sequence(
+                           F.floor(F.col("_ivj_s") / F.lit(bucket_us)),
+                           F.floor(F.col("_ivj_e") / F.lit(bucket_us))))))
+    joined = (ev.join(iv, keys + ["_ivj_b"])
+                .where((F.col("_ivj_us") >= F.col("_ivj_s"))
+                       & (F.col("_ivj_us") <= F.col("_ivj_e"))))
+    out = [F.col(c) for c in events.columns] + \
+          [F.col(c) for c in intervals.columns if c not in keys]
+    return joined.select(*out)
 
 
 def sessionize(df: DataFrame, key: list[str] | str, ts: str = "ts",

@@ -297,3 +297,60 @@ def test_curate_funnel_stages(spark):
     hi = {r["doc_id"] for r in
           curate(df, langs=None, min_quality=None, sample_rate=0.8).collect()}
     assert lo <= hi
+
+
+# ------------------------------------------------------- interval join ----
+
+def test_interval_join_semantics(spark):
+    from logunifier_spark.operators.temporal import interval_join
+    ev = spark.createDataFrame(
+        [(1, _ts(0)),    # == start of i1 -> inclusive
+         (2, _ts(10)),   # inside i1
+         (3, _ts(20)),   # == end of i1 AND start of i2 -> both
+         (4, _ts(35)),   # inside i2 only
+         (5, _ts(50)),   # covered by no interval
+         (6, None)],     # null ts -> dropped
+        "event_id long, ts timestamp")
+    iv = spark.createDataFrame(
+        [(100, _ts(0), _ts(20)),
+         (200, _ts(20), _ts(40)),
+         (300, _ts(30), _ts(10)),   # end < start -> dropped
+         (400, None, _ts(40))],     # null start -> dropped
+        "interval_id long, start timestamp, end timestamp")
+    got = sorted((r["event_id"], r["interval_id"]) for r in
+                 interval_join(ev, iv, bucket_s=7.0).collect())
+    assert got == [(1, 100), (2, 100), (3, 100), (3, 200), (4, 200)]
+
+
+def test_interval_join_bucket_invariance_and_keys(spark):
+    import random
+    from logunifier_spark.operators.temporal import interval_join
+    rng = random.Random(7)
+    ev = [(i, rng.choice("ab"), rng.randrange(0, 10_000_000))
+          for i in range(300)]
+    iv = []
+    for j in range(40):
+        s = rng.randrange(0, 10_000_000)
+        iv.append((j, rng.choice("ab"), s, s + rng.randrange(0, 2_000_000)))
+    edf = spark.createDataFrame(ev, "event_id long, k string, ts long")
+    idf = spark.createDataFrame(
+        iv, "interval_id long, k string, start long, end long")
+    want = sorted((e, j) for e, ek, t in ev for j, jk, s, x in iv
+                  if ek == jk and s <= t <= x)
+    for bucket_s in (0.05, 1.0, 60.0):
+        got = sorted((r["event_id"], r["interval_id"]) for r in
+                     interval_join(edf, idf, on="k",
+                                   bucket_s=bucket_s).collect())
+        assert got == want, bucket_s
+
+
+def test_interval_join_rejects_collisions(spark):
+    import pytest as _pytest
+    from logunifier_spark.operators.temporal import interval_join
+    ev = spark.createDataFrame([(1, 5, "x")], "id long, ts long, tag string")
+    iv = spark.createDataFrame([(2, 0, 9, "y")],
+                               "iid long, start long, end long, tag string")
+    with _pytest.raises(ValueError, match="tag"):
+        interval_join(ev, iv)
+    with _pytest.raises(ValueError, match="positive"):
+        interval_join(ev, iv.drop("tag"), bucket_s=0)
