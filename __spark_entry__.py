@@ -496,6 +496,21 @@ def q_interval_events(spark, sf_dir):
                   F.max("event_id").alias("max_event")))
 
 
+def q_kmv_users(spark, sf_dir):
+    """KMV distinct-count sketch (operators/stats.py::kmv_distinct):
+    estimated distinct users per event type from the k smallest 48-bit
+    md5-prefix hashes. Unlike approx_count_distinct (HLL++, an
+    engine-internal sketch no SQL oracle can reproduce), the KMV
+    estimate is a pure deterministic function of the value set — the
+    DuckDB oracle recomputes it with a single global ranking while the
+    operator uses a salted two-level top-k, and the results must agree
+    bit-for-bit."""
+    _ship(spark)
+    from logunifier_spark.operators.stats import kmv_distinct
+    e = _load(spark, sf_dir, "events")
+    return kmv_distinct(e, "event_type", "user_id", k=64)
+
+
 def q_rate_spikes(spark, sf_dir):
     """Burst detection (operators/timeseries.py): hourly event counts per
     event_type, flagged when a bucket exceeds 2× the mean of its 6
@@ -1073,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_stats": q_event_type_stats,
         "asof_clicks": q_asof_clicks,
         "interval_events": q_interval_events,
+        "kmv_users": q_kmv_users,
         "user_sessions": q_user_sessions,
         "rate_spikes": q_rate_spikes,
         "doc_length_quantiles": q_doc_length_quantiles,
@@ -1571,6 +1587,7 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
+        "kmv_users": _do.kmv_users_sql(k=64),
         "interval_events": """
             WITH inc AS (
               SELECT event_id AS incident_id, epoch_us(ts) AS s,

@@ -534,3 +534,33 @@ SELECT doc_id, n_tokens,
                / (CAST({quant} AS DOUBLE) * n_tokens)), 6) AS logppl
 FROM agg
 """
+
+
+# ------------------------------------------------------------ KMV sketch ----
+
+def kmv_users_sql(k: int = 64) -> str:
+    """(event_type, est_distinct, exact) of stats.kmv_distinct over
+    events.user_id — same 48-bit md5-prefix hash (bit-identical in both
+    engines), but a single GLOBAL top-k ranking per group instead of the
+    operator's salted two-level scheme: an independent evaluation
+    strategy whose result must agree exactly because the estimate is a
+    pure function of the distinct hash set."""
+    numer = (k - 1) * (1 << 48)
+    return f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 12))
+              AS BIGINT) AS hh
+  FROM events WHERE user_id IS NOT NULL),
+r AS (
+  SELECT event_type, hh,
+         row_number() OVER (PARTITION BY event_type ORDER BY hh) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS nd
+  FROM h)
+SELECT event_type,
+       CAST(CASE WHEN max(nd) < {k} THEN max(nd)
+                 ELSE {numer} // max(CASE WHEN rn = {k} THEN hh END)
+            END AS BIGINT) AS est_distinct,
+       max(nd) < {k} AS exact
+FROM r GROUP BY event_type
+"""

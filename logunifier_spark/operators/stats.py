@@ -1,4 +1,5 @@
-"""Exact distributed order statistics: per-group quantiles.
+"""Distributed statistics: exact per-group quantiles and a portable
+KMV (k-minimum-values) distinct-count sketch.
 
 Corpus curation reads quantile summaries constantly (doc-length p50/p95
 per source, tokens-per-turn tails per conversation family) and the
@@ -26,11 +27,27 @@ suffices, use `F.percentile_approx` and skip the sort entirely.
 Ties: row_number among equal values is arbitrary, but the VALUE at a
 given sorted position of a multiset is deterministic — the selected
 quantile never depends on tie order or partitioning.
+
+KMV sketch (`kmv_distinct`): the classic k-minimum-values estimator
+(Bar-Yossef et al. 2002) — hash every value into [0, M), keep the k
+smallest distinct hashes per group, estimate |distinct| as
+(k-1)·M / h_k where h_k is the k-th smallest. Spark ships HLL++
+(`approx_count_distinct`), but its sketch is engine-internal: the
+result is neither reproducible across engines nor value-hash
+oracle-able, and the registers can't be post-processed in SQL. KMV is
+the portable alternative: the hash here is the first 48 bits of
+md5(value-as-string) — bit-identical in Spark, DuckDB, and any engine
+with md5 — so the estimate is a pure DETERMINISTIC function of the
+value set: same answer on every engine, every partitioning, every
+retry. Standard error ≈ 1/sqrt(k-2) (~9% at k=128); groups with fewer
+than k distinct hashes return the EXACT count (the sketch holds the
+whole value set). Hash collisions undercount by ~n²/2^49 — irrelevant
+below ~10^12 distinct values per group.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -59,3 +76,65 @@ def group_quantiles(df: DataFrame, keys: list[str] | str, col: str,
         aggs.append(F.max(F.when(F.col("_rn") == pos, F.col(col)))
                     .alias(f"{out_prefix}{p}"))
     return d.groupBy(*keys).agg(*aggs)
+
+
+KMV_HEX_CHARS = 12                 # 48-bit hash -> fits int64 exactly
+KMV_SPACE = 1 << (4 * KMV_HEX_CHARS)
+
+
+def kmv_hash(col: Column) -> Column:
+    """Portable 48-bit uniform hash: first 12 hex chars of
+    md5(value-as-string) parsed as int64. SQL mirror (DuckDB):
+    CAST(concat('0x', substring(md5(CAST(v AS VARCHAR)), 1, 12)) AS
+    BIGINT). Restricted to string/integral inputs — float-to-string
+    formatting is engine-specific and would break the parity."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, KMV_HEX_CHARS),
+                  16, 10).cast("long")
+
+
+def kmv_distinct(df: DataFrame, keys: list[str] | str, col: str,
+                 k: int = 128, fan: int = 16) -> DataFrame:
+    """Per-`keys` distinct-count estimate of `col` via a KMV sketch:
+    (keys…, est_distinct BIGINT, exact BOOLEAN). `exact` is true when
+    the group had fewer than k distinct hashes (the returned value is
+    then the true distinct count). Nulls are ignored; all-null groups
+    are absent.
+
+    Scale shape: one shuffle produces the distinct (keys, hash) frame
+    (map-side partial distinct); the k smallest survive a SALTED
+    two-level top-k — level 1 ranks within (keys, hash mod fan), so no
+    single sort partition ever holds more than ~distinct/fan rows of a
+    hot group, and the global top-k provably survives (each of the k
+    smallest is among its own salt bucket's k smallest); level 2 ranks
+    the ≤ fan·k survivors per group. Raise `fan` when single groups
+    hold billions of distinct values. The final reduction is one hash
+    aggregate; the (k-1)·M numerator stays < 2^63 for k ≤ 2^14, and
+    h_k ≥ k-1 ≥ 1 (distinct non-negative hashes), so the integer
+    division is safe."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if not (2 <= k <= 1 << 14):
+        raise ValueError(f"k must be in [2, 16384], got {k}")
+    dt = df.schema[col].dataType.simpleString()
+    if dt not in ("string", "int", "bigint", "smallint", "tinyint"):
+        raise ValueError(
+            f"kmv_distinct needs a string/integral column, got {col}: {dt} "
+            "(float formatting is engine-specific; pre-quantize first)")
+    d = (df.where(F.col(col).isNotNull())
+           .select(*keys, kmv_hash(F.col(col)).alias("_h"))
+           .distinct())
+    w1 = (Window.partitionBy(*keys, F.pmod(F.col("_h"), F.lit(fan)))
+                .orderBy("_h"))
+    lvl1 = d.withColumn("_rn", F.row_number().over(w1)) \
+            .where(F.col("_rn") <= k).drop("_rn")
+    w2 = Window.partitionBy(*keys).orderBy("_h")
+    lvl2 = lvl1.withColumn("_rn", F.row_number().over(w2)) \
+               .where(F.col("_rn") <= k)
+    agg = (lvl2.groupBy(*keys)
+               .agg(F.count("*").alias("_n"),
+                    F.max(F.when(F.col("_rn") == k, F.col("_h")))
+                     .alias("_hk")))
+    numer = (k - 1) * KMV_SPACE
+    est = F.when(F.col("_n") < k, F.col("_n")) \
+           .otherwise(F.expr(f"CAST({numer} DIV _hk AS BIGINT)"))
+    return agg.select(*keys, est.alias("est_distinct"),
+                      (F.col("_n") < k).alias("exact"))

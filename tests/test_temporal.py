@@ -354,3 +354,36 @@ def test_interval_join_rejects_collisions(spark):
         interval_join(ev, iv)
     with _pytest.raises(ValueError, match="positive"):
         interval_join(ev, iv.drop("tag"), bucket_s=0)
+
+
+# ---------------------------------------------------------- KMV sketch ----
+
+def test_kmv_exact_below_k_and_estimate_above(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from logunifier_spark.operators.stats import kmv_distinct
+    df = spark.range(50_000).select(
+        (F.col("id") % 2).alias("g"),
+        F.when(F.col("id") % 2 == 0, F.col("id") % 40)     # 20 distinct (even)
+         .otherwise(F.col("id")).alias("v"))               # 25k distinct
+    out = {r["g"]: r for r in kmv_distinct(df, "g", "v", k=64).collect()}
+    assert out[0]["exact"] and out[0]["est_distinct"] == 20
+    assert not out[1]["exact"]
+    assert abs(out[1]["est_distinct"] - 25_000) / 25_000 < 0.35
+    with _pytest.raises(ValueError, match="k must be"):
+        kmv_distinct(df, "g", "v", k=1)
+    with _pytest.raises(ValueError, match="integral"):
+        kmv_distinct(df.select("g", F.col("v").cast("double").alias("v")),
+                     "g", "v")
+
+
+def test_kmv_is_partitioning_and_fan_invariant(spark):
+    from pyspark.sql import functions as F
+    from logunifier_spark.operators.stats import kmv_distinct
+    df = spark.range(3_000).select(
+        F.lit("x").alias("g"), (F.col("id") % 991).alias("v"))
+    base = kmv_distinct(df, "g", "v", k=32).collect()[0]["est_distinct"]
+    for variant in (kmv_distinct(df.repartition(13), "g", "v", k=32),
+                    kmv_distinct(df, "g", "v", k=32, fan=3),
+                    kmv_distinct(df, "g", "v", k=32, fan=64)):
+        assert variant.collect()[0]["est_distinct"] == base
