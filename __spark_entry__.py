@@ -938,6 +938,25 @@ def q_unigram_logppl(spark, sf_dir):
     return unigram_logppl(d)
 
 
+BM25_QUERIES = [("q_engine", "spark shuffle join data"),
+                ("q_customer", "customer order query value"),
+                ("q_window", "window agg filter scan")]
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25 retrieval (operators/bm25.py): top-10 documents per query
+    under Okapi BM25 with the Lucene idf. The tiny query term set
+    broadcasts against the one-pass (doc, term) tf frame, pruning every
+    non-query term before any further shuffle; per-term scores are
+    fixed-point int64 (order-free sums, exact portable rank ties). The
+    oracle re-derives everything in SQL, tokenizing the queries
+    independently in Python."""
+    _ship(spark)
+    from logunifier_spark.operators.bm25 import bm25_topk
+    d = _load(spark, sf_dir, "documents")
+    return bm25_topk(d, BM25_QUERIES, top_k=10)
+
+
 def q_semdedup_pairs(spark, sf_dir):
     """SemDeDup (operators/semdedup.py): integer-exact k-means partitions
     the embedding space, cosine near-dup pairs are found WITHIN clusters
@@ -1123,6 +1142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_pairs": q_semdedup_pairs,
         "tfidf_top_terms": q_tfidf_top_terms,
         "unigram_logppl": q_unigram_logppl,
+        "bm25_search": q_bm25_search,
         "ann_ivf": q_ann_ivf,
         "media_frame_sample": q_media_frame_sample,
         "media_resize": q_media_resize,
@@ -1993,6 +2013,7 @@ def oracle_sql() -> dict[str, str]:
                                                  threshold=0.45),
         "tfidf_top_terms": _do.tfidf_top_terms_sql(k=5),
         "unigram_logppl": _do.unigram_logppl_sql(),
+        "bm25_search": _do.bm25_sql(BM25_QUERIES, top_k=10),
         # portable hash = ((id % 2^31) * MULT) % 2^31 — id reduced BEFORE
         # the multiply, mirroring sampling._portable_hash's overflow guard
         "sample_deterministic": f"""

@@ -564,3 +564,62 @@ SELECT event_type,
        max(nd) < {k} AS exact
 FROM r GROUP BY event_type
 """
+
+
+# ------------------------------------------------------------------ BM25 ----
+
+def bm25_sql(queries: list[tuple[str, str]], k1: float = 1.2,
+             b: float = 0.75, top_k: int = 10,
+             quant: int = 10**9) -> str:
+    """(query_id, doc_id, rank, score) of bm25.bm25_topk — same
+    tokenization convention, same Lucene idf, same fixed-point
+    floor(1e9·score) integer sum (which also makes rank ties exact).
+    Query tokenization happens HERE in Python (re, not the operator's
+    Spark expressions) so the oracle shares no code with the operator.
+    Float expression trees mirror the operator's parenthesization;
+    decimal literals are CAST to DOUBLE (DuckDB parses bare decimals
+    as DECIMAL, whose arithmetic would diverge)."""
+    import re as _re
+    pairs = sorted({(qid, t) for qid, qt in queries
+                    for t in _re.split("[ \t\r\n\f\x0B]+", qt.lower())
+                    if _re.fullmatch("[a-z]{2,}", t)})
+    vals = ", ".join(f"('{q}', '{t}')" for q, t in pairs)
+    return f"""
+WITH q AS (SELECT * FROM (VALUES {vals}) v(query_id, term)),
+toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '[ \t\r\n\f\x0B]+')) AS term
+  FROM documents),
+terms AS (
+  SELECT doc_id, term FROM toks WHERE regexp_full_match(term, '[a-z]{{2,}}')),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+avg AS (SELECT CAST(sum(dl) AS DOUBLE) / (SELECT n FROM n) AS avgdl FROM dl),
+hits AS (SELECT q.query_id, tf.doc_id, tf.term, tf.tf
+         FROM tf JOIN q USING (term)),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
+contrib AS (
+  SELECT h.query_id, h.doc_id,
+         CAST(floor(CAST({quant} AS DOUBLE) * (
+             ln(CAST(1.0 AS DOUBLE)
+                + (CAST((SELECT n FROM n) AS DOUBLE) - d.df
+                   + CAST(0.5 AS DOUBLE))
+                  / (d.df + CAST(0.5 AS DOUBLE)))
+             * (h.tf * CAST({k1 + 1.0!r} AS DOUBLE))
+             / (h.tf + CAST({k1!r} AS DOUBLE)
+                       * (CAST({1.0 - b!r} AS DOUBLE)
+                          + CAST({b!r} AS DOUBLE) * l.dl
+                            / (SELECT avgdl FROM avg)))
+         )) AS BIGINT) AS c
+  FROM hits h JOIN dfreq d USING (term) JOIN dl l USING (doc_id)),
+agg AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS s
+        FROM contrib GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY s DESC, doc_id) AS INT) AS rank,
+         round(CAST(s AS DOUBLE) / CAST({quant} AS DOUBLE), 6) AS score
+  FROM agg)
+SELECT query_id, doc_id, rank, score FROM ranked WHERE rank <= {top_k}
+"""

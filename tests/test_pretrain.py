@@ -242,3 +242,57 @@ def test_perplexity_filter_keeps_low_tail(spark):
            + scores[8]) / 2
     kept = {r["doc_id"] for r in perplexity_filter(df, cut).collect()}
     assert kept == set(range(8))
+
+
+# ---------------------------------------------------------------- BM25 ----
+
+def test_bm25_matches_python_reference(spark):
+    import math
+    import re
+    from logunifier_spark.operators.bm25 import BM25_QUANT, bm25_topk
+    docs = [
+        (0, "spark shuffle join join join window"),
+        (1, "spark window agg filter window"),
+        (2, "customer order order payment ledger"),
+        (3, "the of and or but"),
+        (4, "spark spark spark spark spark spark spark spark"),
+        (5, ""),
+    ]
+    queries = [("q_sp", "spark join"), ("q_cust", "customer payment order"),
+               ("q_none", "zzzzz")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [(r["query_id"], r["doc_id"], r["rank"], r["score"])
+           for r in bm25_topk(df, queries, top_k=3).collect()]
+
+    # independent reference
+    k1, b = 1.2, 0.75
+    tok = lambda t: [w for w in re.split("[ \t\r\n\f\x0B]+", t.lower())
+                     if re.fullmatch("[a-z]{2,}", w)]
+    toks = {d: tok(t) for d, t in docs}
+    n = len(docs)
+    dl = {d: len(ws) for d, ws in toks.items()}
+    avgdl = sum(dl.values()) / float(n)
+    want = []
+    for qid, qt in queries:
+        qterms = set(tok(qt))
+        scores = {}
+        for d, ws in toks.items():
+            s = 0
+            for t in qterms:
+                tf = ws.count(t)
+                if not tf:
+                    continue
+                df_ = sum(1 for ws2 in toks.values() if t in ws2)
+                idf = math.log(1.0 + (float(n) - df_ + 0.5) / (df_ + 0.5))
+                c = idf * (tf * (k1 + 1.0)) / \
+                    (tf + k1 * ((1.0 - b) + b * dl[d] / avgdl))
+                s += math.floor(BM25_QUANT * c)
+            if s:
+                scores[d] = s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        want += [(qid, d, i + 1, round(float(s) / BM25_QUANT, 6))
+                 for i, (d, s) in enumerate(ranked)]
+    assert sorted(got) == sorted(want)
+    # saturation sanity: 8x'spark' must not drown the multi-term match
+    by_q = {(q, r): d for q, d, r, _ in got}
+    assert by_q[("q_sp", 1)] == 0          # matches both query terms
