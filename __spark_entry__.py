@@ -925,6 +925,20 @@ def q_tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(d, k=5)
 
 
+def q_repeated_ngrams(spark, sf_dir):
+    """Substring-level duplication signal (operators/dedup.py::
+    repeated_ngram_stats, after Lee et al. 2022): per document, the
+    fraction of its word n-grams occurring more than once corpus-wide —
+    catches boilerplate stitched into otherwise-unique documents, which
+    doc-level dedup misses. Gram stream is pure JVM (md5 over sliding
+    word windows); one (doc, gram) shuffle feeds both the global total
+    and the join back."""
+    _ship(spark)
+    from logunifier_spark.operators.dedup import repeated_ngram_stats
+    d = _load(spark, sf_dir, "documents")
+    return repeated_ngram_stats(d, n=3)
+
+
 def q_unigram_logppl(spark, sf_dir):
     """CCNet-style LM quality scoring (operators/perplexity.py): mean
     negative log-prob under the corpus's own add-one unigram LM.
@@ -1143,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "unigram_logppl": q_unigram_logppl,
         "bm25_search": q_bm25_search,
+        "repeated_ngrams": q_repeated_ngrams,
         "ann_ivf": q_ann_ivf,
         "media_frame_sample": q_media_frame_sample,
         "media_resize": q_media_resize,
@@ -2014,6 +2029,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": _do.tfidf_top_terms_sql(k=5),
         "unigram_logppl": _do.unigram_logppl_sql(),
         "bm25_search": _do.bm25_sql(BM25_QUERIES, top_k=10),
+        "repeated_ngrams": _do.repeated_ngrams_sql(n=3),
         # portable hash = ((id % 2^31) * MULT) % 2^31 — id reduced BEFORE
         # the multiply, mirroring sampling._portable_hash's overflow guard
         "sample_deterministic": f"""

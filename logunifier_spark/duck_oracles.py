@@ -623,3 +623,33 @@ ranked AS (
   FROM agg)
 SELECT query_id, doc_id, rank, score FROM ranked WHERE rank <= {top_k}
 """
+
+
+# -------------------------------------------------- repeated n-grams ----
+
+def repeated_ngrams_sql(n: int = 3) -> str:
+    """(doc_id, n_grams, n_repeated, repeated_frac) of
+    dedup.repeated_ngram_stats — same fingerprint-style word
+    normalization, md5 word n-grams, global-total > 1 test."""
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(text),
+                                     '[ \t\r\n\f\x0B]+', ' ', 'g'),
+                      ' ') AS words
+  FROM documents),
+g AS (
+  SELECT doc_id, unnest([
+      md5(array_to_string(words[i:i+{n - 1}], ' '))
+      for i in range(1, len(words) - {n} + 2)
+  ]) AS gram
+  FROM w WHERE len(words) >= {n}),
+tf AS (SELECT doc_id, gram, count(*) AS tf FROM g GROUP BY 1, 2),
+tot AS (SELECT gram, CAST(sum(tf) AS BIGINT) AS total FROM tf GROUP BY 1)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN total > 1 THEN tf ELSE 0 END) AS BIGINT)
+         AS n_repeated,
+       round(CAST(sum(CASE WHEN total > 1 THEN tf ELSE 0 END) AS DOUBLE)
+             / CAST(sum(tf) AS BIGINT), 6) AS repeated_frac
+FROM tf JOIN tot USING (gram) GROUP BY doc_id
+"""

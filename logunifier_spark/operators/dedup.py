@@ -620,3 +620,53 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = (inter / union).alias("jaccard")
     return pairs.select("id_a", "id_b", jac).where(F.col("jaccard") >= threshold)
+
+
+# ------------------------------------------------- repeated n-gram spans ----
+
+def repeated_ngram_stats(docs: DataFrame, n: int = 8,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Substring-level duplication signal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): the
+    fraction of each document's word n-grams that occur MORE THAN ONCE
+    in the whole corpus (counting all occurrences, including repeats
+    within one document). Doc-level dedup misses boilerplate stitched
+    into otherwise-unique pages — license headers, navigation chrome,
+    templated intros — which is exactly what a high `repeated_frac`
+    with a low doc-level duplicate score flags.
+
+    Returns (doc_id, n_grams, n_repeated, repeated_frac) for documents
+    with at least one n-gram (fewer than n words -> no row).
+
+    Scale shape: the gram stream is a pure JVM projection (md5 over
+    sliding word windows, explode) — no Python; the per-(doc, gram)
+    count is one shuffle with map-side combine; the global gram total
+    aggregates THAT frame (gram-keyed, the tfidf df shape) and joins
+    back on gram. The gram-keyed shuffle is ~the token stream in size —
+    the honest cost of substring-level dedup (the suffix-array
+    alternative is a global sort of every suffix). The (doc, gram)
+    frame feeds both sides, so it is localCheckpoint-ed once."""
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    words = F.split(F.regexp_replace(F.lower(F.col(text_col)),
+                                     ASCII_WS + "+", " "), " ")
+    k = F.size(words) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, n))))
+    g = (docs.select(F.col(id_col), F.when(k > 0, grams).alias("_grams"))
+             .where(F.col("_grams").isNotNull())
+             .select(id_col, F.explode("_grams").alias("gram")))
+    tf = (g.groupBy(id_col, "gram").agg(F.count("*").alias("tf"))
+           .localCheckpoint(eager=False))
+    tot = tf.groupBy("gram").agg(F.sum("tf").alias("total"))
+    rep = F.when(F.col("total") > 1, F.col("tf")).otherwise(F.lit(0))
+    return (tf.join(tot, "gram")
+              .groupBy(id_col)
+              .agg(F.sum("tf").alias("n_grams"),
+                   F.sum(rep).alias("n_repeated"))
+              .select(F.col(id_col), "n_grams", "n_repeated",
+                      F.round(F.col("n_repeated").cast("double")
+                              / F.col("n_grams"), 6)
+                       .alias("repeated_frac")))

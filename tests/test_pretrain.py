@@ -296,3 +296,30 @@ def test_bm25_matches_python_reference(spark):
     # saturation sanity: 8x'spark' must not drown the multi-term match
     by_q = {(q, r): d for q, d, r, _ in got}
     assert by_q[("q_sp", 1)] == 0          # matches both query terms
+
+
+# -------------------------------------------------- repeated n-grams ----
+
+def test_repeated_ngram_stats(spark):
+    import pytest as _pytest
+    from logunifier_spark.operators.dedup import repeated_ngram_stats
+    boiler = "all rights reserved by the"
+    rows = [
+        (0, boiler + " acme corp and its partners"),
+        (1, boiler + " zenith inc forever and ever"),
+        (2, "completely unique prose about nothing in particular"),
+        (3, "tiny"),                                # < n words -> no row
+        (4, "rep rep rep rep rep rep rep rep"),     # self-repetition counts
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repeated_ngram_stats(df, n=5).collect()}
+    assert 3 not in out
+    # docs 0 and 1 share exactly one 5-gram (the boilerplate prefix)
+    assert out[0]["n_grams"] == 6 and out[0]["n_repeated"] == 1
+    assert out[1]["n_grams"] == 6 and out[1]["n_repeated"] == 1
+    assert out[2]["n_repeated"] == 0 and out[2]["repeated_frac"] == 0.0
+    # "rep"x8 -> 4 identical 5-grams, all repeated within the doc itself
+    assert out[4]["n_grams"] == 4 and out[4]["n_repeated"] == 4
+    assert out[4]["repeated_frac"] == 1.0
+    with _pytest.raises(ValueError):
+        repeated_ngram_stats(df, n=1)
