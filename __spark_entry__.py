@@ -496,6 +496,25 @@ def q_interval_events(spark, sf_dir):
                   F.max("event_id").alias("max_event")))
 
 
+def q_event_rollup(spark, sf_dir):
+    """OLAP ROLLUP drill-down (operators/aggregate.py::rollup_report):
+    per (event_type, month) counts and exact money sums with subtotal
+    and grand-total rows. Money enters as int64 cents — floor(x*100+0.5)
+    is portable where round() is not (Spark half-up vs DuckDB half-even)
+    — so every group shape sums associatively with no float
+    order-dependence. Spark plans ROLLUP as Expand + one hash aggregate
+    with map-side combine."""
+    _ship(spark)
+    from logunifier_spark.operators.aggregate import rollup_report
+    e = _load(spark, sf_dir, "events")
+    d = e.select("event_type",
+                 F.month(F.col("ts").cast("timestamp"))
+                  .cast("string").alias("month"),
+                 "value")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return rollup_report(d, ["event_type", "month"], cents_col=cents)
+
+
 def q_kmv_users(spark, sf_dir):
     """KMV distinct-count sketch (operators/stats.py::kmv_distinct):
     estimated distinct users per event type from the k smallest 48-bit
@@ -1122,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_clicks": q_asof_clicks,
         "interval_events": q_interval_events,
         "kmv_users": q_kmv_users,
+        "event_rollup": q_event_rollup,
         "user_sessions": q_user_sessions,
         "rate_spikes": q_rate_spikes,
         "doc_length_quantiles": q_doc_length_quantiles,
@@ -1623,6 +1643,17 @@ def oracle_sql() -> dict[str, str]:
               ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "kmv_users": _do.kmv_users_sql(k=64),
+        "event_rollup": """
+            WITH b AS (
+              SELECT event_type, CAST(month(ts) AS VARCHAR) AS month,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+              FROM events)
+            SELECT coalesce(event_type, '(all)') AS event_type,
+                   coalesce(month, '(all)') AS month,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents
+            FROM b GROUP BY ROLLUP (event_type, month)
+        """,
         "interval_events": """
             WITH inc AS (
               SELECT event_id AS incident_id, epoch_us(ts) AS s,

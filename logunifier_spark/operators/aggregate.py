@@ -61,3 +61,37 @@ def error_counts(df: DataFrame) -> DataFrame:
         F.count(F.when(F.col("validation_errors").isNotNull(), 1)).alias("validation_errors"),
         F.count("*").alias("routed_rows"),
     ))
+
+
+def rollup_report(df: DataFrame, dims: list[str],
+                  cents_col=None, fill: str = "(all)") -> DataFrame:
+    """OLAP ROLLUP over `dims` (the dashboard drill-down shape: every
+    prefix of the dimension list gets a subtotal row, plus the grand
+    total): (dims…, n BIGINT[, sum_cents BIGINT]). Subtotal levels show
+    `fill` in the rolled-up dimensions — dims must be string-typed and
+    null-free (a genuine null would collide with the sentinel; filter
+    or fillna upstream — enforced).
+
+    `cents_col` is an optional integer-cents Column for an exact money
+    sum: a double SUM over arbitrary group shapes is
+    partial-aggregation-order-dependent, so currency enters as int64
+    cents (floor(x*100 + 0.5) of a 2-decimal double is portable —
+    Spark/DuckDB round() disagree on half-even, floor(+0.5) does not)
+    and sums associatively.
+
+    ROLLUP is Expand + one hash aggregate in Spark — each input row is
+    replicated len(dims)+1 times BEFORE the shuffle but after map-side
+    partial aggregation collapses it, so the exchange carries
+    ~|groups|·(len(dims)+1) rows, not |input|·(len(dims)+1)."""
+    for d in dims:
+        if df.schema[d].dataType.simpleString() != "string":
+            raise ValueError(f"rollup dim {d} must be string-typed")
+    if df.where(" OR ".join(f"{d} IS NULL" for d in dims)).head(1):
+        raise ValueError(f"rollup dims {dims} contain nulls; fill upstream")
+    aggs = [F.count("*").alias("n")]
+    if cents_col is not None:
+        aggs.append(F.sum(cents_col).alias("sum_cents"))
+    out = df.rollup(*dims).agg(*aggs)
+    return out.select(
+        *[F.coalesce(F.col(d), F.lit(fill)).alias(d) for d in dims],
+        *[c for c in out.columns if c not in dims])

@@ -621,3 +621,27 @@ def test_epoch_shuffle_matches_python_and_is_shard_invariant(spark):
              for r in epoch_shuffle(df, epoch=2, n_shards=4).collect()}
     assert other == ref(2) != got
     assert sorted(other.values()) == list(range(len(ids)))
+
+
+def test_rollup_report_levels_and_cents(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from logunifier_spark.operators.aggregate import rollup_report
+    df = spark.createDataFrame(
+        [("a", "x", 1.10), ("a", "x", 2.20), ("a", "y", 0.05),
+         ("b", "x", 10.00)],
+        "s string, t string, v double")
+    cents = F.floor(F.col("v") * 100 + F.lit(0.5)).cast("long")
+    out = {(r["s"], r["t"]): (r["n"], r["sum_cents"]) for r in
+           rollup_report(df, ["s", "t"], cents_col=cents).collect()}
+    assert out[("a", "x")] == (2, 330)
+    assert out[("a", "(all)")] == (3, 335)
+    assert out[("(all)", "(all)")] == (4, 1335)
+    assert ("(all)", "x") not in out          # rollup, not cube
+    assert len(out) == 6
+    with _pytest.raises(ValueError, match="null"):
+        rollup_report(df.withColumn(
+            "s", F.when(F.col("t") == "y", None).otherwise(F.col("s"))),
+            ["s", "t"])
+    with _pytest.raises(ValueError, match="string-typed"):
+        rollup_report(df, ["v"])
