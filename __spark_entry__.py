@@ -496,6 +496,24 @@ def q_interval_events(spark, sf_dir):
                   F.max("event_id").alias("max_event")))
 
 
+def q_user_pagerank(spark, sf_dir):
+    """Fixed-point PageRank (operators/graph.py) over the
+    who-follows-whom user-transition graph derived from the event
+    stream. Like kmeans_clusters, an ITERATIVE algorithm with a full
+    value-hash oracle: every power iteration is exact int64
+    floor-division arithmetic, and the oracle unrolls each iteration as
+    a SQL CTE. Per iteration: one src-keyed equi-join + one
+    map-side-combinable dst aggregate."""
+    _ship(spark)
+    from logunifier_spark.operators.graph import (
+        pagerank_fixed_point,
+        transition_edges,
+    )
+    e = _load(spark, sf_dir, "events")
+    pr = pagerank_fixed_point(transition_edges(e), iters=3)
+    return pr.select(F.col("node").alias("user_id"), "rank_q")
+
+
 def q_event_rollup(spark, sf_dir):
     """OLAP ROLLUP drill-down (operators/aggregate.py::rollup_report):
     per (event_type, month) counts and exact money sums with subtotal
@@ -1142,6 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_events": q_interval_events,
         "kmv_users": q_kmv_users,
         "event_rollup": q_event_rollup,
+        "user_pagerank": q_user_pagerank,
         "user_sessions": q_user_sessions,
         "rate_spikes": q_rate_spikes,
         "doc_length_quantiles": q_doc_length_quantiles,
@@ -1643,6 +1662,7 @@ def oracle_sql() -> dict[str, str]:
               ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "kmv_users": _do.kmv_users_sql(k=64),
+        "user_pagerank": _do.user_pagerank_sql(iters=3),
         "event_rollup": """
             WITH b AS (
               SELECT event_type, CAST(month(ts) AS VARCHAR) AS month,

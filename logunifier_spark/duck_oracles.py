@@ -653,3 +653,42 @@ SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_grams,
              / CAST(sum(tf) AS BIGINT), 6) AS repeated_frac
 FROM tf JOIN tot USING (gram) GROUP BY doc_id
 """
+
+
+# -------------------------------------------------------------- pagerank ----
+
+def user_pagerank_sql(iters: int = 3, damping_pct: int = 85,
+                      quant: int = 10**12) -> str:
+    """(user_id, rank_q) of graph.pagerank_fixed_point over
+    graph.transition_edges(events) — the integer power-iteration
+    recurrence re-derived in SQL with each iteration unrolled as a CTE
+    (the kmeans oracle pattern). All arithmetic is int64 floor-division,
+    so the two engines must agree bit-for-bit."""
+    d = damping_pct
+    ctes = [f"""
+e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT user_id AS src,
+           lead(user_id) OVER (PARTITION BY event_type
+                               ORDER BY event_id) AS dst
+    FROM events)
+  WHERE dst IS NOT NULL AND dst <> src),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+tele AS (SELECT ({100 - d} * ({quant} // n)) // 100 AS t,
+                {quant} // n AS init FROM nn),
+r0 AS (SELECT node, CAST((SELECT init FROM tele) AS BIGINT) AS rank_q
+       FROM nodes)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""
+r{i} AS (
+  SELECT n.node,
+         CAST((SELECT t FROM tele)
+              + ({d} * coalesce(x.s, 0)) // 100 AS BIGINT) AS rank_q
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank_q // d.deg) AS s
+    FROM e JOIN deg d USING (src) JOIN r{i - 1} r ON r.node = e.src
+    GROUP BY 1) x ON x.node = n.node)""")
+    return (f"WITH {','.join(ctes)}\n"
+            f"SELECT node AS user_id, rank_q FROM r{iters}")

@@ -145,3 +145,51 @@ def test_semdedup_max_cluster_prunes_hot_clusters(spark):
     want = _python_semdedup(rows, k=3, iters=2, threshold=0.999,
                             max_cluster=10)
     assert want == set()
+
+
+# ------------------------------------------------------------- pagerank ----
+
+def _py_pagerank(edges, iters, d=85, q=10**12):
+    nodes = sorted({u for e in edges for u in e})
+    n = len(nodes)
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    init = q // n
+    tele = ((100 - d) * init) // 100
+    r = {v: init for v in nodes}
+    for _ in range(iters):
+        s = {v: 0 for v in nodes}
+        for u, v in edges:
+            s[v] += r[u] // deg[u]
+        r = {v: tele + (d * s[v]) // 100 for v in nodes}
+    return r
+
+
+def test_pagerank_matches_python_recurrence(spark):
+    import pytest as _pytest
+    from logunifier_spark.operators.graph import pagerank_fixed_point
+    edges = [(1, 2), (2, 1), (3, 1), (4, 1), (5, 1), (1, 6), (6, 3),
+             (3, 7)]   # 7 is dangling (no out-edges)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for iters in (1, 3):
+        got = {r["node"]: r["rank_q"] for r in
+               pagerank_fixed_point(df, iters=iters).collect()}
+        assert got == _py_pagerank(edges, iters), iters
+    got = {r["node"]: r["rank_q"] for r in
+           pagerank_fixed_point(df.repartition(7), iters=3).collect()}
+    assert got == _py_pagerank(edges, 3)          # partitioning-invariant
+    assert got[1] == max(got.values())            # the hub wins
+    with _pytest.raises(ValueError):
+        pagerank_fixed_point(df, iters=0)
+
+
+def test_transition_edges_from_event_stream(spark):
+    from logunifier_spark.operators.graph import transition_edges
+    rows = [(0, "a", 10), (1, "a", 20), (2, "a", 10), (3, "a", 10),
+            (4, "b", 20), (5, "b", 30)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, user_id long")
+    got = sorted((r["src"], r["dst"]) for r in transition_edges(df).collect())
+    # a: 10->20->10->10 gives (10,20),(20,10); self-loop 10->10 dropped
+    # b: 20->30
+    assert got == [(10, 20), (20, 10), (20, 30)]
