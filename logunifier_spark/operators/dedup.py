@@ -649,15 +649,23 @@ def repeated_ngram_stats(docs: DataFrame, n: int = 8,
     frame feeds both sides, so it is localCheckpoint-ed once."""
     if n < 2:
         raise ValueError(f"n must be >= 2, got {n}")
-    words = F.split(F.regexp_replace(F.lower(F.col(text_col)),
-                                     ASCII_WS + "+", " "), " ")
-    k = F.size(words) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(0), k - 1),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, n))))
-    g = (docs.select(F.col(id_col), F.when(k > 0, grams).alias("_grams"))
-             .where(F.col("_grams").isNotNull())
-             .select(id_col, F.explode("_grams").alias("gram")))
+    # Gram construction is explode-positions-then-project, NOT a
+    # transform() lambda building the gram array: a HOF lambda body
+    # runs on the interpreted expression path per element (measured 25x
+    # slower at sf0.1 — 12 s vs 0.5 s for the same 260k grams), while a
+    # post-explode projection stays inside whole-stage codegen. The
+    # words array is bound in its own projection so the split runs once
+    # per doc, not once per gram.
+    words_expr = F.split(F.regexp_replace(F.lower(F.col(text_col)),
+                                          ASCII_WS + "+", " "), " ")
+    d = docs.select(F.col(id_col), words_expr.alias("_w"))
+    k = F.size("_w") - (n - 1)
+    g = (d.where(k > 0)
+          .select(F.col(id_col), "_w",
+                  F.explode(F.sequence(F.lit(1), k)).alias("_i"))
+          .select(F.col(id_col),
+                  F.md5(F.concat_ws(" ", F.slice(F.col("_w"), F.col("_i"),
+                                                 n))).alias("gram")))
     tf = (g.groupBy(id_col, "gram").agg(F.count("*").alias("tf"))
            .localCheckpoint(eager=False))
     tot = tf.groupBy("gram").agg(F.sum("tf").alias("total"))

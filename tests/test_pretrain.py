@@ -323,3 +323,22 @@ def test_repeated_ngram_stats(spark):
     assert out[4]["repeated_frac"] == 1.0
     with _pytest.raises(ValueError):
         repeated_ngram_stats(df, n=1)
+
+
+def test_fingerprint_frame_equals_column_form(spark):
+    from pyspark.sql import functions as F
+    from logunifier_spark.operators.textstats import (
+        fingerprint,
+        fingerprint_frame,
+    )
+    rows = [(0, "the quick brown fox jumps over the lazy dog"),
+            (1, "one two three four"),          # exactly 4 words -> 1 gram
+            (2, "short text"),                  # < 4 words -> padded gram
+            (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    col_form = {r["doc_id"]: r["fp"] for r in
+                df.select("doc_id",
+                          fingerprint(F.col("text")).alias("fp")).collect()}
+    frame_form = {r["doc_id"]: r["fp"] for r in
+                  fingerprint_frame(df).collect()}
+    assert frame_form == col_form
