@@ -943,14 +943,28 @@ def q_quality_scores(spark, sf_dir):
 
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (brute force; the LSH-bucketed
-    variant is ann_lsh). O(n²) compare — the exact baseline."""
+    variant is ann_lsh). O(n²) compare — the exact baseline. Norms are
+    precomputed per VECTOR (n folds, not n² — identical doubles, same
+    fold over the same input) and the left side is fanned out to the
+    session parallelism: a one-file corpus scans as one task, and a
+    cross join inherits that single partition, serializing all n²/2
+    pairs onto one core (measured 47 s -> ~1.5 s at sf0.1)."""
     _ship(spark)
-    from logunifier_spark.operators.similarity import cosine
+    from logunifier_spark.operators.dedup import fan_out
+    from logunifier_spark.operators.similarity import dot, norm
     emb = _load(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    pairs = (a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
-              .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+    a = (fan_out(emb)
+         .select(F.col("vec_id").alias("id_a"),
+                 F.col("embedding").alias("va"))
+         .withColumn("na", norm(F.col("va"))))
+    b = (emb.select(F.col("vec_id").alias("id_b"),
+                    F.col("embedding").alias("vb"))
+            .withColumn("nb", norm(F.col("vb"))))
+    cos = dot(F.col("va"), F.col("vb")) \
+        / (F.col("na") * F.col("nb") + F.lit(1e-12))
+    pairs = (a.crossJoin(F.broadcast(b))
+              .where(F.col("id_a") < F.col("id_b"))
+              .withColumn("cos", cos)
               .where(F.col("cos") >= 0.45))
     return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
 

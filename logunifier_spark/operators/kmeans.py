@@ -85,7 +85,12 @@ def kmeans_centroids(corpus: DataFrame, k: int = 8, iters: int = 2,
     centroid literals; the update is posexplode -> groupBy (cluster, pos)
     -> sum/count (map-side combined to k*dim rows) -> driver floor-div.
     A cluster that captures no rows keeps its previous centroid."""
-    q = corpus.select(quantize(F.col(vec_col), scale).alias("_q"))
+    # fan_out: a one-file corpus scans as ONE task, serializing the
+    # per-iteration distance projections; a no-op once the input has >=
+    # session-parallelism partitions. Assignment is row-local and the
+    # update sums are integers, so the result is partitioning-invariant.
+    from logunifier_spark.operators.dedup import fan_out
+    q = fan_out(corpus).select(quantize(F.col(vec_col), scale).alias("_q"))
     cents = seed_centroids(corpus, k, id_col, vec_col, scale)
     for _ in range(iters):
         assigned = q.select(

@@ -49,7 +49,7 @@ from logunifier_spark.operators.kmeans import (
     kmeans_centroids,
     quantize,
 )
-from logunifier_spark.operators.similarity import cosine
+from logunifier_spark.operators.similarity import dot, norm
 
 
 def semdedup_pairs(emb: DataFrame, id_col: str = "vec_id",
@@ -65,11 +65,14 @@ def semdedup_pairs(emb: DataFrame, id_col: str = "vec_id",
     scalability; raise k for finer recall control, not the threshold."""
     cents = kmeans_centroids(emb, k, iters, scale, id_col, vec_col)
     # pre-project the quantized vector ONCE — inlining quantize() into
-    # _nearest would re-evaluate the transform per centroid distance
+    # _nearest would re-evaluate the transform per centroid distance.
+    # The norm is likewise per ROW here, not per pair: the interpreted
+    # aggregate fold is the pairing stage's unit cost, and norm-per-pair
+    # would triple it for identical doubles (same fold, same input).
     assigned = (emb
                 .select(F.col(id_col), F.col(vec_col).alias("_v"),
                         quantize(F.col(vec_col), scale).alias("_q"))
-                .select(id_col, "_v",
+                .select(id_col, "_v", norm(F.col("_v")).alias("_nrm"),
                         _nearest(F.col("_q"), cents)["cluster"]
                         .alias("cluster")))
     if max_cluster is not None:
@@ -83,7 +86,8 @@ def semdedup_pairs(emb: DataFrame, id_col: str = "vec_id",
     # scan + one Exchange with a ReusedExchange on the probe side —
     # renamed projections defeat the reuse rule and read the corpus twice
     a, b = assigned.alias("a"), assigned.alias("b")
-    cos = cosine(F.col("a._v"), F.col("b._v"))
+    cos = dot(F.col("a._v"), F.col("b._v")) \
+        / (F.col("a._nrm") * F.col("b._nrm") + F.lit(1e-12))
     return (a.join(b, on=F.col("a.cluster") == F.col("b.cluster"))
              .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
              .where(cos >= threshold)
