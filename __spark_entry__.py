@@ -496,6 +496,20 @@ def q_interval_events(spark, sf_dir):
                   F.max("event_id").alias("max_event")))
 
 
+def q_value_histogram(spark, sf_dir):
+    """Per-event-type fixed-width histogram
+    (operators/stats.py::group_histogram): one map-side-combinable hash
+    aggregate; explicit [lo, hi) bounds (monitoring histograms must be
+    stable across runs, so no data-dependent min/max scan), bucket index
+    floor((x-lo)/(hi-lo)·bins) in one fixed double expression tree,
+    out-of-range rows clamped into the edge buckets."""
+    _ship(spark)
+    from logunifier_spark.operators.stats import group_histogram
+    e = _load(spark, sf_dir, "events")
+    return group_histogram(e, "event_type", "value",
+                           lo=0.0, hi=20.0, bins=10)
+
+
 def q_user_pagerank(spark, sf_dir):
     """Fixed-point PageRank (operators/graph.py) over the
     who-follows-whom user-transition graph derived from the event
@@ -1179,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_users": q_kmv_users,
         "event_rollup": q_event_rollup,
         "user_pagerank": q_user_pagerank,
+        "value_histogram": q_value_histogram,
         "user_sessions": q_user_sessions,
         "rate_spikes": q_rate_spikes,
         "doc_length_quantiles": q_doc_length_quantiles,
@@ -1681,6 +1696,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmv_users": _do.kmv_users_sql(k=64),
         "user_pagerank": _do.user_pagerank_sql(iters=3),
+        # bucket = floor((x-lo)/(hi-lo)*bins), clamped on the wide int
+        # BEFORE narrowing — the exact expression tree of group_histogram
+        "value_histogram": """
+            SELECT event_type,
+                   CAST(least(9, greatest(0, CAST(floor(
+                        (CAST(value AS DOUBLE) - CAST(0.0 AS DOUBLE))
+                        / CAST(20.0 AS DOUBLE) * CAST(10.0 AS DOUBLE))
+                      AS BIGINT))) AS INT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type, bucket
+        """,
         "event_rollup": """
             WITH b AS (
               SELECT event_type, CAST(month(ts) AS VARCHAR) AS month,

@@ -96,7 +96,10 @@ def operator_benches(spark, sf_dir: str) -> dict[str, float]:
     out = {}
     for name in ["tpch_pricing", "region_revenue", "first_event_per_user",
                  "dedup_exact", "minhash_dedup", "ann_bruteforce",
-                 "token_counts"]:
+                 "token_counts",
+                 # session-2 round-3 additions (baselines in BASELINE.md)
+                 "interval_events", "bm25_search", "repeated_ngrams",
+                 "embedding_neardup", "user_pagerank"]:
         fn = entry.queries()[name]
         # min of 3 (shared noisy box — same rationale as the headline)
         out[name] = min(_timed(lambda f=fn: f(spark, sf_dir).collect())

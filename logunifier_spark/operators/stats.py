@@ -138,3 +138,36 @@ def kmv_distinct(df: DataFrame, keys: list[str] | str, col: str,
            .otherwise(F.expr(f"CAST({numer} DIV _hk AS BIGINT)"))
     return agg.select(*keys, est.alias("est_distinct"),
                       (F.col("_n") < k).alias("exact"))
+
+
+def group_histogram(df: DataFrame, keys: list[str] | str, col: str,
+                    lo: float, hi: float, bins: int = 20) -> DataFrame:
+    """Per-`keys` fixed-width histogram of `col` over [lo, hi):
+    (keys…, bucket INT, n BIGINT), buckets 0..bins-1, out-of-range
+    values clamped into the edge buckets (so counts always total the
+    non-null rows — the dashboards-never-lose-rows convention). One
+    map-side-combinable hash aggregate; empty buckets are absent (join
+    a `spark.range(bins)` spine to densify when plotting).
+
+    Bounds are explicit caller scalars, not a data-dependent min/max
+    scan: histograms that feed monitoring must be stable across runs
+    and comparable across corpora. The bucket index is
+    floor((x-lo)/(hi-lo)·bins) evaluated in one fixed double expression
+    tree — identical on every engine (floor is portable; round is
+    not)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    if not (hi > lo):
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    x = F.col(col).cast("double")
+    raw = F.floor((x - F.lit(float(lo))) / F.lit(float(hi - lo))
+                  * F.lit(float(bins)))
+    # clamp on the LONG before narrowing: an extreme value's raw bucket
+    # overflows an int cast (ANSI-mode crash); after the clamp the value
+    # is provably in [0, bins-1]
+    bucket = F.least(F.lit(bins - 1).cast("long"),
+                     F.greatest(F.lit(0).cast("long"), raw)).cast("int")
+    return (df.where(x.isNotNull())
+              .groupBy(*keys, bucket.alias("bucket"))
+              .agg(F.count("*").alias("n")))

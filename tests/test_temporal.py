@@ -387,3 +387,20 @@ def test_kmv_is_partitioning_and_fan_invariant(spark):
                     kmv_distinct(df, "g", "v", k=32, fan=3),
                     kmv_distinct(df, "g", "v", k=32, fan=64)):
         assert variant.collect()[0]["est_distinct"] == base
+
+
+def test_group_histogram_buckets_and_clamping(spark):
+    import pytest as _pytest
+    from logunifier_spark.operators.stats import group_histogram
+    rows = [("a", -5.0), ("a", 0.0), ("a", 9.99), ("a", 10.0), ("a", 25.0),
+            ("a", 100.0), ("a", 120.0), ("b", 50.0), ("b", None)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = {(r["g"], r["bucket"]): r["n"] for r in
+           group_histogram(df, "g", "x", lo=0.0, hi=100.0, bins=10).collect()}
+    # -5 clamps into 0; 9.99 -> 0; 10.0 -> 1; 100/120 clamp into 9
+    assert out[("a", 0)] == 3 and out[("a", 1)] == 1
+    assert out[("a", 2)] == 1 and out[("a", 9)] == 2
+    assert out[("b", 5)] == 1 and ("b", 0) not in out
+    assert sum(n for (g, _), n in out.items() if g == "a") == 7
+    with _pytest.raises(ValueError):
+        group_histogram(df, "g", "x", lo=1.0, hi=1.0)
