@@ -275,6 +275,36 @@ def q_region_revenue(spark, sf_dir):
                     .alias("revenue")))
 
 
+def q_nation_trade(spark, sf_dir):
+    """TPC-H Q7-style cross-border trade volume: lineitem ⋈ supplier ⋈
+    orders ⋈ customer with the nation dim broadcast TWICE under
+    different aliases (supplier's and customer's nation). Volume is
+    summed as int64 ten-thousandths — floor(x·10⁴+0.5) of the identical
+    double expression tree on both engines — so the aggregate is
+    order-free and the value hash exact, unlike a raw double SUM."""
+    li = _load(spark, sf_dir, "lineitem")
+    o = _load(spark, sf_dir, "orders")
+    c = _load(spark, sf_dir, "customer")
+    s = _load(spark, sf_dir, "supplier")
+    n1 = _load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_sn_key"),
+        F.col("n_name").alias("supp_nation"))
+    n2 = _load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_cn_key"),
+        F.col("n_name").alias("cust_nation"))
+    vol_q = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * 10000 + F.lit(0.5)).cast("long")
+    return (li.join(s, li["l_suppkey"] == s["s_suppkey"])
+              .join(o, li["l_orderkey"] == o["o_orderkey"])
+              .join(c, o["o_custkey"] == c["c_custkey"])
+              .join(F.broadcast(n1), s["s_nationkey"] == F.col("_sn_key"))
+              .join(F.broadcast(n2), c["c_nationkey"] == F.col("_cn_key"))
+              .where(F.col("supp_nation") != F.col("cust_nation"))
+              .groupBy("supp_nation", "cust_nation")
+              .agg(F.count("*").alias("n_items"),
+                   F.sum(vol_q).alias("volume_q")))
+
+
 def q_conversation_stats(spark, sf_dir):
     """Per-conversation filter features as ONE hash aggregate (axis-B
     transcript unit): partial aggregation reduces map-side to one row per
@@ -1194,6 +1224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_rollup": q_event_rollup,
         "user_pagerank": q_user_pagerank,
         "value_histogram": q_value_histogram,
+        "nation_trade": q_nation_trade,
         "user_sessions": q_user_sessions,
         "rate_spikes": q_rate_spikes,
         "doc_length_quantiles": q_doc_length_quantiles,
@@ -1698,6 +1729,21 @@ def oracle_sql() -> dict[str, str]:
         "user_pagerank": _do.user_pagerank_sql(iters=3),
         # bucket = floor((x-lo)/(hi-lo)*bins), clamped on the wide int
         # BEFORE narrowing — the exact expression tree of group_histogram
+        "nation_trade": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 10000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS volume_q
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE n1.n_name <> n2.n_name
+            GROUP BY supp_nation, cust_nation
+        """,
         "value_histogram": """
             SELECT event_type,
                    CAST(least(9, greatest(0, CAST(floor(
