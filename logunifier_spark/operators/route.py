@@ -190,6 +190,77 @@ def write_sinks(df: DataFrame, base_path: str, mode: str = "overwrite",
        .partitionBy("sink", "route_partition")
        .format(file_format)
        .save(base_path))
-    written = set(obs.get["sinks"])
+    try:
+        written = set(obs.get["sinks"])
+    except Exception:
+        # Spark 4.1 bug (minimal repro: observed write of an EMPTY
+        # DataFrame): a zero-row write schedules no task that executes
+        # the CollectMetrics node, Observation.getRow hands back a
+        # schemaless row, and PythonSQLUtils.toPyRow asserts. The write
+        # itself succeeded — recompute the sink set from df directly
+        # (normally the empty set; one column-pruned job). Listing the
+        # output instead would misreport earlier appends as ours.
+        written = {r["sink"]
+                   for r in df.select("sink").distinct().collect()}
     listed = _list_sink_dirs(df.sparkSession, base_path)
     return {s: p for s, p in sorted(listed.items()) if s in written}
+
+
+def compact_sinks(spark, base_path: str,
+                  target_file_bytes: int = 128 * 1024 * 1024,
+                  file_format: str = "parquet") -> dict[str, int]:
+    """Compact each `sink=<name>` table under `base_path` toward
+    `target_file_bytes` per file and return {sink: files_after}. The
+    small-files maintenance pass every long-running partitioned sink
+    needs: an append-mode pipeline accretes a file per (micro)batch per
+    partition, and at 100 TB a sink degrades into millions of KB-sized
+    files that throttle every downstream scan on open/list overhead
+    (and S3 request cost) rather than bytes.
+
+    Per sink: the CURRENT on-disk byte size comes from the Hadoop
+    FileSystem's content summary (no data scan), the file count target
+    is ceil(bytes / target_file_bytes), and the rewrite is one
+    repartition(n) job per sink preserving the route_partition layout.
+    The rewrite goes through a sibling staging directory + atomic-ish
+    rename swap (rename is atomic on HDFS and a fast metadata move
+    locally; on object stores prefer the Iceberg path in
+    `write_sinks_iceberg`, where compaction is a snapshot-safe rewrite).
+    Readers racing the swap see the old or the new listing, never a
+    partial mix of both — the same guarantee the reference's file-sink
+    ack model gives (streamcfg.go:96-120), minus Iceberg's time travel.
+    """
+    jvm = spark._jvm  # noqa: SLF001
+    conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    out: dict[str, int] = {}
+    for sink, path in _list_sink_dirs(spark, base_path).items():
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(conf)
+        size = int(fs.getContentSummary(jpath).getLength())
+        n_files = max(1, -(-size // target_file_bytes))
+        df = spark.read.format(file_format).load(path)
+        part_cols = [c for c in df.columns if c == "route_partition"]
+        staging = jvm.org.apache.hadoop.fs.Path(path + "._compact_tmp")
+        writer = (df.repartition(n_files)
+                    .write.mode("overwrite").format(file_format))
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.save(staging.toString())
+        backup = jvm.org.apache.hadoop.fs.Path(path + "._compact_old")
+        if fs.exists(backup):
+            fs.delete(backup, True)
+        fs.rename(jpath, backup)
+        fs.rename(staging, jpath)
+        fs.delete(backup, True)
+        n_after = sum(1 for st in fs.listStatus(jpath)
+                      if not st.isDirectory()
+                      and not st.getPath().getName().startswith("_"))
+        if part_cols:   # files live under route_partition=* subdirs
+            n_after = 0
+            for st in fs.listStatus(jpath):
+                if st.isDirectory():
+                    n_after += sum(
+                        1 for f in fs.listStatus(st.getPath())
+                        if not f.isDirectory()
+                        and not f.getPath().getName().startswith("_"))
+        out[sink] = n_after
+    return out

@@ -645,3 +645,52 @@ def test_rollup_report_levels_and_cents(spark):
             ["s", "t"])
     with _pytest.raises(ValueError, match="string-typed"):
         rollup_report(df, ["v"])
+
+
+def test_compact_sinks_reduces_files_and_preserves_rows(spark, tmp_path):
+    import os
+    from pyspark.sql import functions as F
+    from logunifier_spark.operators.route import compact_sinks, write_sinks
+    base = str(tmp_path / "sinks")
+    df = spark.range(4000).select(
+        F.when(F.col("id") % 2 == 0, "loki").otherwise("s3").alias("sink"),
+        (F.col("id") % 3).cast("string").alias("route_partition"),
+        F.concat(F.lit("m"), F.col("id")).alias("message"),
+        F.col("id"))
+    # many small appends -> many small files
+    for salt in range(4):
+        write_sinks(df.where(F.col("id") % 4 == salt), base, mode="append")
+    # materialize the before-state: the swap deletes the old files, so a
+    # lazy DataFrame over them would fail post-compaction
+    before_rows = sorted((r["sink"], r["route_partition"], r["message"])
+                         for r in spark.read.parquet(base).collect())
+    n_before_files = sum(len([f for f in files if f.endswith(".parquet")])
+                         for _, _, files in os.walk(base))
+    out = compact_sinks(spark, base, target_file_bytes=1 << 30)
+    assert set(out) == {"loki", "s3"}
+    after_rows = sorted((r["sink"], r["route_partition"], r["message"])
+                        for r in spark.read.parquet(base).collect())
+    assert after_rows == before_rows
+    n_after_files = sum(len([f for f in files if f.endswith(".parquet")])
+                        for _, _, files in os.walk(base))
+    assert n_after_files < n_before_files
+    # 1 GiB target -> one file per route_partition dir per sink
+    assert n_after_files == sum(out.values()) == 2 * 3
+    leftovers = [os.path.join(d, x) for d, dirs, _ in os.walk(str(tmp_path))
+                 for x in dirs if "._compact_" in x]
+    assert not leftovers                     # staging/backup cleaned up
+
+
+def test_write_sinks_empty_frame_returns_empty_map(spark, tmp_path):
+    # Spark 4.1: a zero-row observed write never executes CollectMetrics
+    # and Observation.get raises through toPyRow — write_sinks must fall
+    # back and still report honestly (an empty write produced no sinks)
+    from pyspark.sql import functions as F
+    from logunifier_spark.operators.route import write_sinks
+    base = str(tmp_path / "empty_sinks")
+    df = spark.range(100).select(
+        F.lit("loki").alias("sink"), F.lit("p").alias("route_partition"),
+        F.col("id").cast("string").alias("message"))
+    assert sorted(write_sinks(df, base, mode="append")) == ["loki"]
+    out = write_sinks(df.where(F.lit(False)), base, mode="append")
+    assert out == {}          # not {'loki': ...} from the earlier append
