@@ -605,6 +605,38 @@ def q_rate_spikes(spark, sf_dir):
                        trailing=6, mult=2)
 
 
+def q_event_funnel(spark, sf_dir):
+    """Ordered-event funnel (operators/funnel.py::funnel_reach): per
+    user, the earliest signup -> view -> purchase completion times in
+    int64 epoch micros (strict > between consecutive steps). Each step
+    is one user-keyed hash aggregate + one join against the reach frame
+    (one row per step-1 user — broadcast-sized at cluster scale); the
+    step filter pushes to the scan. The oracle chains the same
+    semantics as sequential CTEs."""
+    _ship(spark)
+    from logunifier_spark.operators.funnel import funnel_reach
+    e = _load(spark, sf_dir, "events")
+    r = funnel_reach(e, ["signup", "view", "purchase"])
+    return r.select(F.col("user").alias("user_id"), "steps_completed",
+                    "t1_us", "t2_us", "t3_us")
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix (operators/funnel.py::cohort_retention):
+    users bucketed by first-activity week, counted in each later active
+    week. Bucket math is us - us mod w in int64 (double floor is off by
+    one past 2^53); offsets divide exactly (both operands are multiples
+    of the width). One first-seen aggregate, one distinct, one
+    user-keyed join, one final count. Daily buckets here (the synthetic
+    corpus spans 30 days, so a daily grid exercises a real
+    cohort x offset matrix; the production default is weekly)."""
+    _ship(spark)
+    from logunifier_spark.operators.funnel import cohort_retention
+    e = _load(spark, sf_dir, "events")
+    return (cohort_retention(e, bucket_s=24 * 3600)
+            .withColumnRenamed("week_offset", "day_offset"))
+
+
 def q_redact_pii(spark, sf_dir):
     """PII redaction (operators/redact.py): ordered engine-portable regex
     rules (email→phone→ipv4→long-digit-run) as a pure JVM-side
@@ -1227,6 +1259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_trade": q_nation_trade,
         "user_sessions": q_user_sessions,
         "rate_spikes": q_rate_spikes,
+        "event_funnel": q_event_funnel,
+        "cohort_retention": q_cohort_retention,
         "doc_length_quantiles": q_doc_length_quantiles,
         "curate_corpus": q_curate_corpus,
         "decontam_hits": q_decontam_hits,
@@ -2039,6 +2073,45 @@ def oracle_sql() -> dict[str, str]:
               FROM counts)
             SELECT event_type, bucket_us, cnt, trail_sum, n_trail
             FROM win WHERE n_trail > 0 AND cnt * n_trail > 2 * trail_sum
+        """,
+        # funnel: same earliest-completion semantics as sequential CTEs;
+        # strict > between steps; steps_completed INT to match Spark
+        "event_funnel": """
+            WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+                       FROM events),
+            s1 AS (SELECT user_id, min(us) AS t1_us FROM e
+                   WHERE event_type = 'signup' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(us) AS t2_us FROM e
+                   JOIN s1 USING (user_id)
+                   WHERE event_type = 'view' AND us > t1_us GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(us) AS t3_us FROM e
+                   JOIN s2 USING (user_id)
+                   WHERE event_type = 'purchase' AND us > t2_us
+                   GROUP BY 1)
+            SELECT s1.user_id AS user_id,
+                   CAST(1 + (t2_us IS NOT NULL)::INT
+                          + (t3_us IS NOT NULL)::INT AS INTEGER)
+                     AS steps_completed,
+                   t1_us, t2_us, t3_us
+            FROM s1 LEFT JOIN s2 USING (user_id)
+                    LEFT JOIN s3 USING (user_id)
+        """,
+        "cohort_retention": """
+            WITH b AS (
+              SELECT user_id,
+                     epoch_us(ts)
+                       - ((epoch_us(ts) % 86400000000 + 86400000000)
+                          % 86400000000) AS bucket
+              FROM events),
+            first AS (SELECT user_id, min(bucket) AS cohort_us
+                      FROM b GROUP BY 1),
+            active AS (SELECT DISTINCT user_id, bucket FROM b)
+            SELECT cohort_us,
+                   CAST((bucket - cohort_us) / 86400000000 AS INTEGER)
+                     AS day_offset,
+                   count(DISTINCT active.user_id) AS n_users
+            FROM active JOIN first USING (user_id)
+            GROUP BY 1, 2
         """,
         # patterns re-typed as SQL literals (NOT imported from redact.py):
         # RE2 'g' flag for global replace; counts on the pre-replace text
