@@ -637,6 +637,82 @@ def q_cohort_retention(spark, sf_dir):
             .withColumnRenamed("week_offset", "day_offset"))
 
 
+def q_log_templates(spark, sf_dir):
+    """Template mining (operators/templates.py::mine_templates): discover
+    the pattern bank from raw lines via deterministic masking (hex-run ->
+    <HEX>, digit-run -> <N>; plain character-class regexes so Java regex
+    and RE2 agree). Two codegen regexp_replace + ONE hash aggregate whose
+    key cardinality is the number of distinct templates, with min(raw) as
+    the deterministic family example."""
+    _ship(spark)
+    from logunifier_spark.operators.templates import mine_templates
+    t = _transcripts_from_events(spark, sf_dir)
+    return mine_templates(t, text="text")
+
+
+def q_tool_call_stats(spark, sf_dir):
+    """Semi-structured tool-call extraction
+    (operators/conversation.py::tool_call_stats): agent transcripts carry
+    tool invocations as JSON; parse with an explicit schema (Spark
+    Jackson vs DuckDB's JSON lib — independent parsers) and roll up per
+    function. One malformed family per 4 rows proves the poisoned-row
+    path: from_json yields an all-null struct (never throws) and the row
+    lands in '_unparsed', mirrored in SQL via json_valid()."""
+    _ship(spark)
+    from logunifier_spark.operators.conversation import tool_call_stats
+    e = _load(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    m = F.pmod(eid, F.lit(4))
+    j = (F.when(m == 0, F.concat(
+            F.lit('{"fn":"search","args":{"q":"evt '), eid,
+            F.lit('","top_k":'), F.pmod(eid, F.lit(20)),
+            F.lit('},"ms":'), F.pmod(eid, F.lit(500)), F.lit("}")))
+         .when(m == 1, F.concat(
+            F.lit('{"fn":"fetch","args":{"url":"http://ex/'), eid,
+            F.lit('"},"ms":'), F.pmod(eid, F.lit(300)), F.lit("}")))
+         .when(m == 2, F.lit('{"fn":"exec","args":{}}'))
+         .otherwise(F.lit('{"fn":"exec","ms":')))
+    return tool_call_stats(e.select(j.alias("tool_json")))
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Exact per-group quota sampling
+    (operators/sampling.py::stratified_sample): the 20 smallest
+    portable-hash docs per language — deterministic under any
+    partitioning (a rate gate can't hit an exact count). Salted
+    two-level top-k bounds every sort partition at ~group/fan rows
+    (same survival argument as kmv_distinct); the oracle uses one
+    global window — a different evaluation strategy."""
+    _ship(spark)
+    from logunifier_spark.operators.sampling import stratified_sample
+    d = _load(spark, sf_dir, "documents")
+    s = stratified_sample(d, "lang", n=20)
+    return s.select("doc_id", "lang", "source", "n_chars")
+
+
+def q_latest_events(spark, sf_dir):
+    """CDC latest-wins compaction (operators/aggregate.py::latest_state):
+    one row per user with the payload of their maximal (ts, event_id)
+    event plus the history depth. A single map-side-combinable hash
+    aggregate of max_by's — the shuffle carries one partially-reduced
+    row per (user, partition), never the history; the oracle uses the
+    row_number()-over-desc window form (an independent strategy) and
+    must agree."""
+    _ship(spark)
+    from logunifier_spark.operators.aggregate import latest_state
+    e = _load(spark, sf_dir, "events")
+    d = e.select(
+        "user_id", "event_type", "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+         .alias("cents"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
+    out = latest_state(d, "user_id", order_by=["us", "event_id"],
+                       payload=["event_type", "cents", "us"])
+    return out.select("user_id", F.col("event_type").alias("last_type"),
+                      F.col("cents").alias("last_cents"),
+                      F.col("us").alias("last_us"), "n_rows")
+
+
 def q_redact_pii(spark, sf_dir):
     """PII redaction (operators/redact.py): ordered engine-portable regex
     rules (email→phone→ipv4→long-digit-run) as a pure JVM-side
@@ -1261,6 +1337,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_spikes": q_rate_spikes,
         "event_funnel": q_event_funnel,
         "cohort_retention": q_cohort_retention,
+        "log_templates": q_log_templates,
+        "tool_call_stats": q_tool_call_stats,
+        "stratified_sample": q_stratified_sample,
+        "latest_events": q_latest_events,
         "doc_length_quantiles": q_doc_length_quantiles,
         "curate_corpus": q_curate_corpus,
         "decontam_hits": q_decontam_hits,
@@ -2112,6 +2192,81 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT active.user_id) AS n_users
             FROM active JOIN first USING (user_id)
             GROUP BY 1, 2
+        """,
+        # portable-hash mirror of sampling._portable_hash (salt 0);
+        # oracle = one global window vs the operator's salted top-k
+        "stratified_sample": """
+            WITH h AS (
+              SELECT doc_id, lang, source, n_chars,
+                     ((doc_id % 2147483648) * 2654435761) % 2147483648
+                       AS hh
+              FROM documents),
+            r AS (
+              SELECT doc_id, lang, source, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY hh, doc_id) AS rn
+              FROM h)
+            SELECT doc_id, lang, source, n_chars FROM r WHERE rn <= 20
+        """,
+        # window-desc form vs the operator's max_by hash aggregate
+        "latest_events": """
+            WITH r AS (
+              SELECT user_id, event_type,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                     epoch_us(ts) AS us, event_id,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY epoch_us(ts) DESC,
+                                                 event_id DESC) AS rn,
+                     count(*) OVER (PARTITION BY user_id) AS n_rows
+              FROM events)
+            SELECT user_id, event_type AS last_type, cents AS last_cents,
+                   us AS last_us, CAST(n_rows AS BIGINT) AS n_rows
+            FROM r WHERE rn = 1
+        """,
+        # masking rules re-typed as SQL literals (plain character classes
+        # — Java regex and RE2 agree); 'g' = global replace in DuckDB
+        "log_templates": f"""
+            WITH t AS (
+              SELECT regexp_replace(
+                       regexp_replace({_SQL_RAW_TEXT},
+                                      '[0-9a-fA-F]{{8,}}', '<HEX>', 'g'),
+                       '[0-9]+', '<N>', 'g') AS template,
+                     {_SQL_RAW_TEXT} AS raw
+              FROM events)
+            SELECT substring(md5(template), 1, 16) AS template_id,
+                   template, count(*) AS hits, min(raw) AS example
+            FROM t GROUP BY template
+        """,
+        # independent JSON parsers: Spark from_json (Jackson) vs DuckDB
+        # json_extract; sum CAST to BIGINT (HUGEINT-float lesson)
+        "tool_call_stats": """
+            WITH raw AS (
+              SELECT CASE event_id % 4
+                WHEN 0 THEN '{"fn":"search","args":{"q":"evt '
+                            || event_id || '","top_k":' || (event_id % 20)
+                            || '},"ms":' || (event_id % 500) || '}'
+                WHEN 1 THEN '{"fn":"fetch","args":{"url":"http://ex/'
+                            || event_id || '"},"ms":'
+                            || (event_id % 300) || '}'
+                WHEN 2 THEN '{"fn":"exec","args":{}}'
+                ELSE '{"fn":"exec","ms":' END AS j
+              FROM events),
+            p AS (
+              SELECT
+                CASE WHEN json_valid(j)
+                     THEN json_extract_string(j, '$.fn') END AS fn,
+                CASE WHEN json_valid(j)
+                     THEN CAST(json_extract(j, '$.ms') AS BIGINT) END AS ms,
+                CASE WHEN json_valid(j)
+                     THEN CAST(json_extract(j, '$.args.top_k') AS INTEGER)
+                     END AS top_k,
+                CASE WHEN json_valid(j)
+                     THEN json_extract_string(j, '$.args.q') END AS q
+              FROM raw)
+            SELECT coalesce(fn, '_unparsed') AS fn, count(*) AS n_calls,
+                   CAST(sum(ms) AS BIGINT) AS sum_ms,
+                   max(top_k) AS max_top_k, count(q) AS n_with_query
+            FROM p GROUP BY 1
         """,
         # patterns re-typed as SQL literals (NOT imported from redact.py):
         # RE2 'g' flag for global replace; counts on the pre-replace text

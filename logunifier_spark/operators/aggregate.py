@@ -95,3 +95,25 @@ def rollup_report(df: DataFrame, dims: list[str],
     return out.select(
         *[F.coalesce(F.col(d), F.lit(fill)).alias(d) for d in dims],
         *[c for c in out.columns if c not in dims])
+
+
+def latest_state(df: DataFrame, keys: list[str] | str,
+                 order_by: list[str], payload: list[str],
+                 count_col: str = "n_rows") -> DataFrame:
+    """CDC latest-wins compaction (the read side of a MERGE): one row per
+    `keys` group carrying the `payload` columns of the row that is
+    maximal under `order_by` (compared as a struct, field order = list
+    order — include a unique id last for a total order, or ties resolve
+    by the later field being null-last struct comparison), plus the
+    group's row count.
+
+    ONE hash aggregate of max_by's — map-side combinable, so the shuffle
+    carries a single partially-reduced row per (keys, partition), never
+    the history. This is the scale-correct alternative to the
+    row_number()-over-desc window (which sorts every group's full
+    history); a SQL oracle can use the window form and must agree."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    ord_ = F.struct(*[F.col(c) for c in order_by])
+    aggs = [F.max_by(F.col(c), ord_).alias(c) for c in payload]
+    aggs.append(F.count("*").alias(count_col))
+    return df.groupBy(*keys).agg(*aggs)

@@ -49,6 +49,34 @@ def stitch_conversations(df: DataFrame, sep: str = "\n") -> DataFrame:
                     .alias("conversation")))
 
 
+#: explicit tool-call schema: agent transcripts carry tool invocations as
+#: JSON strings; parsing them with a declared schema (not schema
+#: inference) keeps the scan single-pass and the plan stable as payloads
+#: drift. Unknown fields are ignored; missing fields are null.
+TOOL_CALL_SCHEMA = ("struct<fn:string,"
+                    " args:struct<q:string, url:string, top_k:int>,"
+                    " ms:bigint>")
+
+
+def tool_call_stats(df: DataFrame, col: str = "tool_json") -> DataFrame:
+    """Per-function rollup of a JSON tool-call column: (fn, n_calls,
+    sum_ms, max_top_k, n_with_query). Malformed JSON and calls without a
+    `fn` field land in the '_unparsed' bucket — from_json in PERMISSIVE
+    mode yields an all-null struct for garbage (it never throws), so the
+    single coalesce classifies both cases and a poisoned row can never
+    kill the job. One JVM-side Jackson parse (no Python), one hash
+    aggregate with map-side combine keyed by the tool-function
+    vocabulary (tiny)."""
+    c = F.from_json(F.col(col), TOOL_CALL_SCHEMA)
+    d = df.select(c.alias("c"))
+    return (d.groupBy(F.coalesce(F.col("c.fn"), F.lit("_unparsed"))
+                       .alias("fn"))
+             .agg(F.count("*").alias("n_calls"),
+                  F.sum("c.ms").alias("sum_ms"),
+                  F.max("c.args.top_k").alias("max_top_k"),
+                  F.count("c.args.q").alias("n_with_query")))
+
+
 def turn_context(df: DataFrame, k: int = 3, sep: str = "\n") -> DataFrame:
     """Per-turn training context: each turn with its previous `k` turns
     concatenated in order (the SFT example-assembly primitive). A window

@@ -68,6 +68,33 @@ def mixture_sample(df: DataFrame, rates: dict[str, float],
     return df.where(h < F.floor(rate * _MOD))
 
 
+def stratified_sample(df: DataFrame, keys: list[str] | str, n: int,
+                      id_col: str = "doc_id", salt: int = 0,
+                      fan: int = 16) -> DataFrame:
+    """Exact per-group quota sampling: for each group of `keys`, keep
+    the `n` rows with the smallest (portable_hash(id, salt), id) —
+    deterministic across runs, partitionings, and cluster sizes (rate
+    gates can't hit an exact count; this is the balanced-evaluation-set
+    / per-language-quota shape). Groups smaller than n keep every row.
+
+    Scale: the naive window (one sort partition per group) serializes a
+    hot group, so the quota survives the same SALTED two-level top-k as
+    kmv_distinct — level 1 ranks within (keys, hash mod fan), bounding
+    every sort partition at ~group/fan rows, and each of the global n
+    smallest is provably among its own salt bucket's n smallest; level 2
+    ranks the <= fan*n survivors. Raise `fan` for billion-row groups."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    off = (salt * 0x9E3779B1) % _MOD
+    keyed = df.withColumn("_h", _portable_hash(F.col(id_col), off))
+    w1 = (Window.partitionBy(*keys, F.pmod(F.col("_h"), F.lit(fan)))
+                .orderBy("_h", id_col))
+    lvl1 = (keyed.withColumn("_rn", F.row_number().over(w1))
+                 .where(F.col("_rn") <= n).drop("_rn"))
+    w2 = Window.partitionBy(*keys).orderBy("_h", id_col)
+    return (lvl1.withColumn("_rn", F.row_number().over(w2))
+                .where(F.col("_rn") <= n).drop("_rn", "_h"))
+
+
 def epoch_shuffle(df: DataFrame, id_col: str = "doc_id", epoch: int = 0,
                   n_shards: int | None = None) -> DataFrame:
     """Deterministic global training-order permutation: every row gets a

@@ -694,3 +694,64 @@ def test_write_sinks_empty_frame_returns_empty_map(spark, tmp_path):
     assert sorted(write_sinks(df, base, mode="append")) == ["loki"]
     out = write_sinks(df.where(F.lit(False)), base, mode="append")
     assert out == {}          # not {'loki': ...} from the earlier append
+
+
+def test_tool_call_stats_parses_and_buckets_garbage(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+    from logunifier_spark.operators.conversation import tool_call_stats
+    rows = [('{"fn":"a","args":{"q":"x","top_k":5},"ms":10}',),
+            ('{"fn":"a","ms":7}',),
+            ('{"fn":"b","args":{"url":"u"}}',),
+            ("not json",),
+            ('{"args":{"q":"y"}}',),   # valid JSON, fn missing
+            (None,)]
+    df = spark.createDataFrame(rows, "tool_json string")
+    out = {r["fn"]: r for r in tool_call_stats(df).collect()}
+    assert set(out) == {"a", "b", "_unparsed"}
+    a = out["a"]
+    assert (a["n_calls"], a["sum_ms"], a["max_top_k"], a["n_with_query"]) \
+        == (2, 17, 5, 1)
+    b = out["b"]
+    assert (b["n_calls"], b["sum_ms"], b["max_top_k"]) == (1, None, None)
+    u = out["_unparsed"]
+    # garbage + fn-less + null all land here; the fn-less row still
+    # contributes its parsed args.q (classification is by fn only)
+    assert (u["n_calls"], u["n_with_query"]) == (3, 1)
+
+
+def test_stratified_sample_exact_quota_and_invariance(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+    from logunifier_spark.operators.sampling import stratified_sample
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("g"), F.pmod("id", F.lit(3))).alias("grp"))
+    # group g2 is tiny: only ids < 9 survive this filter for grp g2
+    df = df.where((F.pmod("doc_id", F.lit(3)) != 2) | (F.col("doc_id") < 9))
+    out = stratified_sample(df, "grp", n=50, id_col="doc_id")
+    sizes = {r["grp"]: r["n"] for r in
+             out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {"g0": 50, "g1": 50, "g2": 3}   # small group keeps all
+    # partitioning/fan invariance: same keep-set regardless of layout
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in
+         stratified_sample(df.repartition(7), "grp", n=50,
+                           id_col="doc_id", fan=3).collect()}
+    assert a == b
+    # salt re-windows the quota
+    c = {r["doc_id"] for r in
+         stratified_sample(df, "grp", n=50, id_col="doc_id",
+                           salt=1).collect()}
+    assert a != c and len(c) == 103
+
+
+def test_latest_state_total_order_and_counts(spark):
+    from logunifier_spark.operators.aggregate import latest_state
+    rows = [(1, 10, 100, "a"), (1, 20, 101, "b"),
+            (1, 20, 99, "c"),          # ts tie -> higher id (101) wins
+            (2, 5, 7, "d")]
+    df = spark.createDataFrame(rows, "k long, ts long, id long, v string")
+    out = {r["k"]: r for r in
+           latest_state(df, "k", order_by=["ts", "id"],
+                        payload=["v", "id"]).collect()}
+    assert (out[1]["v"], out[1]["id"], out[1]["n_rows"]) == ("b", 101, 3)
+    assert (out[2]["v"], out[2]["n_rows"]) == ("d", 1)
