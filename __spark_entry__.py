@@ -713,6 +713,43 @@ def q_latest_events(spark, sf_dir):
                       F.col("us").alias("last_us"), "n_rows")
 
 
+def q_normalize_text(spark, sf_dir):
+    """Unicode NFC normalization (operators/normalize.py): deterministic
+    decomposed/precomposed suffixes appended per doc prove real
+    composition (e+U+0301 -> é, A+U+030A -> Å; the precomposed family is
+    the no-op control). Two genuinely independent NFC engines must
+    agree byte-for-byte: CPython unicodedata (Spark pandas UDF) vs
+    DuckDB's utf8proc nfc_normalize — the md5 column is the proof."""
+    _ship(spark)
+    from logunifier_spark.operators.normalize import normalize_text
+    d = _load(spark, sf_dir, "documents")
+    m = F.pmod(F.col("doc_id"), F.lit(3))
+    suffix = (F.when(m == 0, F.decode(F.unhex(F.lit("65CC81")), "UTF-8"))
+               .when(m == 1, F.decode(F.unhex(F.lit("C3A9")), "UTF-8"))
+               .otherwise(F.decode(F.unhex(F.lit("41CC8A")), "UTF-8")))
+    base = d.select("doc_id",
+                    F.concat(F.col("text"), F.lit(" "), suffix)
+                     .alias("raw"))
+    out = normalize_text(base, "raw", "norm")
+    return out.select("doc_id", F.length("raw").alias("len_raw"),
+                      F.length("norm").alias("len_norm"),
+                      F.md5(F.col("norm")).alias("h"))
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Hashed-feature linear classifier inference
+    (operators/classifier.py::hashed_linear_score): fastText-style
+    quality gate as explode + codegen bucket/weight projection + ONE
+    map-side-combinable margin aggregate. Int64 milli-unit weights make
+    the dot product associative (a float sum isn't even run-stable);
+    the oracle re-runs the classifier from the same portable 48-bit
+    md5 bucket hash."""
+    _ship(spark)
+    from logunifier_spark.operators.classifier import hashed_linear_score
+    d = _load(spark, sf_dir, "documents")
+    return hashed_linear_score(d, n_buckets=1024, bias_milli=100)
+
+
 def q_redact_pii(spark, sf_dir):
     """PII redaction (operators/redact.py): ordered engine-portable regex
     rules (email→phone→ipv4→long-digit-run) as a pure JVM-side
@@ -1341,6 +1378,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_call_stats": q_tool_call_stats,
         "stratified_sample": q_stratified_sample,
         "latest_events": q_latest_events,
+        "normalize_text": q_normalize_text,
+        "quality_classifier": q_quality_classifier,
         "doc_length_quantiles": q_doc_length_quantiles,
         "curate_corpus": q_curate_corpus,
         "decontam_hits": q_decontam_hits,
@@ -2192,6 +2231,46 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT active.user_id) AS n_users
             FROM active JOIN first USING (user_id)
             GROUP BY 1, 2
+        """,
+        # two independent NFC implementations: CPython unicodedata
+        # (operator) vs DuckDB utf8proc nfc_normalize (oracle)
+        "normalize_text": """
+            WITH raw AS (
+              SELECT doc_id,
+                     text || ' ' || CASE doc_id % 3
+                       WHEN 0 THEN decode(unhex('65CC81'))
+                       WHEN 1 THEN decode(unhex('C3A9'))
+                       ELSE decode(unhex('41CC8A')) END AS raw
+              FROM documents),
+            n AS (
+              SELECT doc_id, raw,
+                     trim(regexp_replace(nfc_normalize(raw),
+                                         '[ \t\r\n\f\x0B]+', ' ', 'g'))
+                       AS norm
+              FROM raw)
+            SELECT doc_id, length(raw) AS len_raw,
+                   length(norm) AS len_norm, md5(norm) AS h
+            FROM n
+        """,
+        # the classifier re-run independently in SQL from the same
+        # portable 48-bit md5 bucket hash; empty tokens dropped on both
+        # sides (split keeps leading/trailing empties in both engines)
+        "quality_classifier": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(text),
+                                               '[ \t\r\n\f\x0B]+')) AS tok
+              FROM documents),
+            w AS (
+              SELECT doc_id,
+                     ((((CAST(concat('0x', substring(md5(tok), 1, 12))
+                              AS BIGINT) % 1024)
+                        * 2654435761) % 2147483648) % 2001) - 1000 AS w
+              FROM toks WHERE tok <> '')
+            SELECT doc_id, count(*) AS n_tokens,
+                   CAST(sum(w) + 100 AS BIGINT) AS margin_milli,
+                   (sum(w) + 100) > 0 AS keep
+            FROM w GROUP BY 1
         """,
         # portable-hash mirror of sampling._portable_hash (salt 0);
         # oracle = one global window vs the operator's salted top-k

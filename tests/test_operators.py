@@ -755,3 +755,46 @@ def test_latest_state_total_order_and_counts(spark):
                         payload=["v", "id"]).collect()}
     assert (out[1]["v"], out[1]["id"], out[1]["n_rows"]) == ("b", 101, 3)
     assert (out[2]["v"], out[2]["n_rows"]) == ("d", 1)
+
+
+def test_normalize_text_nfc_and_ws(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+    from logunifier_spark.operators.normalize import normalize_text
+    rows = [("cafe\u0301  x",),  # decomposed e+U+0301 + double space
+            ("caf\u00e9 x",),      # precomposed \u00e9 — same after NFC
+            ("a\u00a0b",),         # NBSP is NOT ASCII ws — kept
+            (None,)]
+    df = spark.createDataFrame(rows, "text string")
+    out = [r["text_norm"] for r in
+           normalize_text(df).select("text_norm").collect()]
+    assert out[0] == out[1] == "caf\u00e9 x"
+    assert out[2] == "a\u00a0b"
+    assert out[3] is None
+    # collapse_ws=False keeps spacing but still composes
+    raw = [r["n"] for r in
+           normalize_text(df, out_col="n", collapse_ws=False).collect()]
+    assert raw[0] == "caf\u00e9  x"
+
+
+def test_hashed_linear_score_matches_python(spark):
+    import hashlib
+    from logunifier_spark.operators.classifier import hashed_linear_score
+    rows = [(1, "the quick brown fox"), (2, "  "), (3, "one"),
+            (4, "the the the")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           hashed_linear_score(df, n_buckets=64, bias_milli=5).collect()}
+
+    def w(tok):
+        b = int(hashlib.md5(tok.encode()).hexdigest()[:12], 16) % 64
+        return ((b * 2654435761) % 2**31) % 2001 - 1000
+
+    for doc_id, text in rows:
+        toks = [t for t in text.lower().split() if t]
+        if not toks:
+            assert doc_id not in out      # no tokens -> no row
+            continue
+        m = 5 + sum(w(t) for t in toks)
+        r = out[doc_id]
+        assert (r["n_tokens"], r["margin_milli"], r["keep"]) == \
+            (len(toks), m, m > 0)
