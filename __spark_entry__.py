@@ -713,6 +713,44 @@ def q_latest_events(spark, sf_dir):
                       F.col("us").alias("last_us"), "n_rows")
 
 
+def q_skew_report(spark, sf_dir):
+    """Shuffle-key skew diagnostics (operators/join.py::skew_report) —
+    the measurement that decides between plain hash join, broadcast, and
+    salted_join (north-rule skew lever). Key synthesized half-hot on
+    purpose; shares in exact integer ppm (rows*1e6 DIV total — float
+    shares drift between engines). One count aggregate to the distinct
+    key frame + the salted two-level top-k."""
+    _ship(spark)
+    from logunifier_spark.operators.join import skew_report
+    e = _load(spark, sf_dir, "events")
+    key = (F.when(F.pmod(F.col("event_id"), F.lit(2)) == 0, F.lit("hot"))
+            .otherwise(F.concat(F.lit("k"),
+                                F.pmod(F.col("event_id"), F.lit(1000)))))
+    return skew_report(e.select(key.alias("key")), "key", top=10)
+
+
+def q_corpus_diff(spark, sf_dir):
+    """Corpus snapshot diff (operators/diff.py::corpus_diff): dataset
+    versioning as ONE full-outer id join over (id, content-hash)
+    projections — added / removed / changed classification with
+    engine-portable md5-over-unit-separator hashes. The 'new' snapshot
+    is a deterministic mutation of documents (drop %97, edit %11,
+    append %13 under shifted ids)."""
+    _ship(spark)
+    from logunifier_spark.operators.diff import corpus_diff
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    mutated = d.where(F.pmod(did, F.lit(97)) != 0).withColumn(
+        "text",
+        F.when(F.pmod(did, F.lit(11)) == 0,
+               F.concat(F.col("text"), F.lit(" v2")))
+         .otherwise(F.col("text")))
+    added = (d.where(F.pmod(did, F.lit(13)) == 0)
+              .select((did + F.lit(1_000_000)).alias("doc_id"), "text"))
+    new = mutated.unionByName(added)
+    return corpus_diff(d, new, content_cols=["text"])
+
+
 def q_normalize_text(spark, sf_dir):
     """Unicode NFC normalization (operators/normalize.py): deterministic
     decomposed/precomposed suffixes appended per doc prove real
@@ -1380,6 +1418,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_events": q_latest_events,
         "normalize_text": q_normalize_text,
         "quality_classifier": q_quality_classifier,
+        "skew_report": q_skew_report,
+        "corpus_diff": q_corpus_diff,
         "doc_length_quantiles": q_doc_length_quantiles,
         "curate_corpus": q_curate_corpus,
         "decontam_hits": q_decontam_hits,
@@ -2231,6 +2271,53 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT active.user_id) AS n_users
             FROM active JOIN first USING (user_id)
             GROUP BY 1, 2
+        """,
+        # "rows" quoted (DuckDB reserved word); // = integer division
+        "skew_report": """
+            WITH k AS (
+              SELECT CASE WHEN event_id % 2 = 0 THEN 'hot'
+                     ELSE 'k' || (event_id % 1000) END AS key
+              FROM events),
+            c AS (SELECT key, count(*) AS "rows" FROM k GROUP BY 1),
+            t AS (SELECT sum("rows") AS total FROM c),
+            r AS (SELECT key, "rows",
+                         row_number() OVER (ORDER BY "rows" DESC,
+                                            key ASC) AS rank
+                  FROM c)
+            SELECT key, CAST("rows" AS BIGINT) AS "rows",
+                   CAST(("rows" * 1000000) // total AS BIGINT)
+                     AS share_ppm,
+                   CAST(rank AS INTEGER) AS rank
+            FROM r, t WHERE rank <= 10
+        """,
+        "corpus_diff": """
+            WITH old AS (SELECT doc_id, text FROM documents),
+            new AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 97 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents
+              WHERE doc_id % 13 = 0),
+            o AS (SELECT doc_id,
+                         md5(concat_ws(chr(31), CAST(text AS VARCHAR)))
+                           AS old_hash FROM old),
+            n AS (SELECT doc_id,
+                         md5(concat_ws(chr(31), CAST(text AS VARCHAR)))
+                           AS new_hash FROM new),
+            j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                         old_hash, new_hash
+                  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+            SELECT doc_id,
+                   CASE WHEN old_hash IS NULL THEN 'added'
+                        WHEN new_hash IS NULL THEN 'removed'
+                        WHEN old_hash <> new_hash THEN 'changed'
+                        ELSE 'unchanged' END AS status,
+                   old_hash, new_hash
+            FROM j
+            WHERE old_hash IS NULL OR new_hash IS NULL
+               OR old_hash <> new_hash
         """,
         # two independent NFC implementations: CPython unicodedata
         # (operator) vs DuckDB utf8proc nfc_normalize (oracle)

@@ -99,7 +99,10 @@ def operator_benches(spark, sf_dir: str) -> dict[str, float]:
                  "token_counts",
                  # session-2 round-3 additions (baselines in BASELINE.md)
                  "interval_events", "bm25_search", "repeated_ngrams",
-                 "embedding_neardup", "user_pagerank"]:
+                 "embedding_neardup", "user_pagerank",
+                 # session-3 round-3 additions
+                 "log_templates", "event_funnel", "latest_events",
+                 "quality_classifier", "normalize_text"]:
         fn = entry.queries()[name]
         # min of 3 (shared noisy box — same rationale as the headline)
         out[name] = min(_timed(lambda f=fn: f(spark, sf_dir).collect())

@@ -21,7 +21,7 @@ shuffle retries non-idempotent."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_JOIN_SALTS = 16
@@ -75,3 +75,42 @@ def salted_join(big: DataFrame, dim: DataFrame, on: list[str] | str,
         F.explode(F.sequence(F.lit(0).cast("long"),
                              F.lit(salts - 1).cast("long"))))
     return b.join(d, keys + ["_join_salt"], how).drop("_join_salt")
+
+
+def skew_report(df: DataFrame, keys: list[str] | str, top: int = 10,
+                fan: int = 16) -> DataFrame:
+    """Join/shuffle-key skew diagnostics: the `top` hottest key values
+    with (keys..., rows BIGINT, share_ppm BIGINT, rank INT) — share_ppm
+    is the key's parts-per-million of total rows in exact integer math
+    (rows * 1_000_000 DIV total; a float share would drift between
+    engines). Run this BEFORE a big equi-join: a top-1 share in the
+    multi-percent range at 10^9+ rows means key-hash partitioning will
+    pin single tasks and `salted_join` (or a broadcast, if the dim fits)
+    is the right plan; flat shares mean plain hash/AQE is fine.
+
+    Scale: one map-side-combinable count aggregate reduces the input to
+    the distinct-key frame; the top-k survives the salted two-level
+    ranking (stats.kmv_distinct's survival argument — level 1 ranks
+    within (hash-of-key mod fan) so no sort partition holds more than
+    ~distinct/fan key rows), and the scalar total rides as a driver
+    literal from the same pass (one extra metadata-cheap agg job, no
+    second scan of the raw table)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    counts = df.groupBy(*keys).agg(F.count("*").alias("rows"))
+    counts = counts.localCheckpoint(eager=False)
+    total = counts.agg(F.sum("rows")).collect()[0][0] or 0
+    salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(fan))
+    w1 = (Window.partitionBy(salt).orderBy(F.desc("rows"),
+                                           *[F.asc(k) for k in keys]))
+    lvl1 = (counts.withColumn("_rn", F.row_number().over(w1))
+                  .where(F.col("_rn") <= top).drop("_rn"))
+    w2 = Window.orderBy(F.desc("rows"), *[F.asc(k) for k in keys])
+    return (lvl1.withColumn("rank", F.row_number().over(w2))
+                .where(F.col("rank") <= top)
+                .select(*keys, "rows",
+                        # integer DIV: '/' is double division and
+                        # double->bigint CAST rounds in DuckDB but
+                        # truncates in Spark (CLAUDE.md)
+                        F.expr(f"CAST((rows * 1000000) DIV {int(total)} "
+                               "AS BIGINT)").alias("share_ppm"),
+                        "rank"))

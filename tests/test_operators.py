@@ -798,3 +798,40 @@ def test_hashed_linear_score_matches_python(spark):
         r = out[doc_id]
         assert (r["n_tokens"], r["margin_milli"], r["keep"]) == \
             (len(toks), m, m > 0)
+
+
+def test_skew_report_shares_and_ranks(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+    from logunifier_spark.operators.join import skew_report
+    # 60 'hot', 30 'warm', 10 distinct singletons -> total 100
+    df = spark.range(100).select(
+        F.when(F.col("id") < 60, F.lit("hot"))
+         .when(F.col("id") < 90, F.lit("warm"))
+         .otherwise(F.concat(F.lit("c"), F.col("id"))).alias("k"))
+    out = skew_report(df, "k", top=3, fan=4).collect()
+    by_rank = {r["rank"]: r for r in out}
+    assert len(out) == 3
+    assert (by_rank[1]["k"], by_rank[1]["rows"], by_rank[1]["share_ppm"]) \
+        == ("hot", 60, 600000)
+    assert (by_rank[2]["k"], by_rank[2]["rows"]) == ("warm", 30)
+    assert by_rank[3]["rows"] == 1 and by_rank[3]["k"] == "c90"  # tie->asc
+    # invariant under partitioning/fan
+    out2 = skew_report(df.repartition(5), "k", top=3, fan=2).collect()
+    assert sorted(map(tuple, out2)) == sorted(map(tuple, out))
+
+
+def test_corpus_diff_statuses(spark):
+    from logunifier_spark.operators.diff import corpus_diff, diff_summary
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "doc_id long, text string")
+    d = {r["doc_id"]: r["status"]
+         for r in corpus_diff(old, new, content_cols=["text"]).collect()}
+    assert d == {2: "changed", 3: "removed", 4: "added"}
+    s = {r["status"]: r["n"] for r in
+         diff_summary(old, new, content_cols=["text"]).collect()}
+    assert s == {"unchanged": 1, "changed": 1, "removed": 1, "added": 1}
+    # default content_cols = shared non-id columns
+    d2 = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert d2 == d
