@@ -119,6 +119,12 @@ _SQL_RAW_TEXT = f"""
     ELSE 'Invalid message' END
 """
 
+# Morton interleave of (u, d) at 8 bits — mirrors storage.zorder_key
+# term-for-term: bit i of column j lands at position i*2+j
+_SQL_ZORDER = " | ".join(
+    f"(((u >> {i}) & 1) << {2 * i}) | (((d >> {i}) & 1) << {2 * i + 1})"
+    for i in range(8))
+
 _SQL_EXPECTED_MESSAGE = f"""
   CASE {_SQL_M}
     WHEN 0 THEN 'evt ' || event_id
@@ -749,6 +755,63 @@ def q_corpus_diff(spark, sf_dir):
               .select((did + F.lit(1_000_000)).alias("doc_id"), "text"))
     new = mutated.unionByName(added)
     return corpus_diff(d, new, content_cols=["text"])
+
+
+def q_fuzzy_match(spark, sf_dir):
+    """Blocked fuzzy matching (operators/linkage.py::blocked_fuzzy_pairs):
+    record linkage between a dirty and a clean service-name set via
+    first-letter + length-band blocking (exact recall within a first
+    letter, see module docstring) and a levenshtein verify. Cross-engine
+    check is real: Spark's JVM edit distance vs DuckDB's C++ one, and
+    the oracle uses a BRUTE-FORCE cross join (no blocking) — the blocked
+    result must equal it exactly on this corpus (all names share a first
+    letter)."""
+    _ship(spark)
+    from logunifier_spark.operators.linkage import blocked_fuzzy_pairs
+    e = _load(spark, sf_dir, "events")
+    base = F.concat(F.lit("svc"), F.pmod(F.col("user_id"), F.lit(20)))
+    dirty = F.concat(base, F.when(F.pmod(F.col("event_id"), F.lit(3)) == 0,
+                                  F.lit("x")).otherwise(F.lit("")))
+    left = e.select(dirty.alias("name")).distinct()
+    right = e.select(base.alias("name")).distinct()
+    out = blocked_fuzzy_pairs(left, right, "name", max_dist=1)
+    return out.select(F.col("name").alias("l_name"),
+                      F.col("name_r").alias("r_name"), "dist")
+
+
+def q_watermark_lag(spark, sf_dir):
+    """Event-time disorder measurement
+    (operators/timeseries.py::watermark_lag_stats) — how late events
+    arrive relative to the running event-time max in arrival order
+    (arrival proxy: event_id). This is the statistic that SIZES the
+    streaming watermark delay in stream_unify; one window + one reusing
+    hash aggregate, int64 micros throughout."""
+    _ship(spark)
+    from logunifier_spark.operators.timeseries import watermark_lag_stats
+    e = _load(spark, sf_dir, "events")
+    return watermark_lag_stats(e, "event_type", arrival="event_id")
+
+
+def q_zorder_layout(spark, sf_dir):
+    """Z-order layout key (storage.py::zorder_key): Morton interleave of
+    (user mod 256, epoch-day mod 256), bucketed by the key's high bits —
+    the per-bucket min/max spans of BOTH dimensions are what parquet
+    min/max pruning would see after a zorder-sorted write. Pure int64
+    shift/or projection (bits*cols = 16 terms, far under the JIT method
+    budget) + one hash aggregate; the oracle rebuilds the interleave
+    from the same per-term SQL."""
+    _ship(spark)
+    from logunifier_spark.storage import zorder_key
+    e = _load(spark, sf_dir, "events")
+    u = F.pmod(F.col("user_id"), F.lit(256))
+    d = F.pmod(F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000"),
+               F.lit(256))
+    z = zorder_key([u, d], bits=8)
+    b = e.select(u.alias("u"), d.alias("d"), z.alias("z"))
+    return (b.groupBy(F.shiftright("z", 6).alias("bucket"))
+             .agg(F.count("*").alias("n"),
+                  F.min("u").alias("min_u"), F.max("u").alias("max_u"),
+                  F.min("d").alias("min_d"), F.max("d").alias("max_d")))
 
 
 def q_normalize_text(spark, sf_dir):
@@ -1420,6 +1483,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "skew_report": q_skew_report,
         "corpus_diff": q_corpus_diff,
+        "fuzzy_match": q_fuzzy_match,
+        "watermark_lag": q_watermark_lag,
+        "zorder_layout": q_zorder_layout,
         "doc_length_quantiles": q_doc_length_quantiles,
         "curate_corpus": q_curate_corpus,
         "decontam_hits": q_decontam_hits,
@@ -2271,6 +2337,48 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT active.user_id) AS n_users
             FROM active JOIN first USING (user_id)
             GROUP BY 1, 2
+        """,
+        # oracle is BRUTE-FORCE all-pairs (no blocking): independent
+        # strategy AND an independent edit-distance implementation
+        "fuzzy_match": """
+            WITH l AS (
+              SELECT DISTINCT 'svc' || (user_id % 20)
+                || CASE WHEN event_id % 3 = 0 THEN 'x' ELSE '' END AS name
+              FROM events),
+            r AS (SELECT DISTINCT 'svc' || (user_id % 20) AS name
+                  FROM events)
+            SELECT l.name AS l_name, r.name AS r_name,
+                   CAST(levenshtein(l.name, r.name) AS INTEGER) AS dist
+            FROM l, r WHERE levenshtein(l.name, r.name) <= 1
+        """,
+        "watermark_lag": """
+            WITH w AS (
+              SELECT event_type, epoch_us(ts) AS us,
+                     max(epoch_us(ts)) OVER
+                       (PARTITION BY event_type ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS prevmax
+              FROM events)
+            SELECT event_type, count(*) AS n,
+                   count(CASE WHEN prevmax > us THEN 1 END) AS n_late,
+                   CAST(coalesce(max(CASE WHEN prevmax > us
+                                     THEN prevmax - us END), 0) AS BIGINT)
+                     AS max_lag_us,
+                   CAST(coalesce(sum(CASE WHEN prevmax > us
+                                     THEN prevmax - us END), 0) AS BIGINT)
+                     AS sum_lag_us
+            FROM w GROUP BY 1
+        """,
+        "zorder_layout": f"""
+            WITH b AS (
+              SELECT (user_id % 256) AS u,
+                     ((epoch_us(ts) // 86400000000) % 256) AS d
+              FROM events),
+            z AS (SELECT u, d, ({_SQL_ZORDER}) AS zv FROM b)
+            SELECT (zv >> 6) AS bucket, count(*) AS n,
+                   min(u) AS min_u, max(u) AS max_u,
+                   min(d) AS min_d, max(d) AS max_d
+            FROM z GROUP BY 1
         """,
         # "rows" quoted (DuckDB reserved word); // = integer division
         "skew_report": """

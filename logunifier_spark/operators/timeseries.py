@@ -68,3 +68,34 @@ def rate_spikes(df: DataFrame, keys: list[str] | str, ts: str = "ts",
         (F.col("n_trail") > 0)
         & (F.col("cnt") * F.col("n_trail")
            > F.lit(int(mult)) * F.col("trail_sum")))
+
+
+def watermark_lag_stats(df: DataFrame, keys: list[str] | str,
+                        arrival: str, ts: str = "ts") -> DataFrame:
+    """Event-time disorder measurement — the data-driven way to pick a
+    streaming watermark delay (streaming/stream.py::stream_unify takes
+    one; too small drops late rows to the dead-letter count, too large
+    bloats state). Per key, replay rows in ARRIVAL order (`arrival`: an
+    ingest sequence / kafka offset / event_id) and measure each row's
+    lateness = running-max(event time among earlier arrivals) - its own
+    event time, when positive. Returns (keys..., n, n_late, max_lag_us,
+    sum_lag_us): set the watermark to cover the observed max_lag tail.
+
+    Shape: ONE window (partition by key, order by arrival, running max
+    over the strictly-earlier frame) + one hash aggregate on the same
+    key — the aggregate reuses the window's partitioning, so the job
+    shuffles the table once. All lag math in int64 epoch micros."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    us = _ts_micros(df, ts)
+    w = (Window.partitionBy(*keys).orderBy(arrival)
+               .rowsBetween(Window.unboundedPreceding, -1))
+    d = (df.select(*keys, F.col(arrival), us.alias("_us"))
+           .withColumn("_prevmax", F.max("_us").over(w)))
+    lag = F.when(F.col("_prevmax") > F.col("_us"),
+                 F.col("_prevmax") - F.col("_us"))
+    d = d.withColumn("_lag", lag)
+    return (d.groupBy(*keys)
+             .agg(F.count("*").alias("n"),
+                  F.count("_lag").alias("n_late"),
+                  F.coalesce(F.max("_lag"), F.lit(0)).alias("max_lag_us"),
+                  F.coalesce(F.sum("_lag"), F.lit(0)).alias("sum_lag_us")))

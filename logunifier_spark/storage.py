@@ -23,7 +23,8 @@ side (Spark only avoids the exchange when one count divides the other).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(df: DataFrame, table: str, key: str | list[str],
@@ -60,3 +61,35 @@ def bucket_info(spark: SparkSession, table: str) -> dict:
     cols = [c.strip("[] `") for c in
             info.get("Bucket Columns", "").split(",") if c.strip("[] `")]
     return {"buckets": n, "columns": cols}
+
+
+def zorder_key(cols: list[Column], bits: int = 8) -> Column:
+    """Morton (Z-order) interleave of `cols` — a layout key for
+    multi-dimensional data skipping. Sorting/range-partitioning a table
+    by this key before writing clusters rows that are close in EVERY
+    dimension into the same files, so parquet min/max stats prune scans
+    for predicates on ANY prefix-free subset of the dimensions — the
+    one-key-per-file-sort answer to "we filter by (tenant, day) AND by
+    (day) AND by (tenant)".
+
+    Inputs must already be non-negative ints < 2^bits (quantize/clamp
+    upstream — e.g. `F.pmod(x, 256)` or a histogram-style bucket; the
+    caller owns the mapping because it IS the layout contract). Bit i of
+    column j lands at position i*len(cols)+j. The expression unrolls to
+    bits*len(cols) shift-and-or terms of plain int64 ops — keep
+    bits*len(cols) <= ~48 so the fused stage stays under the JIT method
+    budget (CLAUDE.md: a ~400-node scalar expression deoptimized a whole
+    stage) and the result fits int64. SQL mirror per term:
+    (((x >> i) & 1) << k)."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder needs >= 2 columns")
+    if bits * n > 60:
+        raise ValueError(f"bits*cols = {bits * n} exceeds the int64/JIT "
+                         "budget (keep <= 60)")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, x in enumerate(cols):
+            bit = F.shiftright(x.cast("long"), i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return z

@@ -835,3 +835,67 @@ def test_corpus_diff_statuses(spark):
     # default content_cols = shared non-id columns
     d2 = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
     assert d2 == d
+
+
+def test_blocked_fuzzy_pairs_recall_and_uniqueness(spark):
+    from logunifier_spark.operators.linkage import blocked_fuzzy_pairs
+    left = spark.createDataFrame(
+        [("abcd",), ("abcde",), ("axcd",), ("xbcd",), ("",), (None,)],
+        "name string")
+    right = spark.createDataFrame(
+        [("abc",), ("abcd",), ("abcdef",)], "name string")
+    out = [(r["name"], r["name_r"], r["dist"])
+           for r in blocked_fuzzy_pairs(left, right, "name",
+                                        max_dist=1).collect()]
+    # band width 3: 'abc' (band 1) vs 'abcd' (band 1); 'abcde' (band 1)
+    # vs 'abcdef' (band 2) crosses a band boundary -> the +1 probe
+    expect = {("abcd", "abc", 1), ("abcd", "abcd", 0),
+              ("abcde", "abcd", 1), ("abcde", "abcdef", 1),
+              ("axcd", "abcd", 1)}
+    assert set(out) == expect
+    assert len(out) == len(set(out))        # each pair exactly once
+    # 'xbcd' vs 'abcd' is dist 1 but differs at position 0 — the
+    # documented first-letter blocking loss
+    assert ("xbcd", "abcd", 1) not in set(out)
+
+
+def test_watermark_lag_stats_manual(spark):
+    from logunifier_spark.operators.timeseries import watermark_lag_stats
+    rows = [("k", 1, 100), ("k", 2, 90),   # 10 late
+            ("k", 3, 120), ("k", 4, 120),  # tie -> not late
+            ("k", 5, 80),                  # 40 late
+            ("q", 1, 50), ("q", 2, 60)]    # in order
+    df = spark.createDataFrame(rows, "key string, arr long, ts long")
+    out = {r["key"]: r for r in
+           watermark_lag_stats(df, "key", arrival="arr", ts="ts").collect()}
+    k = out["k"]
+    assert (k["n"], k["n_late"], k["max_lag_us"], k["sum_lag_us"]) == \
+        (5, 2, 40, 50)
+    q = out["q"]
+    assert (q["n"], q["n_late"], q["max_lag_us"], q["sum_lag_us"]) == \
+        (2, 0, 0, 0)
+
+
+def test_zorder_key_interleave(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+    from logunifier_spark.storage import zorder_key
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (255, 255)], "x long, y long")
+    z = zorder_key([F.col("x"), F.col("y")], bits=8)
+    got = [r["z"] for r in df.select(z.alias("z")).collect()]
+
+    def morton(x, y):
+        v = 0
+        for i in range(8):
+            v |= ((x >> i) & 1) << (2 * i)
+            v |= ((y >> i) & 1) << (2 * i + 1)
+        return v
+
+    assert got == [morton(*r) for r in
+                   [(0, 0), (1, 0), (0, 1), (3, 5), (255, 255)]]
+    assert got[-1] == 65535
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        zorder_key([F.col("x")], bits=8)
+    with _pt.raises(ValueError):
+        zorder_key([F.col("x"), F.col("y")], bits=31)
