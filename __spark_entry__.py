@@ -814,6 +814,53 @@ def q_zorder_layout(spark, sf_dir):
                   F.min("d").alias("min_d"), F.max("d").alias("max_d")))
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Per-language heavy-hitter terms
+    (operators/stats.py::grouped_top_k over the token-count frame): the
+    vocabulary-pruning / stopword-discovery rollup. One token-stream
+    shuffle with map-side combine down to (lang, term) counts, then the
+    skew-safe salted two-level top-k (no single sort partition holds a
+    language's whole vocabulary); oracle = one global window."""
+    _ship(spark)
+    from logunifier_spark.operators.stats import grouped_top_k
+    from logunifier_spark.operators.textstats import ASCII_WS
+    from logunifier_spark.operators.tfidf import TERM_RE
+    d = _load(spark, sf_dir, "documents")
+    toks = (d.select("lang",
+                     F.explode(F.split(F.lower(F.col("text")),
+                                       ASCII_WS + "+")).alias("term"))
+             .where(F.col("term").rlike(TERM_RE)))
+    counts = toks.groupBy("lang", "term").agg(F.count("*").alias("n"))
+    return grouped_top_k(counts, "lang", "n", k=8, tiebreak=["term"])
+
+
+def q_blocklist_hits(spark, sf_dir):
+    """Domain blocklist matching (operators/blocklist.py): URL host ->
+    domain-suffix chain (row-local HOF, bounded fan-out) -> broadcast
+    join against the blocklist; matched_domain = the most specific
+    (longest) entry via max_by. URLs synthesized invertibly from
+    doc_id; blocklist entries are the same three literals on both
+    sides."""
+    _ship(spark)
+    from logunifier_spark.operators.blocklist import blocklist_hits
+    d = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    m = F.pmod(did, F.lit(4))
+    url = (F.when(m == 0, F.concat(F.lit("https://www.bad"),
+                                   F.pmod(did, F.lit(7)),
+                                   F.lit(".com/a")))
+            .when(m == 1, F.concat(F.lit("https://ok"),
+                                   F.pmod(did, F.lit(5)),
+                                   F.lit(".org/b")))
+            .when(m == 2, F.concat(F.lit("https://x.sub.tracker.net/c?q="),
+                                   did))
+            .otherwise(F.concat(F.lit("ftp://good.com/"), did)))
+    docs = d.select("doc_id", url.alias("url"))
+    bl = spark.createDataFrame(
+        [("bad0.com",), ("bad3.com",), ("tracker.net",)], "domain string")
+    return blocklist_hits(docs, bl)
+
+
 def q_normalize_text(spark, sf_dir):
     """Unicode NFC normalization (operators/normalize.py): deterministic
     decomposed/precomposed suffixes appended per doc prove real
@@ -1486,6 +1533,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_match": q_fuzzy_match,
         "watermark_lag": q_watermark_lag,
         "zorder_layout": q_zorder_layout,
+        "heavy_hitters": q_heavy_hitters,
+        "blocklist_hits": q_blocklist_hits,
         "doc_length_quantiles": q_doc_length_quantiles,
         "curate_corpus": q_curate_corpus,
         "decontam_hits": q_decontam_hits,
@@ -2337,6 +2386,49 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT active.user_id) AS n_users
             FROM active JOIN first USING (user_id)
             GROUP BY 1, 2
+        """,
+        "heavy_hitters": """
+            WITH toks AS (
+              SELECT lang,
+                     unnest(string_split_regex(lower(text),
+                                               '[ \t\r\n\f\x0B]+')) AS term
+              FROM documents),
+            c AS (SELECT lang, term, count(*) AS n FROM toks
+                  WHERE regexp_matches(term, '^[a-z]{2,}$')
+                  GROUP BY 1, 2),
+            r AS (SELECT lang, term, n,
+                         row_number() OVER (PARTITION BY lang
+                                            ORDER BY n DESC, term ASC)
+                           AS rank
+                  FROM c)
+            SELECT lang, term, n, CAST(rank AS INTEGER) AS rank
+            FROM r WHERE rank <= 8
+        """,
+        # suffix chain via list slicing (independent of the Spark HOF);
+        # arg_max(suf, length) = most specific entry, mirror of max_by
+        "blocklist_hits": """
+            WITH u AS (
+              SELECT doc_id, CASE doc_id % 4
+                WHEN 0 THEN 'https://www.bad' || (doc_id % 7) || '.com/a'
+                WHEN 1 THEN 'https://ok' || (doc_id % 5) || '.org/b'
+                WHEN 2 THEN 'https://x.sub.tracker.net/c?q=' || doc_id
+                ELSE 'ftp://good.com/' || doc_id END AS url
+              FROM documents),
+            h AS (
+              SELECT doc_id, url,
+                     regexp_extract(lower(url),
+                       '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host
+              FROM u),
+            s AS (
+              SELECT doc_id, url,
+                     unnest(list_transform(
+                       generate_series(1, len(string_split(host, '.'))),
+                       i -> array_to_string(string_split(host, '.')[i:],
+                                            '.'))) AS suf
+              FROM h WHERE length(host) > 0)
+            SELECT doc_id, url, arg_max(suf, length(suf)) AS matched_domain
+            FROM s WHERE suf IN ('bad0.com', 'bad3.com', 'tracker.net')
+            GROUP BY doc_id, url
         """,
         # oracle is BRUTE-FORCE all-pairs (no blocking): independent
         # strategy AND an independent edit-distance implementation

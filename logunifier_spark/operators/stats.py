@@ -171,3 +171,28 @@ def group_histogram(df: DataFrame, keys: list[str] | str, col: str,
     return (df.where(x.isNotNull())
               .groupBy(*keys, bucket.alias("bucket"))
               .agg(F.count("*").alias("n")))
+
+
+def grouped_top_k(df: DataFrame, keys: list[str] | str,
+                  order_col: str, k: int = 10,
+                  tiebreak: list[str] | None = None,
+                  fan: int = 16) -> DataFrame:
+    """Per-group top-k rows by `order_col` DESC (ties broken by
+    `tiebreak` ascending — pass columns forming a total order for a
+    deterministic result), with `rank` added. The skew-safe grouped
+    top-k: level 1 ranks within (keys, xxhash64(order+tiebreak) mod fan)
+    so no single sort partition holds a hot group's full row set; each
+    true top-k row is in its own salt bucket's top-k, so level 2 over
+    the <= fan*k survivors is exact (kmv_distinct's survival argument,
+    pointed at a DESC ranking)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    tiebreak = list(tiebreak or [])
+    order = [F.desc(order_col)] + [F.asc(c) for c in tiebreak]
+    salt = F.pmod(F.xxhash64(F.col(order_col),
+                             *[F.col(c) for c in tiebreak]), F.lit(fan))
+    w1 = Window.partitionBy(*keys, salt).orderBy(*order)
+    lvl1 = (df.withColumn("_rn", F.row_number().over(w1))
+              .where(F.col("_rn") <= k).drop("_rn"))
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return (lvl1.withColumn("rank", F.row_number().over(w2))
+                .where(F.col("rank") <= k))

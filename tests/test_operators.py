@@ -899,3 +899,43 @@ def test_zorder_key_interleave(spark):
         zorder_key([F.col("x")], bits=8)
     with _pt.raises(ValueError):
         zorder_key([F.col("x"), F.col("y")], bits=31)
+
+
+def test_grouped_top_k_exact_and_salt_invariant(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+    from logunifier_spark.operators.stats import grouped_top_k
+    rows = [("a", "t1", 5), ("a", "t2", 5), ("a", "t3", 9), ("a", "t4", 1),
+            ("b", "x", 2), ("b", "y", 2)]
+    df = spark.createDataFrame(rows, "g string, term string, n long")
+    out = [(r["g"], r["rank"], r["term"]) for r in
+           grouped_top_k(df, "g", "n", k=2, tiebreak=["term"]).collect()]
+    assert set(out) == {("a", 1, "t3"), ("a", 2, "t1"),
+                        ("b", 1, "x"), ("b", 2, "y")}
+    out2 = [(r["g"], r["rank"], r["term"]) for r in
+            grouped_top_k(df.repartition(5), "g", "n", k=2,
+                          tiebreak=["term"], fan=3).collect()]
+    assert set(out2) == set(out)
+
+
+def test_blocklist_suffix_semantics(spark):
+    from logunifier_spark.operators.blocklist import (
+        blocklist_filter,
+        blocklist_hits,
+    )
+    docs = spark.createDataFrame(
+        [(1, "https://cdn.tracker.example.com/x"),   # parent match
+         (2, "https://example.com/y"),               # exact match
+         (3, "https://notexample.com/z"),            # NOT a suffix match
+         (4, "https://ok.org/"),
+         (5, "nota url"),                            # no host -> kept
+         (6, "https://sub.deep.tracker.example.com/q")],
+        "doc_id long, url string")
+    bl = spark.createDataFrame([("example.com",), ("tracker.example.com",)],
+                               "domain string")
+    hits = {r["doc_id"]: r["matched_domain"]
+            for r in blocklist_hits(docs, bl).collect()}
+    # most specific entry wins
+    assert hits == {1: "tracker.example.com", 2: "example.com",
+                    6: "tracker.example.com"}
+    kept = sorted(r["doc_id"] for r in blocklist_filter(docs, bl).collect())
+    assert kept == [3, 4, 5]
