@@ -861,6 +861,47 @@ def q_blocklist_hits(spark, sf_dir):
     return blocklist_hits(docs, bl)
 
 
+def q_conversation_qc(spark, sf_dir):
+    """Transcript structural QC
+    (operators/conversation.py::conversation_qc): per-conversation
+    role-alternation / ordinal-continuity / empty-text accounting, the
+    gate before SFT ingestion. Input synthesized with deliberate
+    violations (forced role repeats every 11th turn, dropped ordinals
+    every 13th, empty text every 17th); one per-conv window + one
+    reusing hash aggregate."""
+    _ship(spark)
+    from logunifier_spark.operators.conversation import conversation_qc
+    e = _load(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    turn = F.expr("event_id DIV 97")
+    role = (F.when(F.pmod(turn, F.lit(11)) == 5, F.lit("user"))
+             .when(F.pmod(turn, F.lit(2)) == 0, F.lit("user"))
+             .otherwise(F.lit("agent")))
+    text = (F.when(F.pmod(turn, F.lit(17)) == 9, F.lit(""))
+             .otherwise(F.concat(F.lit("t"), eid)))
+    d = (e.select(F.concat(F.lit("c"), F.pmod(eid, F.lit(97)))
+                   .alias("conv_id"),
+                  turn.cast("int").alias("turn_idx"),
+                  role.alias("role"), text.alias("text"))
+          .where(F.pmod(F.col("turn_idx"), F.lit(13)) != 6))
+    return conversation_qc(d)
+
+
+def q_mixture_weights(spark, sf_dir):
+    """Temperature-based mixture rates
+    (operators/sampling.py::mixture_weights): per-source sqrt-share
+    upweighting (α=1/2 — sqrt is IEEE-correctly-rounded, hence
+    engine-portable where pow is not) normalized to integer ppm, plus
+    the realized down-sampling keep rate for mixture_sample. The
+    sqrt-sum runs in sorted source order on both sides (a float sum is
+    order-dependent; the oracle mirrors with ORDER BY inside the
+    aggregate)."""
+    _ship(spark)
+    from logunifier_spark.operators.sampling import mixture_weights
+    d = _load(spark, sf_dir, "documents")
+    return mixture_weights(d, "source")
+
+
 def q_normalize_text(spark, sf_dir):
     """Unicode NFC normalization (operators/normalize.py): deterministic
     decomposed/precomposed suffixes appended per doc prove real
@@ -1535,6 +1576,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": q_zorder_layout,
         "heavy_hitters": q_heavy_hitters,
         "blocklist_hits": q_blocklist_hits,
+        "conversation_qc": q_conversation_qc,
+        "mixture_weights": q_mixture_weights,
         "doc_length_quantiles": q_doc_length_quantiles,
         "curate_corpus": q_curate_corpus,
         "decontam_hits": q_decontam_hits,
@@ -2386,6 +2429,65 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT active.user_id) AS n_users
             FROM active JOIN first USING (user_id)
             GROUP BY 1, 2
+        """,
+        "conversation_qc": """
+            WITH t AS (
+              SELECT 'c' || (event_id % 97) AS conv_id,
+                     CAST(event_id // 97 AS INTEGER) AS turn_idx,
+                     CASE WHEN (event_id // 97) % 11 = 5 THEN 'user'
+                          WHEN (event_id // 97) % 2 = 0 THEN 'user'
+                          ELSE 'agent' END AS role,
+                     CASE WHEN (event_id // 97) % 17 = 9 THEN ''
+                          ELSE 't' || event_id END AS text
+              FROM events
+              WHERE CAST(event_id // 97 AS INTEGER) % 13 <> 6),
+            l AS (
+              SELECT conv_id, turn_idx, role, text,
+                     lag(turn_idx) OVER
+                       (PARTITION BY conv_id ORDER BY turn_idx) AS pidx,
+                     lag(role) OVER
+                       (PARTITION BY conv_id ORDER BY turn_idx) AS prole
+              FROM t),
+            a AS (
+              SELECT conv_id, count(*) AS n_turns,
+                     CAST(coalesce(sum(CASE WHEN turn_idx - pidx > 1
+                                       THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_gaps,
+                     CAST(coalesce(sum(CASE WHEN role = prole
+                                       THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_role_repeats,
+                     CAST(sum(CASE WHEN length(text) = 0
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+                     min(turn_idx) AS first_idx,
+                     CAST(coalesce(sum(CASE WHEN turn_idx = pidx
+                                       THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS dup_turn_idx
+              FROM l GROUP BY 1)
+            SELECT conv_id, n_turns, n_gaps, n_role_repeats, n_empty,
+                   first_idx, dup_turn_idx,
+                   (n_gaps = 0 AND n_role_repeats = 0 AND n_empty = 0
+                    AND first_idx = 0 AND dup_turn_idx = 0) AS clean
+            FROM a
+        """,
+        # sqrt-share weights: sqrt/division are correctly-rounded IEEE
+        # ops; the only order-sensitive piece (the sqrt-sum) is pinned
+        # to source-ascending order on BOTH sides
+        "mixture_weights": """
+            WITH c AS (SELECT source, count(*) AS n
+                       FROM documents GROUP BY 1),
+            t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+            s AS (SELECT source, n, sqrt(n / (SELECT total FROM t)) AS w
+                  FROM c),
+            a AS (SELECT list_reduce(list(w ORDER BY source ASC),
+                                     (x, y) -> x + y) AS wsum,
+                         max(1.0 / w) AS invmax
+                  FROM s)
+            SELECT source, CAST(n AS BIGINT) AS n,
+                   CAST(floor(w / wsum * 1000000) AS BIGINT)
+                     AS weight_ppm,
+                   CAST(floor((1.0 / w) / invmax * 1000000) AS BIGINT)
+                     AS rate_ppm
+            FROM s, a
         """,
         "heavy_hitters": """
             WITH toks AS (

@@ -113,3 +113,34 @@ def response_pairs(df: DataFrame, prompt_role: str = "user",
                        F.col("_prev_text").alias("prompt"),
                        F.col("turn_idx").alias("response_turn_idx"),
                        F.col("text").alias("response")))
+
+
+def conversation_qc(df: DataFrame) -> DataFrame:
+    """Transcript structural QC — the gate before a conversation enters
+    an SFT set: per conv_id, (n_turns, n_gaps: turn_idx jumps > 1,
+    n_role_repeats: consecutive same-role turns, n_empty: null/empty
+    text, first_idx, dup_turn_idx: count of duplicated turn ordinals,
+    clean BOOLEAN: all of the above zero and the ordinals start at 0).
+    One per-conv window (lag over turn_idx order — the same shuffle
+    every per-conv operator here rides) + one hash aggregate on the
+    window's partitioning."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    d = df.select(
+        "conv_id", "turn_idx", "role",
+        F.coalesce(F.col("text"), F.lit("")).alias("_t"),
+        F.lag("turn_idx").over(w).alias("_pidx"),
+        F.lag("role").over(w).alias("_prole"))
+    gap = ((F.col("turn_idx") - F.col("_pidx")) > 1).cast("long")
+    rep = (F.col("role") == F.col("_prole")).cast("long")
+    dup = (F.col("turn_idx") == F.col("_pidx")).cast("long")
+    agg = (d.groupBy("conv_id")
+            .agg(F.count("*").alias("n_turns"),
+                 F.coalesce(F.sum(gap), F.lit(0)).alias("n_gaps"),
+                 F.coalesce(F.sum(rep), F.lit(0)).alias("n_role_repeats"),
+                 F.sum((F.length("_t") == 0).cast("long")).alias("n_empty"),
+                 F.min("turn_idx").alias("first_idx"),
+                 F.coalesce(F.sum(dup), F.lit(0)).alias("dup_turn_idx")))
+    clean = ((F.col("n_gaps") == 0) & (F.col("n_role_repeats") == 0)
+             & (F.col("n_empty") == 0) & (F.col("first_idx") == 0)
+             & (F.col("dup_turn_idx") == 0))
+    return agg.withColumn("clean", clean)

@@ -192,3 +192,45 @@ def pack_sequences(df: DataFrame, budget: int, tokens_col: Column | None = None,
         F.floor((F.col("_cum") - 1 + (F.col("tokens") == 0).cast("long"))
                 / budget).alias("last_pack"),
     )
+
+
+def mixture_weights(df: DataFrame, source_col: str = "source",
+                    alpha_sqrt: bool = True,
+                    target_ppm: int | None = None) -> DataFrame:
+    """Temperature-based mixture rates from the corpus itself: per
+    source, (n BIGINT, weight_ppm BIGINT, rate_ppm BIGINT). weight_ppm
+    ∝ sqrt(share) (the standard p^α upweighting of small sources at
+    α=1/2 — sqrt is an IEEE correctly-rounded op, portable across
+    engines, unlike pow(x, α) for general α — α≠1/2 callers accept
+    engine drift or precompute weights); rate_ppm is the per-source
+    KEEP rate for `mixture_sample` that realizes the weights while
+    sampling DOWN only: scaled so the largest upweighting factor hits
+    rate 1e6 (or `target_ppm`). All derived values floor to integer ppm
+    — engine-exact.
+
+    One count aggregate to the source frame (tiny) + driver-side
+    normalization over <= thousands of sources; the output joins/maps
+    back into mixture_sample's rates dict."""
+    counts = df.groupBy(source_col).agg(F.count("*").alias("n"))
+    rows = sorted(counts.collect(), key=lambda r: r[source_col])
+    if not rows:
+        return df.sparkSession.createDataFrame(
+            [], f"{source_col} string, n bigint, weight_ppm bigint, "
+                "rate_ppm bigint")
+    total = sum(r["n"] for r in rows)
+    # weight ∝ sqrt(n/total); realized rate_s ∝ weight_s / share_s
+    #        ∝ 1/sqrt(share_s) — largest for the SMALLEST source.
+    # The sqrt-sum runs in SORTED source order: a float sum is
+    # order-dependent, and the SQL oracle mirrors with an ORDER BY
+    # aggregate — the one place order enters the arithmetic.
+    shares = [(r[source_col], r["n"], r["n"] / total) for r in rows]
+    wsum = sum(s ** 0.5 for _, _, s in shares)
+    inv_max = max(1.0 / s ** 0.5 for _, _, s in shares)
+    cap = (target_ppm if target_ppm is not None else 1_000_000)
+    out = [(k, n,
+            int(s ** 0.5 / wsum * 1_000_000),
+            int((1.0 / s ** 0.5) / inv_max * cap))
+           for k, n, s in shares]
+    return df.sparkSession.createDataFrame(
+        out, f"{source_col} string, n bigint, weight_ppm bigint, "
+             "rate_ppm bigint")

@@ -939,3 +939,48 @@ def test_blocklist_suffix_semantics(spark):
                     6: "tracker.example.com"}
     kept = sorted(r["doc_id"] for r in blocklist_filter(docs, bl).collect())
     assert kept == [3, 4, 5]
+
+
+def test_conversation_qc_flags(spark):
+    from logunifier_spark.operators.conversation import conversation_qc
+    rows = [
+        # c1: perfect alternation starting at 0
+        ("c1", 0, "user", "a"), ("c1", 1, "agent", "b"),
+        ("c1", 2, "user", "c"),
+        # c2: gap (0 -> 2), role repeat, empty text, starts at 0
+        ("c2", 0, "user", "x"), ("c2", 2, "user", ""),
+        # c3: starts at 1; duplicate ordinal 1
+        ("c3", 1, "user", "p"), ("c3", 1, "agent", "q"),
+    ]
+    df = spark.createDataFrame(rows,
+                               "conv_id string, turn_idx int, role string, "
+                               "text string")
+    out = {r["conv_id"]: r for r in conversation_qc(df).collect()}
+    c1 = out["c1"]
+    assert c1["clean"] and (c1["n_gaps"], c1["n_role_repeats"],
+                            c1["n_empty"], c1["dup_turn_idx"]) == (0, 0, 0, 0)
+    c2 = out["c2"]
+    assert not c2["clean"]
+    assert (c2["n_gaps"], c2["n_role_repeats"], c2["n_empty"]) == (1, 1, 1)
+    c3 = out["c3"]
+    assert not c3["clean"] and c3["first_idx"] == 1
+    assert c3["dup_turn_idx"] == 1
+
+
+def test_mixture_weights_math(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+    from logunifier_spark.operators.sampling import mixture_weights
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 81, F.lit("big"))
+         .otherwise(F.lit("small")).alias("source"))
+    out = {r["source"]: r for r in mixture_weights(df).collect()}
+    assert out["big"]["n"] == 81 and out["small"]["n"] == 19
+    # weights proportional to sqrt(share): sqrt(.81)=.9, sqrt(.19)~=.4359
+    w = 0.81 ** 0.5 + 0.19 ** 0.5
+    assert out["big"]["weight_ppm"] == int(0.81 ** 0.5 / w * 1_000_000)
+    # the smallest source keeps everything (rate hits the cap)
+    assert out["small"]["rate_ppm"] == 1_000_000
+    big_rate = int((1 / 0.81 ** 0.5) / (1 / 0.19 ** 0.5) * 1_000_000)
+    assert out["big"]["rate_ppm"] == big_rate
+    assert mixture_weights(df.where(F.lit(False))).count() == 0
