@@ -902,6 +902,20 @@ def q_mixture_weights(spark, sf_dir):
     return mixture_weights(d, "source")
 
 
+def q_pq_encode(spark, sf_dir):
+    """Product quantization (operators/pq.py::pq_encode): 8 per-subspace
+    integer-exact k-means codebooks (driver-held literals, zero-shuffle
+    assignment) packing each 64-dim vector into one int64 code +
+    exact reconstruction error. The oracle re-trains ALL EIGHT codebooks
+    as prefixed unrolled-Lloyd CTE chains (duck_oracles.pq_encode_sql)
+    and must match bit-for-bit — cross-engine equality over a
+    multi-model iterative training."""
+    _ship(spark)
+    from logunifier_spark.operators.pq import pq_encode
+    e = _load(spark, sf_dir, "embeddings")
+    return pq_encode(e, dim=64, m=8, k=16, iters=1)
+
+
 def q_normalize_text(spark, sf_dir):
     """Unicode NFC normalization (operators/normalize.py): deterministic
     decomposed/precomposed suffixes appended per doc prove real
@@ -1578,6 +1592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_hits": q_blocklist_hits,
         "conversation_qc": q_conversation_qc,
         "mixture_weights": q_mixture_weights,
+        "pq_encode": q_pq_encode,
         "doc_length_quantiles": q_doc_length_quantiles,
         "curate_corpus": q_curate_corpus,
         "decontam_hits": q_decontam_hits,
@@ -2864,6 +2879,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _do.ann_ivf_sql(k=5, n_centroids=16, nprobe=4),
         "semdedup_pairs": _do.semdedup_pairs_sql(k=8, iters=2,
                                                  threshold=0.45),
+        "pq_encode": _do.pq_encode_sql(m=8, k=16, iters=1, dim=64),
         "tfidf_top_terms": _do.tfidf_top_terms_sql(k=5),
         "unigram_logppl": _do.unigram_logppl_sql(),
         "bm25_search": _do.bm25_sql(BM25_QUERIES, top_k=10),

@@ -404,49 +404,56 @@ SELECT media_id, kind, decode_ok, CAST(f0 AS DOUBLE) AS f0 FROM (VALUES
 
 def _kmeans_ctes(k: int = 8, iters: int = 2, scale: int = 1000,
                  table: str = "embeddings", id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> str:
+                 vec_col: str = "embedding", prefix: str = "") -> str:
     """Unrolled integer-exact Lloyd iterations as a CTE chain ending in
     `kassign(vec_id, cluster)` — the SQL mirror of kmeans.kmeans_centroids
     + the final zero-shuffle assignment. Same spec as the handwritten
     kmeans_clusters oracle (floor-quantize, int64 squared-L2,
     min([d, cid]) lexicographic tie-break, floor-div update, empty
     clusters keep their previous centroid), generated for any (k, iters)
-    so composite oracles (semdedup) can reuse it."""
+    so composite oracles (semdedup, pq_encode) can reuse it; `prefix`
+    namespaces every CTE so several independent trainings (one per PQ
+    subspace) can coexist in one WITH chain. kassign also carries the
+    winning squared distance (`dist`) for reconstruction-error sums."""
+    P = prefix
     seed_key = "((vec_id % 2147483648) * 2654435761) % 2147483648"
     dist = ("CAST(list_sum([(qv[i]-cv[i])*(qv[i]-cv[i]) "
             "for i in range(1, len(qv)+1)]) AS BIGINT)")
-    parts = [f"""q AS (
+    parts = [f"""{P}q AS (
   SELECT {id_col} AS vec_id,
          [CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)
           for x in {vec_col}] AS qv
   FROM {table}),
-c0 AS (
+{P}c0 AS (
   SELECT row_number() OVER (ORDER BY {seed_key}, vec_id) - 1 AS cid,
          qv AS cv
-  FROM q ORDER BY {seed_key}, vec_id LIMIT {k})"""]
+  FROM {P}q ORDER BY {seed_key}, vec_id LIMIT {k})"""]
     for it in range(1, iters + 1):
-        parts.append(f"""s{it} AS (
+        parts.append(f"""{P}s{it} AS (
   SELECT vec_id, qv, cid, {dist} AS d
-  FROM q CROSS JOIN c{it - 1}),
-a{it} AS (
+  FROM {P}q CROSS JOIN {P}c{it - 1}),
+{P}a{it} AS (
   SELECT vec_id, qv, min([d, cid])[2] AS cluster
-  FROM s{it} GROUP BY vec_id, qv),
-u{it} AS (
+  FROM {P}s{it} GROUP BY vec_id, qv),
+{P}u{it} AS (
   SELECT cluster AS cid, pos,
          CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS comp
   FROM (SELECT cluster, unnest(qv) AS v,
                generate_subscripts(qv, 1) AS pos
-        FROM a{it})
+        FROM {P}a{it})
   GROUP BY cluster, pos),
-c{it} AS (
-  SELECT c{it - 1}.cid, coalesce(n.cv, c{it - 1}.cv) AS cv
-  FROM c{it - 1} LEFT JOIN (SELECT cid, list(comp ORDER BY pos) AS cv
-                            FROM u{it} GROUP BY cid) n USING (cid))""")
-    parts.append(f"""sfin AS (
+{P}c{it} AS (
+  SELECT {P}c{it - 1}.cid, coalesce(n.cv, {P}c{it - 1}.cv) AS cv
+  FROM {P}c{it - 1}
+  LEFT JOIN (SELECT cid, list(comp ORDER BY pos) AS cv
+             FROM {P}u{it} GROUP BY cid) n USING (cid))""")
+    parts.append(f"""{P}sfin AS (
   SELECT vec_id, cid, {dist} AS d
-  FROM q CROSS JOIN c{iters}),
-kassign AS (
-  SELECT vec_id, min([d, cid])[2] AS cluster FROM sfin GROUP BY vec_id)""")
+  FROM {P}q CROSS JOIN {P}c{iters}),
+{P}kassign AS (
+  SELECT vec_id, min([d, cid])[2] AS cluster,
+         CAST(min([d, cid])[1] AS BIGINT) AS dist
+  FROM {P}sfin GROUP BY vec_id)""")
     return ",\n".join(parts)
 
 
@@ -692,3 +699,31 @@ r{i} AS (
     GROUP BY 1) x ON x.node = n.node)""")
     return (f"WITH {','.join(ctes)}\n"
             f"SELECT node AS user_id, rank_q FROM r{iters}")
+
+
+def pq_encode_sql(m: int = 8, k: int = 16, iters: int = 1,
+                  scale: int = 1000, dim: int = 64) -> str:
+    """(vec_id, code, err) of pq.pq_encode: m independent per-subspace
+    unrolled-Lloyd trainings (prefixed CTE chains) + the packed-code /
+    error-sum projection. Subvector j is embedding[j*d+1 : (j+1)*d]
+    (1-based inclusive slicing on both engines)."""
+    d = dim // m
+    bits = max(1, (k - 1).bit_length())
+    ctes = ",\n".join(
+        _kmeans_ctes(
+            k, iters, scale,
+            table=(f"(SELECT vec_id, embedding[{j * d + 1}:{(j + 1) * d}]"
+                   " AS sub FROM embeddings)"),
+            vec_col="sub", prefix=f"p{j}_")
+        for j in range(m))
+    code = " + ".join(f"p{j}_kassign.cluster * {1 << (bits * j)}"
+                      for j in range(m))
+    err = " + ".join(f"p{j}_kassign.dist" for j in range(m))
+    joins = "p0_kassign" + "".join(
+        f" JOIN p{j}_kassign USING (vec_id)" for j in range(1, m))
+    return f"""
+WITH {ctes}
+SELECT vec_id, CAST({code} AS BIGINT) AS code,
+       CAST({err} AS BIGINT) AS err
+FROM {joins}
+"""

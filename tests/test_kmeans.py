@@ -193,3 +193,68 @@ def test_transition_edges_from_event_stream(spark):
     # a: 10->20->10->10 gives (10,20),(20,10); self-loop 10->10 dropped
     # b: 20->30
     assert got == [(10, 20), (20, 10), (20, 30)]
+
+
+def test_pq_encode_matches_numpy(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from logunifier_spark.operators.pq import pq_encode
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 8).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in
+           pq_encode(df, dim=8, m=2, k=4, iters=1, scale=1000).collect()}
+
+    # independent python recurrence (same spec: floor-quantize, lowest-
+    # portable-hash seeding, int64 L2, floor-div update, 1 iteration)
+    MOD, MULT = 2**31, 2654435761
+    q = np.floor(vecs.astype("float64") * 1000).astype("int64")
+
+    def train(sub):
+        order = sorted(range(40), key=lambda i: ((i % MOD) * MULT % MOD, i))
+        cents = [sub[i].copy() for i in order[:4]]
+
+        def assign(c):
+            out = []
+            for r in sub:
+                d = [int(((r - cv) ** 2).sum()) for cv in c]
+                out.append(min(range(4), key=lambda j: (d[j], j)))
+            return out
+
+        for _ in range(1):
+            a = assign(cents)
+            for cid in range(4):
+                mem = [sub[i] for i in range(40) if a[i] == cid]
+                if mem:
+                    s = np.sum(mem, axis=0)
+                    cents[cid] = np.array([v // len(mem) for v in s])
+        return cents
+
+    for i in range(40):
+        code, err = 0, 0
+        for j, sub in enumerate((q[:, :4], q[:, 4:])):
+            cents = train(sub)
+            d = [int(((sub[i] - cv) ** 2).sum()) for cv in cents]
+            cid = min(range(4), key=lambda t: (d[t], t))
+            code += cid << (2 * j)
+            err += d[cid]
+        assert (out[i]["code"], out[i]["err"]) == (code, err), i
+
+    # invariant under input partitioning
+    out2 = {r["vec_id"]: (r["code"], r["err"]) for r in
+            pq_encode(df.repartition(7), dim=8, m=2, k=4, iters=1,
+                      scale=1000).collect()}
+    assert out2 == {i: (r["code"], r["err"]) for i, r in out.items()}
+
+
+def test_pq_encode_validates(spark):
+    import pytest
+    from logunifier_spark.operators.pq import pq_codebooks, pq_encode
+    df = spark.createDataFrame([(1, [0.0] * 8)],
+                               "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        pq_codebooks(df, dim=8, m=3)
+    with pytest.raises(ValueError):
+        pq_encode(df, dim=8, m=8, k=2 ** 10)
