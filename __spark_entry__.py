@@ -916,6 +916,37 @@ def q_pq_encode(spark, sf_dir):
     return pq_encode(e, dim=64, m=8, k=16, iters=1)
 
 
+def q_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ search (operators/pq.py::ivfpq_topk): coarse integer
+    k-means cells prune the corpus, PQ distance-table lookups (ADC)
+    rank inside them — the memory shape that scales ANN to 10^12
+    vectors (codes + driver-held codebooks, never the raw vectors).
+    The oracle re-trains all nine models (8 codebooks + coarse) as
+    prefixed unrolled-Lloyd CTE chains and computes ADC by the
+    mathematically-equal reconstruction route."""
+    _ship(spark)
+    from logunifier_spark.operators.pq import ivfpq_topk
+    emb = _load(spark, sf_dir, "embeddings")
+    q = (emb.where(F.col("vec_id") < 5)
+            .select(F.col("vec_id").alias("qid"), "embedding"))
+    return ivfpq_topk(emb, q, dim=64, m=8, k_codes=16, n_cells=8,
+                      nprobe=2, topk=5, iters=1)
+
+
+def q_range_bounds(spark, sf_dir):
+    """Exact range-partitioner boundaries
+    (operators/stats.py::range_bounds): type-1 quantiles of doc length
+    at ceil(n*i/7) via the two-pass coarse-histogram algorithm — no
+    global sort, second pass touches only the boundary buckets. Spark's
+    RangePartitioner samples; this is the reproducible version a
+    resumable sorted layout needs. Oracle = one brute-force global
+    ranking (independent strategy)."""
+    _ship(spark)
+    from logunifier_spark.operators.stats import range_bounds
+    d = _load(spark, sf_dir, "documents")
+    return range_bounds(d, "n_chars", parts=7, coarse_bins=64)
+
+
 def q_normalize_text(spark, sf_dir):
     """Unicode NFC normalization (operators/normalize.py): deterministic
     decomposed/precomposed suffixes appended per doc prove real
@@ -1593,6 +1624,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_qc": q_conversation_qc,
         "mixture_weights": q_mixture_weights,
         "pq_encode": q_pq_encode,
+        "ann_ivfpq": q_ann_ivfpq,
+        "range_bounds": q_range_bounds,
         "doc_length_quantiles": q_doc_length_quantiles,
         "curate_corpus": q_curate_corpus,
         "decontam_hits": q_decontam_hits,
@@ -2445,6 +2478,18 @@ def oracle_sql() -> dict[str, str]:
             FROM active JOIN first USING (user_id)
             GROUP BY 1, 2
         """,
+        # brute-force global ranking vs the operator's two-pass
+        # histogram; position = ceil(n*i/parts) in integer math
+        "range_bounds": """
+            WITH d AS (SELECT n_chars AS v FROM documents
+                       WHERE n_chars IS NOT NULL),
+            r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM d),
+            t AS (SELECT count(*) AS n FROM d),
+            g AS (SELECT unnest(generate_series(1, 6)) AS i)
+            SELECT CAST(i AS INTEGER) AS bound_idx, v AS value
+            FROM g JOIN t ON true
+            JOIN r ON rn = (n * i + 6) // 7
+        """,
         "conversation_qc": """
             WITH t AS (
               SELECT 'c' || (event_id % 97) AS conv_id,
@@ -2880,6 +2925,9 @@ def oracle_sql() -> dict[str, str]:
         "semdedup_pairs": _do.semdedup_pairs_sql(k=8, iters=2,
                                                  threshold=0.45),
         "pq_encode": _do.pq_encode_sql(m=8, k=16, iters=1, dim=64),
+        "ann_ivfpq": _do.ivfpq_topk_sql(m=8, k_codes=16, n_cells=8,
+                                        nprobe=2, topk=5, iters=1,
+                                        dim=64, n_queries=5),
         "tfidf_top_terms": _do.tfidf_top_terms_sql(k=5),
         "unigram_logppl": _do.unigram_logppl_sql(),
         "bm25_search": _do.bm25_sql(BM25_QUERIES, top_k=10),

@@ -727,3 +727,69 @@ SELECT vec_id, CAST({code} AS BIGINT) AS code,
        CAST({err} AS BIGINT) AS err
 FROM {joins}
 """
+
+
+def ivfpq_topk_sql(m: int = 8, k_codes: int = 16, n_cells: int = 8,
+                   nprobe: int = 2, topk: int = 5, iters: int = 1,
+                   scale: int = 1000, dim: int = 64,
+                   n_queries: int = 5) -> str:
+    """(qid, vec_id, adc, rank) of pq.ivfpq_topk: m per-subspace PQ
+    trainings + one coarse k-means training (all prefixed unrolled-Lloyd
+    chains), probe = nprobe nearest coarse cells per query, ADC = exact
+    int64 squared L2 between the quantized query and the doc's PQ
+    RECONSTRUCTION (mathematically identical to the operator's
+    per-subspace distance-table lookups, evaluated by an independent
+    route)."""
+    d = dim // m
+    pq_chains = ",\n".join(
+        _kmeans_ctes(
+            k_codes, iters, scale,
+            table=(f"(SELECT vec_id, embedding[{j * d + 1}:{(j + 1) * d}]"
+                   " AS sub FROM embeddings)"),
+            vec_col="sub", prefix=f"p{j}_")
+        for j in range(m))
+    cc_chain = _kmeans_ctes(n_cells, iters, scale, prefix="cc_")
+    recon_joins = "p0_kassign k0 JOIN p0_c%d b0 ON b0.cid = k0.cluster" \
+        % iters
+    for j in range(1, m):
+        recon_joins += (f" JOIN p{j}_kassign k{j}"
+                        f" ON k{j}.vec_id = k0.vec_id"
+                        f" JOIN p{j}_c{iters} b{j}"
+                        f" ON b{j}.cid = k{j}.cluster")
+    flat = "flatten([" + ", ".join(f"b{j}.cv" for j in range(m)) + "])"
+    sq = ("CAST(list_sum([({a}[i]-{b}[i])*({a}[i]-{b}[i]) "
+          "for i in range(1, len({a})+1)]) AS BIGINT)")
+    return f"""
+WITH {pq_chains},
+{cc_chain},
+recon AS (
+  SELECT k0.vec_id, {flat} AS rv
+  FROM {recon_joins}),
+qq AS (
+  SELECT vec_id AS qid,
+         [CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)
+          for x in embedding] AS q
+  FROM embeddings WHERE vec_id < {n_queries}),
+qcell AS (
+  SELECT qid, cid,
+         row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS rn
+  FROM (SELECT qid, cc.cid AS cid,
+               {sq.format(a='q', b='cc.cv')} AS d
+        FROM qq CROSS JOIN cc_c{iters} cc)),
+cand AS (
+  SELECT p.qid, a.vec_id
+  FROM (SELECT qid, cid FROM qcell WHERE rn <= {nprobe}) p
+  JOIN cc_kassign a ON a.cluster = p.cid),
+scored AS (
+  SELECT c.qid, c.vec_id,
+         {sq.format(a='q.q', b='r.rv')} AS adc
+  FROM cand c JOIN qq q ON q.qid = c.qid
+  JOIN recon r ON r.vec_id = c.vec_id),
+rr AS (
+  SELECT qid, vec_id, adc,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY adc, vec_id) AS rank
+  FROM scored)
+SELECT qid, vec_id, adc, CAST(rank AS INTEGER) AS rank
+FROM rr WHERE rank <= {topk}
+"""

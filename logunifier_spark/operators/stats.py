@@ -196,3 +196,74 @@ def grouped_top_k(df: DataFrame, keys: list[str] | str,
     w2 = Window.partitionBy(*keys).orderBy(*order)
     return (lvl1.withColumn("rank", F.row_number().over(w2))
                 .where(F.col("rank") <= k))
+
+
+def range_bounds(df: DataFrame, col: str, parts: int,
+                 coarse_bins: int = 1024) -> DataFrame:
+    """EXACT range-partitioner boundaries: (bound_idx INT 1..parts-1,
+    value) where value is the type-1 quantile of `col` at 1-based sorted
+    position ceil(n*i/parts) — the split points that give `parts`
+    near-equal ranges for repartitionByRange / a sorted write.
+    Spark's own RangePartitioner SAMPLES (boundaries drift run to run);
+    these are exact and reproducible, which is what a resumable 100 TB
+    sorted layout needs.
+
+    Two-pass histogram algorithm — NO global sort:
+      1. one scan: (min, max, count) + a coarse fixed-width histogram
+         (map-side combinable, <= coarse_bins rows to the driver);
+      2. the driver walks the cumulative histogram to find, for each
+         target rank, its bucket and LOCAL rank within that bucket;
+      3. a second scan sorts ONLY the <= parts-1 needed buckets
+         (filter pushes to the scan; each bucket holds ~n/coarse_bins
+         rows), and a row_number window per bucket picks the exact
+         values. Equal values always share a bucket (the bucket is a
+         function of the value), so local rank + bucket prefix = global
+         rank exactly.
+    Degenerate case: one value dominating a bucket makes that bucket's
+    sort large — raise coarse_bins (cheap: histogram rows, not data,
+    scale with it). Nulls are excluded; all-null/empty input returns an
+    empty frame; min == max returns that value at every boundary."""
+    if parts < 2:
+        raise ValueError(f"parts must be >= 2, got {parts}")
+    spark = df.sparkSession
+    c = F.col(col)
+    d = df.where(c.isNotNull()).select(c.alias("_v"))
+    first = d.agg(F.count("*").alias("n"), F.min("_v").alias("lo"),
+                  F.max("_v").alias("hi")).collect()[0]
+    n, lo, hi = first["n"], first["lo"], first["hi"]
+    out_schema = f"bound_idx int, value {df.schema[col].dataType.simpleString()}"
+    if n == 0:
+        return spark.createDataFrame([], out_schema)
+    targets = {i: (n * i + parts - 1) // parts for i in range(1, parts)}
+    if lo == hi:
+        return spark.createDataFrame([(i, lo) for i in targets], out_schema)
+    x = F.col("_v").cast("double")
+    width = float(hi) - float(lo)
+    raw = F.floor((x - F.lit(float(lo))) / F.lit(width)
+                  * F.lit(float(coarse_bins)))
+    b = F.least(F.lit(coarse_bins - 1).cast("long"),
+                F.greatest(F.lit(0).cast("long"), raw))
+    hist = sorted((int(r["_b"]), int(r["c"])) for r in
+                  d.groupBy(b.alias("_b")).agg(F.count("*").alias("c"))
+                   .collect())
+    needed = []  # (bucket, local_rank, bound_idx)
+    cum = 0
+    hist_iter = iter(hist)
+    bkt, cnt = next(hist_iter)
+    for i in sorted(targets, key=lambda i: targets[i]):
+        r = targets[i]
+        while cum + cnt < r:
+            cum += cnt
+            bkt, cnt = next(hist_iter)
+        needed.append((bkt, r - cum, i))
+    lr = spark.createDataFrame(needed,
+                               "_b long, _lrank long, bound_idx int")
+    wanted = sorted({t[0] for t in needed})
+    w = Window.partitionBy("_b").orderBy("_v")
+    second = (d.withColumn("_b", b)
+               .where(F.col("_b").isin(wanted))
+               .withColumn("_rn", F.row_number().over(w)))
+    return (second.join(F.broadcast(lr),
+                        (second["_b"] == lr["_b"])
+                        & (second["_rn"] == lr["_lrank"]))
+                  .select("bound_idx", F.col("_v").alias("value")))

@@ -258,3 +258,34 @@ def test_pq_encode_validates(spark):
         pq_codebooks(df, dim=8, m=3)
     with pytest.raises(ValueError):
         pq_encode(df, dim=8, m=8, k=2 ** 10)
+
+
+def test_ivfpq_prunes_to_nearby_cluster(spark):
+    import numpy as np
+    from logunifier_spark.operators.pq import ivfpq_topk
+
+    rng = np.random.RandomState(3)
+    # two tight, well-separated blobs of 20 vectors each
+    a = rng.randn(20, 8) * 0.05 + np.array([5.0] * 8)
+    b = rng.randn(20, 8) * 0.05 - np.array([5.0] * 8)
+    vecs = np.vstack([a, b])
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = df.where("vec_id IN (0, 25)").selectExpr("vec_id AS qid",
+                                                  "embedding")
+    out = ivfpq_topk(df, qs, dim=8, m=2, k_codes=4, n_cells=4,
+                     nprobe=2, topk=5, iters=1).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["qid"], []).append(r["vec_id"])
+    # the blobs are far apart, so every probed cell — and hence every
+    # hit — lies in the query's own blob (hit COUNT depends on how the
+    # seeds split the blob into cells: that's the nprobe/recall trade,
+    # not a bug)
+    assert by_q[0] and all(v < 20 for v in by_q[0])
+    assert by_q[25] and all(v >= 20 for v in by_q[25])
+    assert all(len(v) <= 5 for v in by_q.values())
+    # deterministic under partitioning
+    out2 = ivfpq_topk(df.repartition(7), qs, dim=8, m=2, k_codes=4,
+                      n_cells=4, nprobe=2, topk=5, iters=1).collect()
+    assert sorted(map(tuple, out2)) == sorted(map(tuple, out))

@@ -984,3 +984,30 @@ def test_mixture_weights_math(spark):
     big_rate = int((1 / 0.81 ** 0.5) / (1 / 0.19 ** 0.5) * 1_000_000)
     assert out["big"]["rate_ppm"] == big_rate
     assert mixture_weights(df.where(F.lit(False))).count() == 0
+
+
+def test_range_bounds_exact_vs_sorted(spark):
+    import pytest
+    from pyspark.sql import functions as F  # noqa: F811
+    from logunifier_spark.operators.stats import range_bounds
+
+    # deterministic, duplicate-heavy, non-uniform values
+    df = spark.range(1000).select(
+        (F.pmod(F.col("id") * 37, F.lit(101)) * F.pmod("id", F.lit(3)))
+        .alias("v"))
+    vals = sorted(r["v"] for r in df.collect())
+    n = len(vals)
+    for parts, bins in [(4, 8), (7, 64), (10, 1000)]:
+        got = {r["bound_idx"]: r["value"] for r in
+               range_bounds(df, "v", parts, coarse_bins=bins).collect()}
+        want = {i: vals[(n * i + parts - 1) // parts - 1]
+                for i in range(1, parts)}
+        assert got == want, (parts, bins)
+    # degenerate: constant column and empty input
+    const = spark.range(10).select(F.lit(5).cast("long").alias("v"))
+    assert {r["bound_idx"]: r["value"]
+            for r in range_bounds(const, "v", 3).collect()} == {1: 5, 2: 5}
+    empty = df.where(F.lit(False))
+    assert range_bounds(empty, "v", 3).count() == 0
+    with pytest.raises(ValueError):
+        range_bounds(df, "v", 1)
