@@ -933,6 +933,36 @@ def q_ann_ivfpq(spark, sf_dir):
                       nprobe=2, topk=5, iters=1)
 
 
+def q_inverted_index(spark, sf_dir):
+    """Inverted-index build (operators/bm25.py::inverted_index): one
+    (term, doc) pass, TRUE df before the cap, posting lists capped at
+    the 30 smallest ids via the salted two-level top-k (a stopword's
+    full list is the corpus itself), serialized as a comma-joined
+    string for cross-engine hashability."""
+    _ship(spark)
+    from logunifier_spark.operators.bm25 import inverted_index
+    d = _load(spark, sf_dir, "documents")
+    return inverted_index(d, max_postings=30)
+
+
+def q_user_triangles(spark, sf_dir):
+    """Triangle counting (operators/graph.py::triangle_counts) over the
+    user-transition graph: degree-ordered forward counting — edge
+    orientation from the (degree, id)-smaller endpoint caps every
+    out-degree at O(sqrt(m)), so the wedge self-join is bounded on
+    power-law graphs; the closing-edge check is a pure equi-join (the
+    wedge pair is ordered by the SAME orientation key). Oracle =
+    id-ordered brute-force enumeration, an independent strategy."""
+    _ship(spark)
+    from logunifier_spark.operators.graph import (
+        transition_edges,
+        triangle_counts,
+    )
+    e = _load(spark, sf_dir, "events")
+    return triangle_counts(transition_edges(e)) \
+        .withColumnRenamed("node", "user_id")
+
+
 def q_range_bounds(spark, sf_dir):
     """Exact range-partitioner boundaries
     (operators/stats.py::range_bounds): type-1 quantiles of doc length
@@ -1625,6 +1655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": q_mixture_weights,
         "pq_encode": q_pq_encode,
         "ann_ivfpq": q_ann_ivfpq,
+        "inverted_index": q_inverted_index,
+        "user_triangles": q_user_triangles,
         "range_bounds": q_range_bounds,
         "doc_length_quantiles": q_doc_length_quantiles,
         "curate_corpus": q_curate_corpus,
@@ -2477,6 +2509,49 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT active.user_id) AS n_users
             FROM active JOIN first USING (user_id)
             GROUP BY 1, 2
+        """,
+        # id-ordered brute-force triangle enumeration (independent of
+        # the operator's degree-oriented algorithm); same edge CTE as
+        # the pagerank oracle
+        "user_triangles": """
+            WITH e AS (
+              SELECT DISTINCT src, dst FROM (
+                SELECT user_id AS src,
+                       lead(user_id) OVER (PARTITION BY event_type
+                                           ORDER BY event_id) AS dst
+                FROM events)
+              WHERE dst IS NOT NULL AND dst <> src),
+            u AS (SELECT DISTINCT least(src, dst) AS a,
+                                  greatest(src, dst) AS b FROM e),
+            tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM u e1
+              JOIN u e2 ON e2.a = e1.b
+              JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b),
+            corners AS (SELECT unnest([x, y, z]) AS user_id FROM tri)
+            SELECT user_id, count(*) AS triangles
+            FROM corners GROUP BY 1
+        """,
+        "inverted_index": """
+            WITH t AS (
+              SELECT term, doc_id FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(text),
+                              '[ \t\r\n\f\x0B]+')) AS term
+                FROM documents)
+              WHERE regexp_matches(term, '^[a-z]{2,}$')
+              GROUP BY term, doc_id),
+            dfq AS (SELECT term, count(*) AS df FROM t GROUP BY 1),
+            r AS (SELECT term, doc_id,
+                         row_number() OVER (PARTITION BY term
+                                            ORDER BY doc_id) AS rn
+                  FROM t),
+            p AS (SELECT term,
+                         string_agg(CAST(doc_id AS VARCHAR), ','
+                                    ORDER BY doc_id) AS postings
+                  FROM r WHERE rn <= 30 GROUP BY 1)
+            SELECT term, df, postings, df > 30 AS truncated
+            FROM dfq JOIN p USING (term)
         """,
         # brute-force global ranking vs the operator's two-pass
         # histogram; position = ceil(n*i/parts) in integer math

@@ -106,3 +106,48 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[str, str]],
                           F.round(F.col("_s").cast("double")
                                   / F.lit(float(BM25_QUANT)),
                                   6).alias("score")))
+
+
+def inverted_index(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   max_postings: int = 1000) -> DataFrame:
+    """Build the inverted index as a TABLE: one row per term —
+    (term, df BIGINT, postings STRING: comma-joined ascending doc ids,
+    truncated BOOLEAN). The serving-side artifact behind bm25_topk's
+    on-the-fly pass: persist it (bucketed by term — storage.py) and
+    lookups become exchange-free point joins.
+
+    Posting lists are CAPPED at `max_postings` ids (smallest first,
+    deterministic) with `truncated` flagging the cut: a stopword's list
+    at 10^12 docs is the corpus itself — materializing it would blow the
+    aggregation buffer for one key, and every real engine stores such
+    terms differently (skip lists / bitmaps) or stops them entirely. df
+    is always the TRUE document frequency (computed before the cap).
+    The cap runs through the salted two-level top-k (stats.grouped_top_k
+    with ascending ids via rank on -id... here directly: level-1 window
+    per (term, salt) bounds any sort partition at ~df/fan rows).
+
+    Postings serialize as a string, not array<bigint>: a string column
+    is directly hashable/comparable across engines and keeps this
+    oracle-able; consumers split on ','."""
+    d = (_terms(docs, id_col, text_col)
+         .groupBy("term", id_col).agg(F.count("*").alias("tf")))
+    d = d.localCheckpoint(eager=False)
+    dfreq = d.groupBy("term").agg(F.count("*").alias("df"))
+    fan = 16
+    w1 = (Window.partitionBy("term", F.pmod(F.col(id_col), F.lit(fan)))
+                .orderBy(id_col))
+    lvl1 = (d.withColumn("_rn", F.row_number().over(w1))
+             .where(F.col("_rn") <= max_postings).drop("_rn"))
+    w2 = Window.partitionBy("term").orderBy(id_col)
+    kept = (lvl1.withColumn("_rn", F.row_number().over(w2))
+                .where(F.col("_rn") <= max_postings))
+    posts = (kept.groupBy("term")
+                 .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(F.col(id_col))),
+                         lambda x: x.cast("string")), ",")
+                      .alias("postings")))
+    return (dfreq.join(posts, "term")
+                 .select("term", "df", "postings",
+                         (F.col("df") > max_postings).alias("truncated")))

@@ -1011,3 +1011,50 @@ def test_range_bounds_exact_vs_sorted(spark):
     assert range_bounds(empty, "v", 3).count() == 0
     with pytest.raises(ValueError):
         range_bounds(df, "v", 1)
+
+
+def test_inverted_index_caps_and_df(spark):
+    from logunifier_spark.operators.bm25 import inverted_index
+    docs = spark.createDataFrame(
+        [(1, "aa bb x"), (2, "bb cc bb"), (3, "bb")],
+        "doc_id long, text string")
+    out = {r["term"]: r for r in
+           inverted_index(docs, max_postings=2).collect()}
+    # 'x' fails the >=2-letter term filter
+    assert set(out) == {"aa", "bb", "cc"}
+    bb = out["bb"]
+    # TRUE df, capped ascending postings, truncation flagged
+    assert (bb["df"], bb["postings"], bb["truncated"]) == (3, "1,2", True)
+    assert (out["aa"]["df"], out["aa"]["postings"],
+            out["aa"]["truncated"]) == (1, "1", False)
+    assert out["cc"]["postings"] == "2"
+
+
+def test_triangle_counts_manual_and_python(spark):
+    import itertools
+    from logunifier_spark.operators.graph import triangle_counts
+    # K4 on {1,2,3,4} (every node in C(3,2)=3 triangles) plus a pendant
+    # and a duplicate/reversed/self-loop edge to exercise normalization
+    edges = [(a, b) for a, b in itertools.combinations([1, 2, 3, 4], 2)]
+    edges += [(2, 1), (5, 1), (3, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+    # random graph vs python reference
+    import random
+    rng = random.Random(11)
+    redges = [(rng.randrange(12), rng.randrange(12)) for _ in range(60)]
+    df2 = spark.createDataFrame(redges, "src long, dst long")
+    got = {r["node"]: r["triangles"]
+           for r in triangle_counts(df2).collect()}
+    adj = {}
+    for a, b in redges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    want = {}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                want[n] = want.get(n, 0) + 1
+    assert got == want
