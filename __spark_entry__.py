@@ -963,6 +963,20 @@ def q_user_triangles(spark, sf_dir):
         .withColumnRenamed("node", "user_id")
 
 
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer training (operators/bpe.py::bpe_train):
+    iterative most-frequent-pair merges on the word-frequency table
+    (one corpus pass, then per-merge vocab-frame-only jobs). Greedy
+    merge application is plain string replace under the double-space
+    trick — identical left-to-right non-overlapping semantics in the
+    JVM and DuckDB — so the WHOLE training unrolls as oracle CTEs and
+    the learned merge table must match exactly."""
+    _ship(spark)
+    from logunifier_spark.operators.bpe import bpe_train
+    d = _load(spark, sf_dir, "documents")
+    return bpe_train(d, iters=6)
+
+
 def q_range_bounds(spark, sf_dir):
     """Exact range-partitioner boundaries
     (operators/stats.py::range_bounds): type-1 quantiles of doc length
@@ -1657,6 +1671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq": q_ann_ivfpq,
         "inverted_index": q_inverted_index,
         "user_triangles": q_user_triangles,
+        "bpe_train": q_bpe_train,
         "range_bounds": q_range_bounds,
         "doc_length_quantiles": q_doc_length_quantiles,
         "curate_corpus": q_curate_corpus,
@@ -3003,6 +3018,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq": _do.ivfpq_topk_sql(m=8, k_codes=16, n_cells=8,
                                         nprobe=2, topk=5, iters=1,
                                         dim=64, n_queries=5),
+        "bpe_train": _do.bpe_train_sql(iters=6),
         "tfidf_top_terms": _do.tfidf_top_terms_sql(k=5),
         "unigram_logppl": _do.unigram_logppl_sql(),
         "bm25_search": _do.bm25_sql(BM25_QUERIES, top_k=10),

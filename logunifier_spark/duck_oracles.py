@@ -793,3 +793,45 @@ rr AS (
 SELECT qid, vec_id, adc, CAST(rank AS INTEGER) AS rank
 FROM rr WHERE rank <= {topk}
 """
+
+
+def bpe_train_sql(iters: int = 6) -> str:
+    """(step, lhs, rhs, merged, pair_count) of bpe.bpe_train over
+    `documents`: the full iterative BPE training unrolled as CTEs —
+    per step, weighted adjacent-pair counts, the deterministic argmax
+    (count DESC, pair ASC), and the double-space-trick rewrite (plain
+    string replace = greedy left-to-right non-overlapping on BOTH
+    engines). Assumes the corpus supports `iters` merges (a step with
+    no pairs would yield scalar-NULL rewrites); the driver query keeps
+    iters well under the corpus's merge capacity."""
+    ctes = [r"""v0 AS (
+  SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS sym, n FROM (
+    SELECT w, count(*) AS n FROM (
+      SELECT unnest(string_split_regex(lower(text),
+                    '[ \t\r\n\f\x0B]+')) AS w
+      FROM documents)
+    WHERE regexp_matches(w, '^[a-z]{2,}$') GROUP BY w))"""]
+    for i in range(iters):
+        ctes.append(f"""p{i} AS (
+  SELECT l, r, CAST(sum(n) AS BIGINT) AS c FROM (
+    SELECT arr[i] AS l, arr[i + 1] AS r, n FROM (
+      SELECT string_split(sym, ' ') AS arr, n,
+             unnest(generate_series(1,
+                    len(string_split(sym, ' ')) - 1)) AS i
+      FROM v{i} WHERE len(string_split(sym, ' ')) >= 2))
+  GROUP BY l, r),
+b{i} AS (SELECT l, r, c FROM p{i} ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+v{i + 1} AS (
+  SELECT trim(regexp_replace(replace(
+           ' ' || replace(sym, ' ', '  ') || ' ',
+           ' ' || (SELECT l FROM b{i}) || '  '
+               || (SELECT r FROM b{i}) || ' ',
+           ' ' || (SELECT l FROM b{i})
+               || (SELECT r FROM b{i}) || ' '),
+         ' +', ' ', 'g')) AS sym, n
+  FROM v{i})""")
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {i} AS step, l AS lhs, r AS rhs, l || r AS merged, "
+        f"c AS pair_count FROM b{i}"
+        for i in range(iters))
+    return "WITH " + ",\n".join(ctes) + "\n" + selects
