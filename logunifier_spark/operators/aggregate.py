@@ -107,11 +107,16 @@ def latest_state(df: DataFrame, keys: list[str] | str,
     by the later field being null-last struct comparison), plus the
     group's row count.
 
-    ONE hash aggregate of max_by's — map-side combinable, so the shuffle
+    ONE aggregate of max_by's — map-side combinable, so the shuffle
     carries a single partially-reduced row per (keys, partition), never
     the history. This is the scale-correct alternative to the
-    row_number()-over-desc window (which sorts every group's full
-    history); a SQL oracle can use the window form and must agree."""
+    row_number()-over-desc window (which shuffles every group's full
+    history); a SQL oracle can use the window form and must agree.
+    Plan note: max_by's (payload, ordering) buffer is not
+    UnsafeRow-mutable when it contains strings, so Spark plans a
+    SortAggregate — partial combine still happens before the exchange,
+    at the cost of a per-partition sort; with all-fixed-width payloads
+    it stays a HashAggregate."""
     keys = [keys] if isinstance(keys, str) else list(keys)
     ord_ = F.struct(*[F.col(c) for c in order_by])
     aggs = [F.max_by(F.col(c), ord_).alias(c) for c in payload]

@@ -49,22 +49,31 @@ def template_of(col: Column) -> Column:
     return out
 
 
-def mine_templates(df: DataFrame, text: str = "text") -> DataFrame:
+def mine_templates(df: DataFrame, text: str = "text",
+                   with_example: bool = True) -> DataFrame:
     """Mine the template bank of a line corpus: one row per discovered
-    template — (template_id STRING[16 hex], template STRING, hits BIGINT,
-    example STRING). `template_id` is the first 16 hex chars of
+    template — (template_id STRING[16 hex], template STRING, hits BIGINT
+    [, example STRING]). `template_id` is the first 16 hex chars of
     md5(template) (portable, stable across runs/engines); `example` is
     the lexicographically smallest raw line of the family (deterministic
-    representative). Null lines are ignored."""
-    return (df.where(F.col(text).isNotNull())
-              .select(template_of(F.col(text)).alias("template"),
-                      F.col(text).alias("_raw"))
-              .groupBy("template")
-              .agg(F.count("*").alias("hits"),
-                   F.min("_raw").alias("example"))
-              .select(F.substring(F.md5(F.col("template")), 1, 16)
-                       .alias("template_id"),
-                      "template", "hits", "example"))
+    representative). Null lines are ignored.
+
+    Plan note: min(<string>) buffers are not hash-aggregable, so
+    `with_example=True` plans as a SortAggregate — a per-partition sort
+    of the line corpus by template before the (still partial) combine.
+    Fine up to mid scale; at 10^12 lines pass `with_example=False`
+    (count-only, pure hash aggregate) and fetch examples afterwards
+    with a template-filtered scan of a sample."""
+    keyed = (df.where(F.col(text).isNotNull())
+               .select(template_of(F.col(text)).alias("template"),
+                       F.col(text).alias("_raw")))
+    aggs = [F.count("*").alias("hits")]
+    if with_example:
+        aggs.append(F.min("_raw").alias("example"))
+    out = keyed.groupBy("template").agg(*aggs)
+    cols = ["template", "hits"] + (["example"] if with_example else [])
+    return out.select(F.substring(F.md5(F.col("template")), 1, 16)
+                       .alias("template_id"), *cols)
 
 
 def template_outliers(df: DataFrame, text: str = "text",
