@@ -963,6 +963,37 @@ def q_user_triangles(spark, sf_dir):
         .withColumnRenamed("node", "user_id")
 
 
+def q_user_communities(spark, sf_dir):
+    """Synchronous label propagation
+    (operators/graph.py::label_propagation) over the user-transition
+    graph — the third iterative algorithm carrying a FULL value-hash
+    oracle (after k-means and PageRank): deterministic
+    most-frequent-neighbor-label rounds, argmax as an all-int
+    min-struct (stays a HashAggregate), every round unrolled as oracle
+    CTEs."""
+    _ship(spark)
+    from logunifier_spark.operators.graph import (
+        label_propagation,
+        transition_edges,
+    )
+    e = _load(spark, sf_dir, "events")
+    out = label_propagation(transition_edges(e), iters=3)
+    return out.withColumnRenamed("node", "user_id")
+
+
+def q_rolling_rates(spark, sf_dir):
+    """Trailing 7-day rolling metrics
+    (operators/timeseries.py::rolling_counts): RANGE frame on the int64
+    day bucket — empty buckets age out by calendar time (vs
+    rate_spikes' observed-rows frame). Two engines' range-frame
+    implementations must agree; the average is exact integer
+    milli-units."""
+    _ship(spark)
+    from logunifier_spark.operators.timeseries import rolling_counts
+    e = _load(spark, sf_dir, "events")
+    return rolling_counts(e, "event_type", bucket_s=86400, trailing=6)
+
+
 def q_bpe_train(spark, sf_dir):
     """Distributed BPE tokenizer training (operators/bpe.py::bpe_train):
     iterative most-frequent-pair merges on the word-frequency table
@@ -1672,6 +1703,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "user_triangles": q_user_triangles,
         "bpe_train": q_bpe_train,
+        "user_communities": q_user_communities,
+        "rolling_rates": q_rolling_rates,
         "range_bounds": q_range_bounds,
         "doc_length_quantiles": q_doc_length_quantiles,
         "curate_corpus": q_curate_corpus,
@@ -2525,6 +2558,26 @@ def oracle_sql() -> dict[str, str]:
             FROM active JOIN first USING (user_id)
             GROUP BY 1, 2
         """,
+        # RANGE frame on int64 day buckets; windowed sums are HUGEINT
+        # in DuckDB -> CAST (the pack_sequences lesson)
+        "rolling_rates": """
+            WITH counts AS (
+              SELECT event_type,
+                     epoch_us(ts)
+                       - ((epoch_us(ts) % 86400000000 + 86400000000)
+                          % 86400000000) AS bucket_us,
+                     count(*) AS cnt
+              FROM events GROUP BY 1, 2)
+            SELECT event_type, bucket_us, cnt,
+                   CAST(sum(cnt) OVER w AS BIGINT) AS trail_sum,
+                   CAST(count(cnt) OVER w AS BIGINT) AS n_obs,
+                   CAST((CAST(sum(cnt) OVER w AS BIGINT) * 1000)
+                        // (count(cnt) OVER w) AS BIGINT) AS avg_milli
+            FROM counts
+            WINDOW w AS (PARTITION BY event_type ORDER BY bucket_us
+                         RANGE BETWEEN 518400000000 PRECEDING
+                               AND CURRENT ROW)
+        """,
         # id-ordered brute-force triangle enumeration (independent of
         # the operator's degree-oriented algorithm); same edge CTE as
         # the pagerank oracle
@@ -3019,6 +3072,7 @@ def oracle_sql() -> dict[str, str]:
                                         nprobe=2, topk=5, iters=1,
                                         dim=64, n_queries=5),
         "bpe_train": _do.bpe_train_sql(iters=6),
+        "user_communities": _do.label_propagation_sql(iters=3),
         "tfidf_top_terms": _do.tfidf_top_terms_sql(k=5),
         "unigram_logppl": _do.unigram_logppl_sql(),
         "bm25_search": _do.bm25_sql(BM25_QUERIES, top_k=10),

@@ -835,3 +835,35 @@ v{i + 1} AS (
         f"c AS pair_count FROM b{i}"
         for i in range(iters))
     return "WITH " + ",\n".join(ctes) + "\n" + selects
+
+
+def label_propagation_sql(iters: int = 3) -> str:
+    """(user_id, label) of graph.label_propagation over
+    graph.transition_edges(events): synchronous LPA with every round
+    unrolled as CTEs. Argmax = min([-count, label]) list compare —
+    the same lexicographic trick as the kmeans oracle."""
+    ctes = ["""e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT user_id AS src,
+           lead(user_id) OVER (PARTITION BY event_type
+                               ORDER BY event_id) AS dst
+    FROM events)
+  WHERE dst IS NOT NULL AND dst <> src),
+und AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT src AS u, dst AS v FROM e
+    UNION ALL SELECT dst AS u, src AS v FROM e)
+  WHERE u <> v),
+l0 AS (SELECT DISTINCT u AS node, u AS label FROM und)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""c{i} AS (
+  SELECT und.u AS node, l.label, CAST(count(*) AS BIGINT) AS c
+  FROM und JOIN l{i - 1} l ON l.node = und.v
+  GROUP BY 1, 2),
+b{i} AS (SELECT node, min([-c, label])[2] AS new_label
+         FROM c{i} GROUP BY 1),
+l{i} AS (SELECT l.node, coalesce(b.new_label, l.label) AS label
+         FROM l{i - 1} l LEFT JOIN b{i} b USING (node))""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node AS user_id, CAST(label AS BIGINT) AS label"
+              f" FROM l{iters}")

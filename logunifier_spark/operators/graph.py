@@ -159,3 +159,46 @@ def triangle_counts(edges: DataFrame, src: str = "src",
     tri = closed.select("a", "x", "y")
     corners = tri.select(F.explode(F.array("a", "x", "y")).alias("node"))
     return corners.groupBy("node").agg(F.count("*").alias("triangles"))
+
+
+def label_propagation(edges: DataFrame, iters: int = 3,
+                      src: str = "src", dst: str = "dst") -> DataFrame:
+    """Community detection via SYNCHRONOUS label propagation:
+    (node, label BIGINT) after `iters` rounds — every node adopts the
+    most frequent label among its neighbors (ties -> smallest label;
+    isolated nodes keep their own id). Deterministic by construction —
+    no random visit order, so the result is engine-portable and the
+    DuckDB oracle unrolls every round as CTEs (the third iterative
+    algorithm with a full value-hash oracle, after k-means and
+    PageRank).
+
+    Scale shape per round: one labels⋈edges equi-join on the node key
+    (labels is one row per node — broadcasts while it fits), one
+    map-side-combinable count aggregate on (node, label), and the
+    argmax as min(struct(-count, label)) — an all-int fixed-width
+    buffer, so it stays a HashAggregate (no sort). Labels
+    localCheckpoint per round to keep lineage flat."""
+    und = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+                .where(F.col("u") != F.col("v"))
+                .unionAll(edges.select(F.col(dst).alias("u"),
+                                       F.col(src).alias("v")))
+                .where(F.col("u") != F.col("v"))
+                .distinct())
+    und = und.localCheckpoint(eager=False)
+    nodes = und.select(F.col("u").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(iters):
+        nb = (und.join(labels.withColumnRenamed("node", "v"), "v")
+                 .select(F.col("u").alias("node"), "label"))
+        counts = nb.groupBy("node", "label").agg(F.count("*").alias("c"))
+        best = (counts.groupBy("node")
+                      .agg(F.min(F.struct((-F.col("c")).alias("nc"),
+                                          F.col("label").alias("l")))
+                            .alias("_b"))
+                      .select("node", F.col("_b.l").alias("new_label")))
+        labels = (labels.join(best, "node", "left")
+                        .select("node",
+                                F.coalesce("new_label", "label")
+                                 .alias("label")))
+        labels = labels.localCheckpoint(eager=False)
+    return labels

@@ -99,3 +99,30 @@ def watermark_lag_stats(df: DataFrame, keys: list[str] | str,
                   F.count("_lag").alias("n_late"),
                   F.coalesce(F.max("_lag"), F.lit(0)).alias("max_lag_us"),
                   F.coalesce(F.sum("_lag"), F.lit(0)).alias("sum_lag_us")))
+
+
+def rolling_counts(df: DataFrame, keys: list[str] | str, ts: str = "ts",
+                   bucket_s: int = 86400,
+                   trailing: int = 6) -> DataFrame:
+    """Trailing-window rate metrics over CALENDAR time: per (key,
+    bucket), the event count plus the sum / observed-bucket count /
+    exact milli-average over the window [bucket - trailing*width,
+    bucket]. Unlike rate_spikes' ROWS frame (last n OBSERVED buckets),
+    this is a RANGE frame on the int64 bucket timestamp — absent
+    (empty) buckets genuinely age out of the window, which is what a
+    7-day rolling metric means on sparse keys.
+
+    One bucket aggregate (shuffle carries (key, bucket) rows, not
+    events) + one window over the counts frame sharing the key
+    partitioning. avg_milli = (sum*1000) DIV n — exact integer math,
+    no float drift."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    counts = bucket_counts(df, keys, ts=ts, bucket_s=bucket_s)
+    width = int(bucket_s) * 1_000_000
+    w = (Window.partitionBy(*keys).orderBy("bucket_us")
+               .rangeBetween(-trailing * width, 0))
+    out = (counts.withColumn("trail_sum", F.sum("cnt").over(w))
+                 .withColumn("n_obs", F.count("cnt").over(w)))
+    return out.withColumn(
+        "avg_milli",
+        F.expr("CAST((trail_sum * 1000) DIV n_obs AS BIGINT)"))

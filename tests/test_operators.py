@@ -1058,3 +1058,54 @@ def test_triangle_counts_manual_and_python(spark):
             for n in (a, b, c):
                 want[n] = want.get(n, 0) + 1
     assert got == want
+
+
+def test_label_propagation_two_cliques(spark):
+    import itertools
+    from logunifier_spark.operators.graph import label_propagation
+    # two 4-cliques joined by one bridge edge
+    edges = [(a, b) for a, b in itertools.combinations([1, 2, 3, 4], 2)]
+    edges += [(a, b) for a, b in itertools.combinations([10, 11, 12, 13], 2)]
+    edges += [(4, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["label"]
+           for r in label_propagation(df, iters=3).collect()}
+    # each clique converges to its minimum id; the bridge does not
+    # flood across (the clique majority dominates)
+    assert {out[n] for n in (1, 2, 3, 4)} == {1}
+    assert {out[n] for n in (10, 11, 12, 13)} == {10}
+    # python reference for the exact synchronous recurrence
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lab = {n: n for n in adj}
+    for _ in range(3):
+        nxt = {}
+        for n in adj:
+            cnt = {}
+            for v in adj[n]:
+                cnt[lab[v]] = cnt.get(lab[v], 0) + 1
+            nxt[n] = min(cnt, key=lambda k: (-cnt[k], k))
+        lab = nxt
+    assert out == lab
+
+
+def test_rolling_counts_range_frame_ages_out(spark):
+    import datetime as dt
+    from logunifier_spark.operators.timeseries import rolling_counts
+    day = dt.timedelta(days=1)
+    base = dt.datetime(2024, 1, 1)
+    # k: days 0 (x2), 1, 5; day 5's 3-day window excludes days 0-1
+    rows = [("k", base), ("k", base + dt.timedelta(hours=2)),
+            ("k", base + day), ("k", base + 5 * day)]
+    df = spark.createDataFrame(rows, "key string, ts timestamp")
+    out = {r["bucket_us"] // 86400000000 % 100: r for r in
+           rolling_counts(df, "key", bucket_s=86400, trailing=2).collect()}
+    d0 = min(out)
+    assert (out[d0]["cnt"], out[d0]["trail_sum"], out[d0]["n_obs"]) \
+        == (2, 2, 1)
+    assert (out[d0 + 1]["trail_sum"], out[d0 + 1]["n_obs"]) == (3, 2)
+    # day 5: both earlier buckets are outside [day3, day5] -> fresh
+    assert (out[d0 + 5]["trail_sum"], out[d0 + 5]["n_obs"],
+            out[d0 + 5]["avg_milli"]) == (1, 1, 1000)
