@@ -1008,6 +1008,34 @@ def q_bpe_train(spark, sf_dir):
     return bpe_train(d, iters=6)
 
 
+def q_pmi_collocations(spark, sf_dir):
+    """PMI phrase mining (operators/tfidf.py::pmi_collocations): top-20
+    adjacent term pairs by ln((c_ab*N)/(c_a*c_b)) with c_ab >= 3. Both
+    products are exact int64 counts cast to double; single
+    correctly-rounded division + one libm ln (the tfidf float
+    discipline), ranking ties by pair ascending."""
+    _ship(spark)
+    from logunifier_spark.operators.tfidf import pmi_collocations
+    d = _load(spark, sf_dir, "documents")
+    return pmi_collocations(d, min_count=3, k=20)
+
+
+def q_bpe_token_counts(spark, sf_dir):
+    """Trained-tokenizer application (operators/bpe.py::bpe_apply): the
+    merge table learned by bpe_train (6 merges) applied to every
+    document — (doc_id, bpe_tokens). The oracle re-learns the merges
+    (unrolled CTEs) AND re-applies them as six chained
+    replace-with-scalar-subquery steps over the boundary-marked
+    char-split text: the full train->apply loop held to cross-engine
+    equality."""
+    _ship(spark)
+    from logunifier_spark.operators.bpe import bpe_apply, bpe_train
+    d = _load(spark, sf_dir, "documents")
+    rows = bpe_train(d, iters=6).orderBy("step").collect()
+    merges = [(r["lhs"], r["rhs"]) for r in rows]
+    return bpe_apply(d, merges).select("doc_id", "bpe_tokens")
+
+
 def q_range_bounds(spark, sf_dir):
     """Exact range-partitioner boundaries
     (operators/stats.py::range_bounds): type-1 quantiles of doc length
@@ -1705,6 +1733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "user_communities": q_user_communities,
         "rolling_rates": q_rolling_rates,
+        "pmi_collocations": q_pmi_collocations,
+        "bpe_token_counts": q_bpe_token_counts,
         "range_bounds": q_range_bounds,
         "doc_length_quantiles": q_doc_length_quantiles,
         "curate_corpus": q_curate_corpus,
@@ -3073,6 +3103,37 @@ def oracle_sql() -> dict[str, str]:
                                         dim=64, n_queries=5),
         "bpe_train": _do.bpe_train_sql(iters=6),
         "user_communities": _do.label_propagation_sql(iters=3),
+        "bpe_token_counts": _do.bpe_apply_sql(iters=6),
+        # exact-int products cast to double, one division + one ln —
+        # mirrored term for term (the tfidf float discipline)
+        "pmi_collocations": """
+            WITH arr AS (
+              SELECT list_filter(
+                       string_split_regex(lower(text),
+                                          '[ \t\r\n\f\x0B]+'),
+                       x -> regexp_matches(x, '^[a-z]{2,}$')) AS a
+              FROM documents),
+            base AS (SELECT a FROM arr WHERE len(a) >= 1),
+            uni AS (SELECT t, CAST(count(*) AS BIGINT) AS c
+                    FROM (SELECT unnest(a) AS t FROM base) GROUP BY 1),
+            nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+            pairs AS (
+              SELECT a[i] AS l, a[i + 1] AS r FROM (
+                SELECT a, unnest(generate_series(1, len(a) - 1)) AS i
+                FROM base WHERE len(a) >= 2)),
+            pc AS (SELECT l, r, CAST(count(*) AS BIGINT) AS c_ab
+                   FROM pairs GROUP BY 1, 2 HAVING count(*) >= 3),
+            s AS (
+              SELECT pc.l, pc.r, c_ab,
+                     round(ln((CAST(c_ab AS DOUBLE)
+                               * CAST((SELECT n FROM nn) AS DOUBLE))
+                              / (CAST(ca.c AS DOUBLE)
+                                 * CAST(cb.c AS DOUBLE))), 6) AS pmi
+              FROM pc JOIN uni ca ON ca.t = pc.l
+                      JOIN uni cb ON cb.t = pc.r)
+            SELECT l, r, c_ab, pmi FROM s
+            ORDER BY pmi DESC, l, r LIMIT 20
+        """,
         "tfidf_top_terms": _do.tfidf_top_terms_sql(k=5),
         "unigram_logppl": _do.unigram_logppl_sql(),
         "bm25_search": _do.bm25_sql(BM25_QUERIES, top_k=10),

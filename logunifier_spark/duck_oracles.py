@@ -804,7 +804,7 @@ def bpe_train_sql(iters: int = 6) -> str:
     engines). Assumes the corpus supports `iters` merges (a step with
     no pairs would yield scalar-NULL rewrites); the driver query keeps
     iters well under the corpus's merge capacity."""
-    ctes = [r"""v0 AS (
+    ctes = [r"""v0 AS MATERIALIZED (
   SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS sym, n FROM (
     SELECT w, count(*) AS n FROM (
       SELECT unnest(string_split_regex(lower(text),
@@ -812,7 +812,7 @@ def bpe_train_sql(iters: int = 6) -> str:
       FROM documents)
     WHERE regexp_matches(w, '^[a-z]{2,}$') GROUP BY w))"""]
     for i in range(iters):
-        ctes.append(f"""p{i} AS (
+        ctes.append(f"""p{i} AS MATERIALIZED (
   SELECT l, r, CAST(sum(n) AS BIGINT) AS c FROM (
     SELECT arr[i] AS l, arr[i + 1] AS r, n FROM (
       SELECT string_split(sym, ' ') AS arr, n,
@@ -820,8 +820,9 @@ def bpe_train_sql(iters: int = 6) -> str:
                     len(string_split(sym, ' ')) - 1)) AS i
       FROM v{i} WHERE len(string_split(sym, ' ')) >= 2))
   GROUP BY l, r),
-b{i} AS (SELECT l, r, c FROM p{i} ORDER BY c DESC, l ASC, r ASC LIMIT 1),
-v{i + 1} AS (
+b{i} AS MATERIALIZED (SELECT l, r, c FROM p{i}
+         ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+v{i + 1} AS MATERIALIZED (
   SELECT trim(regexp_replace(replace(
            ' ' || replace(sym, ' ', '  ') || ' ',
            ' ' || (SELECT l FROM b{i}) || '  '
@@ -835,6 +836,38 @@ v{i + 1} AS (
         f"c AS pair_count FROM b{i}"
         for i in range(iters))
     return "WITH " + ",\n".join(ctes) + "\n" + selects
+
+
+def bpe_apply_sql(iters: int = 6) -> str:
+    """(doc_id, bpe_tokens) of bpe.bpe_apply under the merges learned by
+    bpe_train(iters): the training CTEs re-learn the merge table, then
+    six chained replace steps (scalar subqueries on each b{i}) re-apply
+    it to the boundary-marked ('|') char-split text of every document —
+    the full train->apply loop as one oracle."""
+    train = bpe_train_sql(iters)
+    # reuse the WITH chain verbatim, drop the merge-table SELECTs
+    ctes = train.split("\nSELECT 0 AS step")[0][len("WITH "):]
+    parts = [ctes, r"""a0 AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z]+', '|', 'g'), '(.)', '\1 ', 'g')) AS sym
+  FROM documents)"""]
+    for i in range(iters):
+        parts.append(f"""a{i + 1} AS MATERIALIZED (
+  SELECT doc_id, trim(regexp_replace(replace(
+           ' ' || replace(sym, ' ', '  ') || ' ',
+           ' ' || (SELECT l FROM b{i}) || '  '
+               || (SELECT r FROM b{i}) || ' ',
+           ' ' || (SELECT l FROM b{i})
+               || (SELECT r FROM b{i}) || ' '),
+         ' +', ' ', 'g')) AS sym
+  FROM a{i})""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT doc_id,
+       CAST((CASE WHEN length(sym) = 0 THEN 0
+             ELSE len(string_split(sym, ' ')) END)
+            - (len(string_split(sym, '|')) - 1) AS BIGINT) AS bpe_tokens
+FROM a{iters}""")
 
 
 def label_propagation_sql(iters: int = 3) -> str:

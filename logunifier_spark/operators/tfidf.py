@@ -76,3 +76,54 @@ def tfidf_top_terms(docs: DataFrame, text_col: str = "text",
                   .where(F.col("rank") <= k)
                   .select(F.col(id_col), "term", "tf", "df", "rank",
                           F.round("score", 6).alias("score")))
+
+
+def pmi_collocations(docs: DataFrame, text_col: str = "text",
+                     min_count: int = 5, k: int = 20) -> DataFrame:
+    """Top-k collocations by pointwise mutual information:
+    (l, r, c_ab BIGINT, pmi DOUBLE rounded to 6) for adjacent term
+    pairs with c_ab >= min_count, ranked by (pmi DESC, l, r). The
+    phrase-mining signal ("new york" scores high, "of the" does not)
+    that feeds tokenizer phrase lists and n-gram vocabularies.
+
+    PMI = ln(P(ab) / (P(a)P(b))) = ln((c_ab * N) / (c_a * c_b)) with N
+    the corpus token count. Cross-engine float discipline (the tfidf
+    lesson): both products are exact int64 counts cast to double, the
+    division and ln are single correctly-rounded/libm calls on
+    identical inputs, and equal inputs give equal outputs within each
+    engine — so ranking ties resolve identically; the displayed score
+    rounds to 6.
+
+    Shape: one token-stream explode feeds BOTH the unigram and the
+    adjacent-pair aggregates (adjacency on the TERM_RE-filtered
+    sequence, the standard convention); the pair⋈unigram joins are
+    vocab-keyed (sublinear — Heaps), AQE broadcasts them when small;
+    the global top-k is a TakeOrdered, not a full sort."""
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), ASCII_WS + "+"),
+        lambda x: x.rlike(TERM_RE))
+    base = docs.select(arr.alias("_a")).where(F.size("_a") >= 1)
+    base = base.localCheckpoint(eager=False)
+    uni = (base.select(F.explode("_a").alias("t"))
+               .groupBy("t").agg(F.count("*").alias("c")))
+    n_tokens = uni.agg(F.sum("c")).collect()[0][0] or 0
+    pairs = (base.where(F.size("_a") >= 2)
+                 .select(F.col("_a"),
+                         F.explode(F.sequence(F.lit(1),
+                                              F.size("_a") - 1)).alias("i"))
+                 .select(F.element_at("_a", F.col("i")).alias("l"),
+                         F.element_at("_a", F.col("i") + 1).alias("r"))
+                 .groupBy("l", "r").agg(F.count("*").alias("c_ab"))
+                 .where(F.col("c_ab") >= min_count))
+    ca = uni.select(F.col("t").alias("l"), F.col("c").alias("_ca"))
+    cb = uni.select(F.col("t").alias("r"), F.col("c").alias("_cb"))
+    scored = (pairs.join(ca, "l").join(cb, "r")
+                   .withColumn(
+                       "pmi",
+                       F.round(F.log(
+                           (F.col("c_ab").cast("double")
+                            * F.lit(float(n_tokens)))
+                           / (F.col("_ca").cast("double")
+                              * F.col("_cb").cast("double"))), 6)))
+    return (scored.orderBy(F.desc("pmi"), F.asc("l"), F.asc("r"))
+                  .limit(k).select("l", "r", "c_ab", "pmi"))

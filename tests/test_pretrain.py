@@ -342,3 +342,27 @@ def test_fingerprint_frame_equals_column_form(spark):
     frame_form = {r["doc_id"]: r["fp"] for r in
                   fingerprint_frame(df).collect()}
     assert frame_form == col_form
+
+
+def test_pmi_collocations_matches_python(spark):
+    import math
+    import re
+    from collections import Counter
+    from logunifier_spark.operators.tfidf import pmi_collocations
+    texts = ["new york is big", "new york new york", "big apple is new",
+             "york is new", "the the the the"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [(r["l"], r["r"], r["c_ab"], r["pmi"]) for r in
+           pmi_collocations(df, min_count=2, k=5).collect()]
+    uni, pairs = Counter(), Counter()
+    for t in texts:
+        toks = [w for w in re.split(r"\s+", t.lower())
+                if re.fullmatch(r"[a-z]{2,}", w)]
+        uni.update(toks)
+        pairs.update(zip(toks, toks[1:]))
+    n = sum(uni.values())
+    want = [(l, r, c, round(math.log((float(c) * float(n))
+                                     / (float(uni[l]) * float(uni[r]))), 6))
+            for (l, r), c in pairs.items() if c >= 2]
+    want.sort(key=lambda x: (-x[3], x[0], x[1]))
+    assert got == want[:5]
