@@ -627,6 +627,18 @@ def q_event_funnel(spark, sf_dir):
                     "t1_us", "t2_us", "t3_us")
 
 
+def q_funnel_summary(spark, sf_dir):
+    """Funnel step rollup (operators/funnel.py::funnel_counts): users
+    reaching each ordered step, monotone non-increasing by
+    construction. One aggregate over the per-user reach frame,
+    unpivoted via a struct-array explode (a single job, not one count
+    job per step)."""
+    _ship(spark)
+    from logunifier_spark.operators.funnel import funnel_counts
+    e = _load(spark, sf_dir, "events")
+    return funnel_counts(e, ["signup", "view", "purchase"])
+
+
 def q_cohort_retention(spark, sf_dir):
     """Cohort retention matrix (operators/funnel.py::cohort_retention):
     users bucketed by first-activity week, counted in each later active
@@ -1710,6 +1722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "rate_spikes": q_rate_spikes,
         "event_funnel": q_event_funnel,
+        "funnel_summary": q_funnel_summary,
         "cohort_retention": q_cohort_retention,
         "log_templates": q_log_templates,
         "tool_call_stats": q_tool_call_stats,
@@ -2570,6 +2583,25 @@ def oracle_sql() -> dict[str, str]:
                    t1_us, t2_us, t3_us
             FROM s1 LEFT JOIN s2 USING (user_id)
                     LEFT JOIN s3 USING (user_id)
+        """,
+        "funnel_summary": """
+            WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+                       FROM events),
+            s1 AS (SELECT user_id, min(us) AS t1_us FROM e
+                   WHERE event_type = 'signup' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(us) AS t2_us FROM e
+                   JOIN s1 USING (user_id)
+                   WHERE event_type = 'view' AND us > t1_us GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(us) AS t3_us FROM e
+                   JOIN s2 USING (user_id)
+                   WHERE event_type = 'purchase' AND us > t2_us
+                   GROUP BY 1)
+            SELECT 1 AS step, 'signup' AS event_type,
+                   count(*) AS users FROM s1
+            UNION ALL
+            SELECT 2, 'view', count(*) FROM s2
+            UNION ALL
+            SELECT 3, 'purchase', count(*) FROM s3
         """,
         "cohort_retention": """
             WITH b AS (
