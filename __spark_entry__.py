@@ -1048,6 +1048,23 @@ def q_bpe_token_counts(spark, sf_dir):
     return bpe_apply(d, merges).select("doc_id", "bpe_tokens")
 
 
+def q_cms_user_counts(spark, sf_dir):
+    """Count-Min sketch (operators/stats.py::cms_sketch/cms_estimate):
+    portable CMS of event frequencies per user (w=64 forces real
+    collisions at 150 users, so the one-sided overestimate is
+    exercised), probed for every user alongside the exact count —
+    (user_id, est, true_n, est >= true_n always). Hash rows are
+    independent 24-bit slices of ONE md5 — engine-portable, so the
+    DuckDB oracle rebuilds the identical sketch."""
+    _ship(spark)
+    from logunifier_spark.operators.stats import cms_estimate, cms_sketch
+    e = _load(spark, sf_dir, "events")
+    sk = cms_sketch(e, "user_id", d=4, w=64)
+    est = cms_estimate(sk, e, "user_id", d=4, w=64)
+    true = e.groupBy("user_id").agg(F.count("*").alias("true_n"))
+    return est.join(true, "user_id")
+
+
 def q_range_bounds(spark, sf_dir):
     """Exact range-partitioner boundaries
     (operators/stats.py::range_bounds): type-1 quantiles of doc length
@@ -1748,6 +1765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_rates": q_rolling_rates,
         "pmi_collocations": q_pmi_collocations,
         "bpe_token_counts": q_bpe_token_counts,
+        "cms_user_counts": q_cms_user_counts,
         "range_bounds": q_range_bounds,
         "doc_length_quantiles": q_doc_length_quantiles,
         "curate_corpus": q_curate_corpus,
@@ -2682,6 +2700,35 @@ def oracle_sql() -> dict[str, str]:
                   FROM r WHERE rn <= 30 GROUP BY 1)
             SELECT term, df, postings, df > 30 AS truncated
             FROM dfq JOIN p USING (term)
+        """,
+        # identical md5-slice hash rows; min over rows; CAST the
+        # windowless sums/counts to BIGINT as usual
+        "cms_user_counts": """
+            WITH cells AS (
+              SELECT user_id, i AS row,
+                     CAST(CAST(concat('0x', substring(md5(
+                            CAST(user_id AS VARCHAR)), 1 + 6 * i, 6))
+                          AS BIGINT) % 64 AS INTEGER) AS bucket
+              FROM events,
+                   (SELECT unnest(generate_series(0, 3)) AS i)),
+            sk AS (SELECT row, bucket, count(*) AS c
+                   FROM cells GROUP BY 1, 2),
+            probes AS (
+              SELECT DISTINCT user_id, i AS row,
+                     CAST(CAST(concat('0x', substring(md5(
+                            CAST(user_id AS VARCHAR)), 1 + 6 * i, 6))
+                          AS BIGINT) % 64 AS INTEGER) AS bucket
+              FROM events,
+                   (SELECT unnest(generate_series(0, 3)) AS i)),
+            est AS (
+              SELECT p.user_id,
+                     CAST(min(coalesce(sk.c, 0)) AS BIGINT) AS est
+              FROM probes p LEFT JOIN sk USING (row, bucket)
+              GROUP BY 1)
+            SELECT est.user_id, est,
+                   (SELECT CAST(count(*) AS BIGINT) FROM events e
+                    WHERE e.user_id = est.user_id) AS true_n
+            FROM est
         """,
         # brute-force global ranking vs the operator's two-pass
         # histogram; position = ceil(n*i/parts) in integer math

@@ -267,3 +267,64 @@ def range_bounds(df: DataFrame, col: str, parts: int,
                         (second["_b"] == lr["_b"])
                         & (second["_rn"] == lr["_lrank"]))
                   .select("bound_idx", F.col("_v").alias("value")))
+
+
+CMS_HEX_PER_ROW = 6                      # 24-bit slice per hash row
+
+
+def cms_sketch(df: DataFrame, col: str, d: int = 4,
+               w: int = 1024) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of `col`'s value
+    frequencies: (row INT 0..d-1, bucket INT 0..w-1, c BIGINT). The
+    mergeable fixed-size frequency summary — union two sketches by
+    summing cells — for when exact per-key counts (10^12 distinct keys)
+    can't be held but point estimates must be cheap.
+
+    Like kmv_distinct, the hashes are ENGINE-PORTABLE so the sketch is
+    a pure deterministic function of the multiset and a SQL oracle can
+    rebuild it: row i's hash is hex slice [1+6i, 6] of md5(value) —
+    d <= 5 independent 24-bit slices from one md5 — mod w. One explode
+    (d rows per input row, plain codegen) + ONE map-side-combinable
+    hash aggregate bounded at d*w cells.
+
+    Standard error: est <= true + 2N/w with prob 1 - (1/2)^d."""
+    if not (1 <= d <= 5):
+        raise ValueError(f"d must be in [1, 5] (md5 slices), got {d}")
+    if not (2 <= w <= 1 << 24):
+        raise ValueError(f"w must be in [2, 2^24], got {w}")
+    md5c = F.md5(F.col(col).cast("string"))
+    cells = [F.struct(
+        F.lit(i).alias("row"),
+        F.pmod(F.conv(F.substring(md5c, 1 + CMS_HEX_PER_ROW * i,
+                                  CMS_HEX_PER_ROW), 16, 10).cast("long"),
+               F.lit(w)).cast("int").alias("bucket"))
+        for i in range(d)]
+    ex = (df.where(F.col(col).isNotNull())
+            .withColumn("_cells", F.array(*cells))
+            .select(F.explode("_cells").alias("rb")))
+    return (ex.groupBy(F.col("rb.row").alias("row"),
+                       F.col("rb.bucket").alias("bucket"))
+              .agg(F.count("*").alias("c")))
+
+
+def cms_estimate(sketch: DataFrame, probes: DataFrame, col: str,
+                 d: int = 4, w: int = 1024) -> DataFrame:
+    """Point-estimate the frequency of each distinct probe value:
+    (col, est BIGINT) with est = min over rows of the value's cell
+    (0 when a cell is empty). est >= true count always (CMS
+    one-sided error). `d`/`w` must match the sketch's build."""
+    md5c = F.md5(F.col(col).cast("string"))
+    cells = [F.struct(
+        F.lit(i).alias("row"),
+        F.pmod(F.conv(F.substring(md5c, 1 + CMS_HEX_PER_ROW * i,
+                                  CMS_HEX_PER_ROW), 16, 10).cast("long"),
+               F.lit(w)).cast("int").alias("bucket"))
+        for i in range(d)]
+    p = (probes.where(F.col(col).isNotNull()).select(col).distinct()
+               .withColumn("_cells", F.array(*cells))
+               .select(F.col(col), F.explode("_cells").alias("rb"))
+               .select(F.col(col), F.col("rb.row").alias("row"),
+                       F.col("rb.bucket").alias("bucket")))
+    j = p.join(sketch, ["row", "bucket"], "left")
+    return (j.groupBy(col)
+             .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est")))

@@ -1109,3 +1109,26 @@ def test_rolling_counts_range_frame_ages_out(spark):
     # day 5: both earlier buckets are outside [day3, day5] -> fresh
     assert (out[d0 + 5]["trail_sum"], out[d0 + 5]["n_obs"],
             out[d0 + 5]["avg_milli"]) == (1, 1, 1000)
+
+
+def test_cms_overestimates_and_is_exact_when_wide(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+    from logunifier_spark.operators.stats import cms_estimate, cms_sketch
+    # 30 keys with known frequencies key k -> k+1 occurrences
+    df = spark.range(30).select(F.explode(
+        F.sequence(F.lit(0), F.col("id"))).alias("_"),
+        F.col("id").alias("k")).select("k")
+    truth = {k: k + 1 for k in range(30)}
+    # tight sketch: collisions -> one-sided overestimates
+    sk = cms_sketch(df, "k", d=3, w=8)
+    est = {r["k"]: r["est"] for r in
+           cms_estimate(sk, df, "k", d=3, w=8).collect()}
+    assert set(est) == set(truth)
+    assert all(est[k] >= truth[k] for k in truth)
+    # wide sketch: no collisions at this scale -> exact
+    sk2 = cms_sketch(df, "k", d=4, w=4096)
+    est2 = {r["k"]: r["est"] for r in
+            cms_estimate(sk2, df, "k", d=4, w=4096).collect()}
+    assert est2 == truth
+    # sketch is bounded at d*w cells and mergeable by summing
+    assert cms_sketch(df, "k", d=3, w=8).count() <= 24
