@@ -1065,6 +1065,20 @@ def q_cms_user_counts(spark, sf_dir):
     return est.join(true, "user_id")
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (operators/sampling.py::weighted_sample, Efraimidis-Spirakis): the
+    50 docs with the largest ln(u)/weight, weight = n_chars — inclusion
+    proportional to length, keep-set a pure function of (id, weight).
+    Salted two-level top-k; oracle = one global ranking with the
+    bit-identical key expression."""
+    _ship(spark)
+    from logunifier_spark.operators.sampling import weighted_sample
+    d = _load(spark, sf_dir, "documents")
+    out = weighted_sample(d, n=50, weight_col="n_chars")
+    return out.select("doc_id", "source", "n_chars")
+
+
 def q_range_bounds(spark, sf_dir):
     """Exact range-partitioner boundaries
     (operators/stats.py::range_bounds): type-1 quantiles of doc length
@@ -1766,6 +1780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "bpe_token_counts": q_bpe_token_counts,
         "cms_user_counts": q_cms_user_counts,
+        "weighted_sample": q_weighted_sample,
         "range_bounds": q_range_bounds,
         "doc_length_quantiles": q_doc_length_quantiles,
         "curate_corpus": q_curate_corpus,
@@ -2700,6 +2715,23 @@ def oracle_sql() -> dict[str, str]:
                   FROM r WHERE rn <= 30 GROUP BY 1)
             SELECT term, df, postings, df > 30 AS truncated
             FROM dfq JOIN p USING (term)
+        """,
+        # bit-identical E-S key: exact ints -> one division -> ln ->
+        # one division; global window vs the operator's salted top-k
+        "weighted_sample": """
+            WITH d AS (
+              SELECT doc_id, source, n_chars,
+                     ln((((doc_id % 2147483648) * 2654435761)
+                         % 2147483648 + 1) / 2147483649.0)
+                       / CAST(n_chars AS DOUBLE) AS k
+              FROM documents
+              WHERE n_chars IS NOT NULL
+                AND CAST(n_chars AS DOUBLE) > 0),
+            r AS (SELECT doc_id, source, n_chars,
+                         row_number() OVER (ORDER BY k DESC,
+                                            doc_id ASC) AS rn
+                  FROM d)
+            SELECT doc_id, source, n_chars FROM r WHERE rn <= 50
         """,
         # identical md5-slice hash rows; min over rows; CAST the
         # windowless sums/counts to BIGINT as usual

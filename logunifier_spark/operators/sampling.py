@@ -234,3 +234,44 @@ def mixture_weights(df: DataFrame, source_col: str = "source",
     return df.sparkSession.createDataFrame(
         out, f"{source_col} string, n bigint, weight_ppm bigint, "
              "rate_ppm bigint")
+
+
+def weighted_sample(df: DataFrame, n: int, weight_col: str,
+                    id_col: str = "doc_id", salt: int = 0,
+                    fan: int = 16) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis 2006): keep the n rows with the largest
+    ln(u)/w, where u = (portable_hash(id, salt)+1) / (2^31+1) in (0,1)
+    and w the row's positive weight — equivalent to ranking by u^(1/w),
+    so inclusion probability is proportional to weight, yet the
+    keep-set is a pure function of (id, weight, salt): stable across
+    partitionings, cluster sizes, and retries, like every sampler here.
+    The quality-weighted corpus selection shape ("sample 10M docs
+    proportional to quality score").
+
+    Float discipline: u is exact (two int64s cast to double, one
+    correctly-rounded division), ln is the single libm call (tfidf
+    lesson: equal inputs give equal outputs within an engine, so
+    cross-engine ranking ties resolve identically via the id
+    tie-break), and ln(u)/w is one more correctly-rounded division —
+    the key is bit-identical on any engine. Rows with null/non-positive
+    weight are excluded (their key is undefined).
+
+    Scale: pure projection + the salted two-level top-k (no single
+    sort partition holds the corpus; same survival argument as
+    stratified_sample, pointed at a DESC ranking)."""
+    off = (salt * 0x9E3779B1) % _MOD
+    u = ((_portable_hash(F.col(id_col), off) + F.lit(1)).cast("double")
+         / F.lit(float(_MOD + 1)))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    d = (df.where(F.col(weight_col).isNotNull()
+                  & (F.col(weight_col).cast("double") > 0))
+           .withColumn("_k", key))
+    w1 = (Window.partitionBy(F.pmod(F.xxhash64(F.col(id_col)),
+                                    F.lit(fan)))
+                .orderBy(F.desc("_k"), F.asc(id_col)))
+    lvl1 = (d.withColumn("_rn", F.row_number().over(w1))
+             .where(F.col("_rn") <= n).drop("_rn"))
+    w2 = Window.orderBy(F.desc("_k"), F.asc(id_col))
+    return (lvl1.withColumn("_rn", F.row_number().over(w2))
+                .where(F.col("_rn") <= n).drop("_rn", "_k"))

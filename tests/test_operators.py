@@ -1132,3 +1132,64 @@ def test_cms_overestimates_and_is_exact_when_wide(spark):
     assert est2 == truth
     # sketch is bounded at d*w cells and mergeable by summing
     assert cms_sketch(df, "k", d=3, w=8).count() <= 24
+
+
+def test_weighted_sample_properties(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+    from logunifier_spark.operators.sampling import weighted_sample
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        # two weight bands: 90% weight 1, 10% weight 50
+        F.when(F.pmod("id", F.lit(10)) == 0, F.lit(50.0))
+         .otherwise(F.lit(1.0)).alias("w"))
+    out = weighted_sample(df, n=100, weight_col="w")
+    rows = out.collect()
+    assert len(rows) == 100
+    heavy = sum(1 for r in rows if r["w"] == 50.0)
+    # 200 heavy rows carry ~53% of total weight; they must dominate the
+    # sample far beyond their 10% population share
+    assert heavy > 35
+    # invariance under partitioning and fan
+    a = sorted(r["doc_id"] for r in rows)
+    b = sorted(r["doc_id"] for r in
+               weighted_sample(df.repartition(7), n=100, weight_col="w",
+                               fan=3).collect())
+    assert a == b
+    # non-positive / null weights are excluded
+    df2 = df.withColumn("w", F.when(F.col("doc_id") < 1000, F.lit(-1.0)))
+    assert weighted_sample(df2, n=100, weight_col="w").count() == 0
+
+
+def test_blocked_fuzzy_pairs_fuzz_equals_brute_force(spark):
+    # random small-alphabet strings: blocked result must equal the
+    # brute-force candidate set restricted to same-first-letter pairs
+    # (the documented blocking loss) — hypothesis-style fuzz with a
+    # fixed seed for reproducibility
+    import random
+    from logunifier_spark.operators.linkage import blocked_fuzzy_pairs
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    rng = random.Random(42)
+    for trial in range(3):
+        mk = lambda: "".join(rng.choice("abc")
+                             for _ in range(rng.randint(1, 7)))
+        ls = list({mk() for _ in range(25)})
+        rs = list({mk() for _ in range(25)})
+        for d in (1, 2):
+            left = spark.createDataFrame([(s,) for s in ls], "name string")
+            right = spark.createDataFrame([(s,) for s in rs],
+                                          "name string")
+            got = {(r["name"], r["name_r"]) for r in
+                   blocked_fuzzy_pairs(left, right, "name",
+                                       max_dist=d).collect()}
+            want = {(a, b) for a in ls for b in rs
+                    if a[0] == b[0] and lev(a, b) <= d}
+            assert got == want, (trial, d)
