@@ -1079,6 +1079,21 @@ def q_weighted_sample(spark, sf_dir):
     return out.select("doc_id", "source", "n_chars")
 
 
+def q_session_paths(spark, sf_dir):
+    """Top user journeys (operators/temporal.py::session_paths): most
+    frequent per-session event-type sequences (1h gap sessions, paths
+    truncated at 5 steps). One sessionize window + one per-session
+    hash aggregate with in-group array_sort (collect order is
+    partition-arbitrary) + a global TakeOrdered; oracle uses DuckDB's
+    ordered list() aggregate — an independent ordered-collection
+    mechanism."""
+    _ship(spark)
+    from logunifier_spark.operators.temporal import session_paths
+    e = _load(spark, sf_dir, "events")
+    return session_paths(e, "user_id", gap_s=3600.0,
+                         tiebreak="event_id", k=15, max_len=5)
+
+
 def q_range_bounds(spark, sf_dir):
     """Exact range-partitioner boundaries
     (operators/stats.py::range_bounds): type-1 quantiles of doc length
@@ -1781,6 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": q_bpe_token_counts,
         "cms_user_counts": q_cms_user_counts,
         "weighted_sample": q_weighted_sample,
+        "session_paths": q_session_paths,
         "range_bounds": q_range_bounds,
         "doc_length_quantiles": q_doc_length_quantiles,
         "curate_corpus": q_curate_corpus,
@@ -2715,6 +2731,39 @@ def oracle_sql() -> dict[str, str]:
                   FROM r WHERE rn <= 30 GROUP BY 1)
             SELECT term, df, postings, df > 30 AS truncated
             FROM dfq JOIN p USING (term)
+        """,
+        # DuckDB ordered list() aggregate vs Spark's in-group
+        # array_sort of (ts, id, step) structs
+        "session_paths": """
+            WITH lagd AS (
+              SELECT user_id, ts, event_id, event_type,
+                     epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS gap
+              FROM events),
+            sess AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CAST(sum(CASE WHEN gap > 3600000000 THEN 1
+                              ELSE 0 END)
+                          OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS session_id
+              FROM lagd),
+            p AS (
+              SELECT user_id, session_id,
+                     array_to_string(
+                       (list(event_type
+                             ORDER BY epoch_us(ts), event_id))[1:5],
+                       '>') AS path
+              FROM sess GROUP BY 1, 2),
+            c AS (SELECT path, count(*) AS n_sessions FROM p GROUP BY 1),
+            r AS (SELECT path, n_sessions,
+                         row_number() OVER (ORDER BY n_sessions DESC,
+                                            path ASC) AS rank
+                  FROM c)
+            SELECT path, n_sessions, CAST(rank AS INTEGER) AS rank
+            FROM r WHERE rank <= 15
         """,
         # bit-identical E-S key: exact ints -> one division -> ln ->
         # one division; global window vs the operator's salted top-k

@@ -103,7 +103,8 @@ def operator_benches(spark, sf_dir: str) -> dict[str, float]:
                  # session-3 round-3 additions
                  "log_templates", "event_funnel", "latest_events",
                  "quality_classifier", "normalize_text",
-                 "heavy_hitters", "pq_encode"]:
+                 "heavy_hitters", "pq_encode", "ann_ivfpq",
+                 "bpe_train", "session_paths"]:
         fn = entry.queries()[name]
         # min of 3 (shared noisy box — same rationale as the headline)
         out[name] = min(_timed(lambda f=fn: f(spark, sf_dir).collect())

@@ -258,3 +258,39 @@ def session_stats(df: DataFrame, key: list[str] | str, ts: str = "ts",
                   # DuckDB rounds, so floor is the only portable floor
                   F.floor((F.max(t) - F.min(t)) / F.lit(1_000_000))
                   .cast("long").alias("duration_s")))
+
+
+def session_paths(df: DataFrame, key: list[str] | str,
+                  step_col: str = "event_type", ts: str = "ts",
+                  gap_s: float = 1800.0, tiebreak: str | None = None,
+                  k: int = 20, max_len: int = 8) -> DataFrame:
+    """Top-k user journeys: the most frequent per-session step
+    sequences, (path STRING '>'-joined, n_sessions BIGINT, rank INT).
+    Paths are TRUNCATED at `max_len` steps (real sessions have long
+    tails; the journey-analysis convention keeps the head) — a
+    truncated path aggregates with every longer session sharing its
+    prefix head.
+
+    Shape: sessionize (one keyed window sort), then ONE hash aggregate
+    per (key, session) assembling the ordered step array — collect_list
+    order is partition-arbitrary, so steps collect as (ts, tiebreak,
+    step) structs and sort INSIDE the group after collection
+    (conversation.stitch_conversations' trick; per-session arrays are
+    small) — then one count aggregate on the path string and a global
+    top-k (TakeOrdered). Pass `tiebreak` (e.g. an event id) whenever
+    (key, ts) can repeat, or the path order is nondeterministic."""
+    keys = [key] if isinstance(key, str) else list(key)
+    s = sessionize(df, keys, ts=ts, gap_s=gap_s, tiebreak=tiebreak)
+    t = _ts_micros(s, ts)
+    tb = F.col(tiebreak) if tiebreak else F.lit(0)
+    collected = F.array_sort(F.collect_list(
+        F.struct(t.alias("t"), tb.alias("b"),
+                 F.col(step_col).alias("s"))))
+    paths = (s.groupBy(*keys, "session_id")
+              .agg(F.array_join(
+                  F.slice(F.transform(collected, lambda e: e["s"]),
+                          1, max_len), ">").alias("path")))
+    counts = paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
+    w = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return (counts.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k))

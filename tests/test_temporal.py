@@ -404,3 +404,25 @@ def test_group_histogram_buckets_and_clamping(spark):
     assert sum(n for (g, _), n in out.items() if g == "a") == 7
     with _pytest.raises(ValueError):
         group_histogram(df, "g", "x", lo=1.0, hi=1.0)
+
+
+def test_session_paths_order_truncation_topk(spark):
+    import datetime as dt
+    from logunifier_spark.operators.temporal import session_paths
+    base = dt.datetime(2024, 1, 1)
+    SEC, HOUR = dt.timedelta(seconds=1), dt.timedelta(hours=2)
+    rows = []
+    # user 1: two sessions "a>b" then "a>b"
+    rows += [(1, base, 1, "a"), (1, base + SEC, 2, "b"),
+             (1, base + HOUR, 3, "a"), (1, base + HOUR + SEC, 4, "b")]
+    # user 2: one long session truncating to 3 steps
+    rows += [(2, base + i * SEC, 10 + i, t)
+             for i, t in enumerate("abcde")]
+    # user 3: same-instant events -> tiebreak by id decides order
+    rows += [(3, base, 21, "y"), (3, base, 20, "x")]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string")
+    out = {r["path"]: (r["n_sessions"], r["rank"]) for r in
+           session_paths(df, "user_id", gap_s=3600.0,
+                         tiebreak="event_id", k=10, max_len=3).collect()}
+    assert out == {"a>b": (2, 1), "a>b>c": (1, 2), "x>y": (1, 3)}
