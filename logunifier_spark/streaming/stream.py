@@ -126,3 +126,28 @@ def dead_letter_count(query) -> int:
         for op in p.get("stateOperators", []):
             total += int(op.get("numRowsDroppedByWatermark", 0))
     return total
+
+
+def suggest_watermark_delay(history: DataFrame, keys: list[str] | str,
+                            arrival: str, ts: str = "ts",
+                            safety: float = 1.5,
+                            min_seconds: int = 60) -> str:
+    """Data-driven watermark delay for `stream_unify(dedup_watermark=...)`:
+    measure the historical event-time disorder
+    (operators/timeseries.py::watermark_lag_stats — max lateness of any
+    row vs the running event-time max in arrival order) over a batch
+    sample of the stream, scale by `safety`, floor at `min_seconds`.
+    Returns the Spark interval string ("<n> seconds").
+
+    Too small a delay diverts real rows to the dead-letter count; too
+    large bloats state — this replaces the guess with the observed
+    tail. Runs one batch job (window + aggregate) on the history
+    sample, so call it at deploy/config time, not per micro-batch."""
+    from pyspark.sql import functions as F
+
+    from logunifier_spark.operators.timeseries import watermark_lag_stats
+    stats = watermark_lag_stats(history, keys, arrival=arrival, ts=ts)
+    row = stats.agg(F.max("max_lag_us").alias("m")).collect()[0]
+    max_lag_us = int(row["m"] or 0)
+    secs = max(int(min_seconds), int(-(-max_lag_us * safety // 1_000_000)))
+    return f"{secs} seconds"

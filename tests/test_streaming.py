@@ -217,3 +217,17 @@ def test_stream_session_stats_accepts_timestamp_ntz(spark, tmp_path):
     got = [(r["user_id"], r["n_events"], r["duration_s"])
            for r in spark.read.parquet(sink).collect()]
     assert got == [(1, 2, 300)]
+
+
+def test_suggest_watermark_delay_covers_observed_lag(spark):
+    from logunifier_spark.streaming.stream import suggest_watermark_delay
+    rows = [("k", 1, 1_000_000_000), ("k", 2, 995_000_000),  # 5 s late
+            ("k", 3, 1_010_000_000), ("q", 1, 50)]
+    df = spark.createDataFrame(rows, "key string, arr long, ts long")
+    # max lag 5 s * 1.5 = 7.5 -> ceil 8, floored at min_seconds=2
+    assert suggest_watermark_delay(df, "key", arrival="arr",
+                                   min_seconds=2) == "8 seconds"
+    # in-order history falls back to the floor
+    inorder = df.where("arr = 1")
+    assert suggest_watermark_delay(inorder, "key", arrival="arr") \
+        == "60 seconds"
