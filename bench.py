@@ -106,9 +106,15 @@ def operator_benches(spark, sf_dir: str) -> dict[str, float]:
                  "heavy_hitters", "pq_encode", "ann_ivfpq",
                  "bpe_train", "session_paths"]:
         fn = entry.queries()[name]
-        # min of 3 (shared noisy box — same rationale as the headline)
+        # min of 3 (shared noisy box — same rationale as the headline);
+        # the multi-second rows get min-of-2 to bound total bench wall
+        # time now that the row set has grown to 22
+        slow = name in {"minhash_dedup", "bm25_search", "repeated_ngrams",
+                        "embedding_neardup", "user_pagerank", "pq_encode",
+                        "ann_ivfpq", "bpe_train"}
+        trials = 2 if slow else 3
         out[name] = min(_timed(lambda f=fn: f(spark, sf_dir).collect())
-                        for _ in range(3))
+                        for _ in range(trials))
     return out
 
 
