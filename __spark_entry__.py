@@ -1198,6 +1198,21 @@ def q_minhash_dedup(spark, sf_dir):
     return minhash_dedup(d, "text", "doc_id", max_bucket=500).select("doc_id")
 
 
+def q_verified_neardups(spark, sf_dir):
+    """Candidate -> verify near-dup composition
+    (operators/dedup.py::verified_neardup_pairs): loose banded-minhash
+    candidates, confirmed by TRUE Jaccard over the same portable gram
+    sets — sketch error never decides a deletion. The oracle reuses
+    the shared minhash CTE chain and verifies against its own `grams`
+    CTE."""
+    _ship(spark)
+    from logunifier_spark.operators.dedup import verified_neardup_pairs
+    d = _load(spark, sf_dir, "documents").where(F.length("text") >= 20)
+    return verified_neardup_pairs(d, "text", "doc_id",
+                                  est_threshold=0.35,
+                                  exact_threshold=0.5, max_bucket=500)
+
+
 def q_dedup_components(spark, sf_dir):
     """Exact transitive near-dup clustering: connected components of the
     minhash pair graph via iterative min-label propagation (narrow join +
@@ -1797,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_user_counts": q_cms_user_counts,
         "weighted_sample": q_weighted_sample,
         "session_paths": q_session_paths,
+        "verified_neardups": q_verified_neardups,
         "range_bounds": q_range_bounds,
         "doc_length_quantiles": q_doc_length_quantiles,
         "curate_corpus": q_curate_corpus,
@@ -3262,6 +3278,9 @@ def oracle_sql() -> dict[str, str]:
                                         nprobe=2, topk=5, iters=1,
                                         dim=64, n_queries=5),
         "bpe_train": _do.bpe_train_sql(iters=6),
+        "verified_neardups": _do.verified_pairs_sql(
+            min_len=20, est_threshold=0.35, exact_threshold=0.5,
+            max_bucket=500),
         "user_communities": _do.label_propagation_sql(iters=3),
         "bpe_token_counts": _do.bpe_apply_sql(iters=6),
         # exact-int products cast to double, one division + one ln —

@@ -900,3 +900,32 @@ l{i} AS (SELECT l.node, coalesce(b.new_label, l.label) AS label
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT node AS user_id, CAST(label AS BIGINT) AS label"
               f" FROM l{iters}")
+
+
+def verified_pairs_sql(min_len: int = 20, num_hashes: int = 64,
+                       bands: int = 16, shingle_n: int = 5,
+                       est_threshold: float = 0.35,
+                       exact_threshold: float = 0.5,
+                       max_bucket: int | None = 10_000) -> str:
+    """(id_a, id_b, est_sim, jaccard) of dedup.verified_neardup_pairs:
+    the shared minhash CTE chain generates candidates at the loose
+    estimated threshold; TRUE Jaccard over the same portable gram sets
+    (the `grams` CTE) verifies. int/int division is double in both
+    engines."""
+    return f"""
+WITH {_minhash_pairs_ctes(min_len, num_hashes, bands, shingle_n,
+                          max_bucket)},
+cand2 AS (
+  SELECT id_a, id_b, sim FROM pairs
+  WHERE sim >= CAST({est_threshold} AS DOUBLE)),
+v AS (
+  SELECT id_a, id_b, sim,
+         len(list_filter(ga.g, x -> list_contains(gb.g, x))) AS inter,
+         len(ga.g) AS na, len(gb.g) AS nb
+  FROM cand2 JOIN grams ga ON ga.doc_id = cand2.id_a
+             JOIN grams gb ON gb.doc_id = cand2.id_b)
+SELECT id_a, id_b, round(sim, 4) AS est_sim,
+       round(inter / (na + nb - inter), 4) AS jaccard
+FROM v
+WHERE inter / (na + nb - inter) >= CAST({exact_threshold} AS DOUBLE)
+"""

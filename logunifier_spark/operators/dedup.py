@@ -678,3 +678,63 @@ def repeated_ngram_stats(docs: DataFrame, n: int = 8,
                       F.round(F.col("n_repeated").cast("double")
                               / F.col("n_grams"), 6)
                        .alias("repeated_frac")))
+
+
+def portable_grams_udf(shingle_n: int = 5):
+    """Arrow UDF: text -> array<long> of the distinct portable Horner
+    gram hashes — the EXACT gram sets `minhash_signature_udf` sketches
+    (same normalization, same `_gram_hashes` family), exposed as a
+    column so a verify stage can compute true Jaccard on them."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def _g(text: pd.Series) -> pd.Series:
+        norm = (text.fillna("").str.lower()
+                    .str.replace(ASCII_WS + "+", " ", regex=True)
+                    .str.encode("utf-32-le"))
+        return pd.Series([g.tolist() for g in
+                          _gram_hashes(norm, shingle_n)])
+
+    return _g
+
+
+def verified_neardup_pairs(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", shingle_n: int = 5,
+                           num_hashes: int = 64, bands: int = 16,
+                           est_threshold: float = 0.35,
+                           exact_threshold: float = 0.5,
+                           max_bucket: int | None = 10_000) -> DataFrame:
+    """The CANDIDATE -> VERIFY near-dup composition: banded minhash at a
+    LOOSE estimated threshold generates candidates (cheap, recall-
+    oriented), then the TRUE Jaccard over the full portable gram sets
+    confirms or kills each pair — the production shape where sketch
+    error must not decide deletions. Returns (id_a, id_b, est_sim,
+    jaccard), both rounded to 4, jaccard >= exact_threshold.
+
+    Scale: the verify joins attach one gram array per side to the
+    candidate frame only (never all pairs); array_intersect/union on
+    the sorted-distinct int64 arrays are JVM-native. Input docs must
+    have non-empty normalized text (upstream min-length gates do this)
+    — an empty-vs-empty pair would divide 0/0. The estimated and exact
+    thresholds are independent knobs: est low for recall, exact the
+    real bar."""
+    cands = minhash_lsh_pairs(df, text_col, id_col, num_hashes=num_hashes,
+                              bands=bands, shingle_n=shingle_n,
+                              threshold=est_threshold,
+                              max_bucket=max_bucket)
+    g = df.select(F.col(id_col).alias("_gid"),
+                  portable_grams_udf(shingle_n)(F.col(text_col)).alias("g"))
+    g = g.localCheckpoint(eager=False)
+    pairs = (cands
+             .join(g.select(F.col("_gid").alias("id_a"),
+                            F.col("g").alias("_ga")), "id_a")
+             .join(g.select(F.col("_gid").alias("id_b"),
+                            F.col("g").alias("_gb")), "id_b"))
+    inter = F.size(F.array_intersect("_ga", "_gb"))
+    union = F.size(F.array_union("_ga", "_gb"))
+    jac = inter / union
+    return (pairs.withColumn("_j", jac)
+                 .where(F.col("_j") >= exact_threshold)
+                 .select("id_a", "id_b",
+                         F.round(F.col("sim"), 4).alias("est_sim"),
+                         F.round(F.col("_j"), 4).alias("jaccard")))

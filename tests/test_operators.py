@@ -1193,3 +1193,50 @@ def test_blocked_fuzzy_pairs_fuzz_equals_brute_force(spark):
             want = {(a, b) for a in ls for b in rs
                     if a[0] == b[0] and lev(a, b) <= d}
             assert got == want, (trial, d)
+
+
+def test_range_bounds_hypothesis_random_multisets(spark):
+    # randomized multisets with heavy duplication, random parts/bins —
+    # always equals the sorted-list reference (fixed seed, 6 cases)
+    import random
+    from logunifier_spark.operators.stats import range_bounds
+    rng = random.Random(7)
+    for case in range(6):
+        n = rng.randint(5, 400)
+        vals = [rng.randint(-50, 50) * rng.choice([1, 1, 1, 1000])
+                for _ in range(n)]
+        parts = rng.randint(2, 9)
+        bins = rng.choice([2, 8, 64, 1024])
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        got = {r["bound_idx"]: r["value"] for r in
+               range_bounds(df, "v", parts, coarse_bins=bins).collect()}
+        svals = sorted(vals)
+        want = {i: svals[(n * i + parts - 1) // parts - 1]
+                for i in range(1, parts)}
+        assert got == want, (case, n, parts, bins)
+
+
+def test_verified_neardups_kills_sketch_false_positives(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+    from logunifier_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        verified_neardup_pairs,
+    )
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, base), (2, base + " tail"),           # true near-dup
+            (3, "completely different content with other words entirely"),
+            (4, base.replace("quick", "slow"))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["id_a"], r["id_b"]): r for r in
+           verified_neardup_pairs(df, est_threshold=0.2,
+                                  exact_threshold=0.5).collect()}
+    assert (1, 2) in out and (1, 4) in out
+    assert all(3 not in p for p in out)
+    r = out[(1, 2)]
+    # exact jaccard is the real bar and est is the sketch's estimate
+    assert 0.5 <= r["jaccard"] <= 1.0 and 0.0 <= r["est_sim"] <= 1.0
+    # raising the exact bar prunes pairs the loose candidates admit
+    n_loose = minhash_lsh_pairs(df, threshold=0.2).count()
+    n_tight = verified_neardup_pairs(df, est_threshold=0.2,
+                                     exact_threshold=0.95).count()
+    assert n_tight <= n_loose and n_tight < len(out) + 1
