@@ -1094,6 +1094,45 @@ def q_session_paths(spark, sf_dir):
                          tiebreak="event_id", k=15, max_len=5)
 
 
+def q_corpus_report(spark, sf_dir):
+    """The dataset card: one long-format (metric STRING, value BIGINT)
+    frame — row/char/token totals, vocabulary-of-metadata cardinalities,
+    per-language counts, exact length percentiles — the artifact a
+    curation run publishes next to the corpus. Three small jobs (one
+    multi-aggregate, one lang rollup, one exact quantile) unioned into
+    a single plan; integer-exact throughout."""
+    _ship(spark)
+    from logunifier_spark.operators.stats import group_quantiles
+    from logunifier_spark.operators.textstats import token_count
+    d = _load(spark, sf_dir, "documents")
+    d = d.withColumn("_toks", token_count(F.col("text")))
+    base = d.agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.sum("_toks").alias("total_tokens"),
+                 F.countDistinct("lang").alias("n_langs"),
+                 F.countDistinct("source").alias("n_sources"))
+    metrics = ["n_docs", "total_chars", "total_tokens", "n_langs",
+               "n_sources"]
+    rows = [F.struct(F.lit(m).alias("metric"),
+                     F.col(m).cast("long").alias("value"))
+            for m in metrics]
+    scalars = (base.select(F.explode(F.array(*rows)).alias("r"))
+                   .select("r.metric", "r.value"))
+    langs = (d.groupBy("lang").agg(F.count("*").alias("value"))
+              .select(F.concat(F.lit("docs_lang_"), F.col("lang"))
+                       .alias("metric"), "value"))
+    q = (group_quantiles(d.withColumn("_g", F.lit(1)), "_g", "n_chars",
+                         percents=(50, 95))
+         .select(F.explode(F.array(
+             F.struct(F.lit("p50_chars").alias("metric"),
+                      F.col("p50").cast("long").alias("value")),
+             F.struct(F.lit("p95_chars").alias("metric"),
+                      F.col("p95").cast("long").alias("value"))))
+             .alias("r"))
+         .select("r.metric", "r.value"))
+    return scalars.unionByName(langs).unionByName(q)
+
+
 def q_range_bounds(spark, sf_dir):
     """Exact range-partitioner boundaries
     (operators/stats.py::range_bounds): type-1 quantiles of doc length
@@ -1813,6 +1852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "session_paths": q_session_paths,
         "verified_neardups": q_verified_neardups,
+        "corpus_report": q_corpus_report,
         "range_bounds": q_range_bounds,
         "doc_length_quantiles": q_doc_length_quantiles,
         "curate_corpus": q_curate_corpus,
@@ -2594,6 +2634,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         # DuckDB's native quantile_disc — independent implementation of
         # the type-1 discrete quantile the operator computes by rank math
+        # long-format dataset card; token counts via the same ws-token
+        # rule as token_counts' oracle; quantile positions exact
+        "corpus_report": """
+            WITH toks AS (
+              SELECT n_chars, lang, source,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text),
+                                   '[ \t\r\n\f\x0B]+')) END AS t
+              FROM documents)
+            SELECT 'n_docs' AS metric, CAST(count(*) AS BIGINT) AS value
+            FROM toks
+            UNION ALL
+            SELECT 'total_chars', CAST(sum(n_chars) AS BIGINT) FROM toks
+            UNION ALL
+            SELECT 'total_tokens', CAST(sum(t) AS BIGINT) FROM toks
+            UNION ALL
+            SELECT 'n_langs', CAST(count(DISTINCT lang) AS BIGINT)
+            FROM toks
+            UNION ALL
+            SELECT 'n_sources', CAST(count(DISTINCT source) AS BIGINT)
+            FROM toks
+            UNION ALL
+            SELECT 'docs_lang_' || lang, CAST(count(*) AS BIGINT)
+            FROM toks GROUP BY lang
+            UNION ALL
+            SELECT 'p50_chars',
+                   CAST(quantile_disc(n_chars, 0.50) AS BIGINT) FROM toks
+            UNION ALL
+            SELECT 'p95_chars',
+                   CAST(quantile_disc(n_chars, 0.95) AS BIGINT) FROM toks
+        """,
         "doc_length_quantiles": """
             SELECT source, CAST(count(n_chars) AS BIGINT) AS n,
                    CAST(quantile_disc(n_chars, 0.50) AS BIGINT) AS p50,
