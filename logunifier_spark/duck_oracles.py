@@ -795,15 +795,11 @@ FROM rr WHERE rank <= {topk}
 """
 
 
-def bpe_train_sql(iters: int = 6) -> str:
-    """(step, lhs, rhs, merged, pair_count) of bpe.bpe_train over
-    `documents`: the full iterative BPE training unrolled as CTEs —
-    per step, weighted adjacent-pair counts, the deterministic argmax
-    (count DESC, pair ASC), and the double-space-trick rewrite (plain
-    string replace = greedy left-to-right non-overlapping on BOTH
-    engines). Assumes the corpus supports `iters` merges (a step with
-    no pairs would yield scalar-NULL rewrites); the driver query keeps
-    iters well under the corpus's merge capacity."""
+def _bpe_train_ctes(iters: int) -> str:
+    """The shared WITH-chain v0..b{i}..v{iters} of the BPE training
+    oracle (MATERIALIZED per level — DuckDB inlines multiply-referenced
+    CTEs and the chain re-evaluates exponentially otherwise). Consumed
+    by bpe_train_sql (merge table) and bpe_apply_sql (re-apply)."""
     ctes = [r"""v0 AS MATERIALIZED (
   SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS sym, n FROM (
     SELECT w, count(*) AS n FROM (
@@ -831,11 +827,23 @@ v{i + 1} AS MATERIALIZED (
                || (SELECT r FROM b{i}) || ' '),
          ' +', ' ', 'g')) AS sym, n
   FROM v{i})""")
+    return ",\n".join(ctes)
+
+
+def bpe_train_sql(iters: int = 6) -> str:
+    """(step, lhs, rhs, merged, pair_count) of bpe.bpe_train over
+    `documents`: the full iterative BPE training unrolled as CTEs —
+    per step, weighted adjacent-pair counts, the deterministic argmax
+    (count DESC, pair ASC), and the double-space-trick rewrite (plain
+    string replace = greedy left-to-right non-overlapping on BOTH
+    engines). Assumes the corpus supports `iters` merges (a step with
+    no pairs would yield scalar-NULL rewrites); the driver query keeps
+    iters well under the corpus's merge capacity."""
     selects = "\nUNION ALL\n".join(
         f"SELECT {i} AS step, l AS lhs, r AS rhs, l || r AS merged, "
         f"c AS pair_count FROM b{i}"
         for i in range(iters))
-    return "WITH " + ",\n".join(ctes) + "\n" + selects
+    return "WITH " + _bpe_train_ctes(iters) + "\n" + selects
 
 
 def bpe_apply_sql(iters: int = 6) -> str:
@@ -844,10 +852,7 @@ def bpe_apply_sql(iters: int = 6) -> str:
     six chained replace steps (scalar subqueries on each b{i}) re-apply
     it to the boundary-marked ('|') char-split text of every document —
     the full train->apply loop as one oracle."""
-    train = bpe_train_sql(iters)
-    # reuse the WITH chain verbatim, drop the merge-table SELECTs
-    ctes = train.split("\nSELECT 0 AS step")[0][len("WITH "):]
-    parts = [ctes, r"""a0 AS (
+    parts = [_bpe_train_ctes(iters), r"""a0 AS (
   SELECT doc_id,
          trim(regexp_replace(regexp_replace(lower(text),
               '[^a-z]+', '|', 'g'), '(.)', '\1 ', 'g')) AS sym

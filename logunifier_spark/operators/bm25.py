@@ -130,18 +130,14 @@ def inverted_index(docs: DataFrame, id_col: str = "doc_id",
     Postings serialize as a string, not array<bigint>: a string column
     is directly hashable/comparable across engines and keeps this
     oracle-able; consumers split on ','."""
+    from logunifier_spark.operators.stats import grouped_top_k
     d = (_terms(docs, id_col, text_col)
          .groupBy("term", id_col).agg(F.count("*").alias("tf")))
     d = d.localCheckpoint(eager=False)
     dfreq = d.groupBy("term").agg(F.count("*").alias("df"))
-    fan = 16
-    w1 = (Window.partitionBy("term", F.pmod(F.col(id_col), F.lit(fan)))
-                .orderBy(id_col))
-    lvl1 = (d.withColumn("_rn", F.row_number().over(w1))
-             .where(F.col("_rn") <= max_postings).drop("_rn"))
-    w2 = Window.partitionBy("term").orderBy(id_col)
-    kept = (lvl1.withColumn("_rn", F.row_number().over(w2))
-                .where(F.col("_rn") <= max_postings))
+    # smallest max_postings ids per term via the shared salted top-k
+    kept = grouped_top_k(d, "term", id_col, k=max_postings,
+                         ascending=True).drop("rank")
     posts = (kept.groupBy("term")
                  .agg(F.array_join(
                      F.transform(

@@ -103,6 +103,17 @@ _GRAM_BASE_1 = 131
 _GRAM_BASE_2 = 137
 
 
+def _norm_series(text: pd.Series) -> pd.Series:
+    """THE normalization for every portable gram family in this module
+    (minhash signatures, simhash votes, the verify-stage gram sets):
+    lower + ASCII-ws collapse + UTF-32LE codepoints. One copy — the
+    sketch and its verify stage must hash the SAME sets, and the SQL
+    oracles' _codepoints_cte mirrors exactly this."""
+    return (text.fillna("").str.lower()
+                .str.replace(ASCII_WS + "+", " ", regex=True)
+                .str.encode("utf-32-le"))
+
+
 def _gram_hashes(norm_u32, shingle_n: int, base: int = _GRAM_BASE_1) -> list:
     """Distinct n-gram hashes per row (list of int64 arrays < p) from
     UTF-32LE-encoded normalized strings: Horner rolling hash over Unicode
@@ -215,9 +226,7 @@ def minhash_signature_udf(num_hashes: int = 64, shingle_n: int = 5):
 
     @pandas_udf("array<long>")
     def _sig(text: pd.Series) -> pd.Series:
-        norm = (text.fillna("").str.lower()
-                    .str.replace(ASCII_WS + "+", " ", regex=True)
-                    .str.encode("utf-32-le"))
+        norm = _norm_series(text)
         grams_per_row = _gram_hashes(norm, shingle_n)
         lens = np.fromiter(map(len, grams_per_row), dtype=np.int64,
                            count=len(grams_per_row))
@@ -459,9 +468,7 @@ def simhash_udf(shingle_n: int = 4):
 
     @pandas_udf("long")
     def _sim(text: pd.Series) -> pd.Series:
-        norm = (text.fillna("").str.lower()
-                    .str.replace(ASCII_WS + "+", " ", regex=True)
-                    .str.encode("utf-32-le"))
+        norm = _norm_series(text)
         grams_per_row = _gram_pairs(norm, shingle_n)
         lens = np.fromiter(map(len, grams_per_row), dtype=np.int64,
                            count=len(grams_per_row))
@@ -689,9 +696,7 @@ def portable_grams_udf(shingle_n: int = 5):
 
     @pandas_udf("array<long>")
     def _g(text: pd.Series) -> pd.Series:
-        norm = (text.fillna("").str.lower()
-                    .str.replace(ASCII_WS + "+", " ", regex=True)
-                    .str.encode("utf-32-le"))
+        norm = _norm_series(text)
         return pd.Series([g.tolist() for g in
                           _gram_hashes(norm, shingle_n)])
 

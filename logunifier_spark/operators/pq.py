@@ -67,15 +67,19 @@ def _sub_assign(q: np.ndarray, cents: list[list[int]], lo: int,
 
 def _seed_full(corpus: DataFrame, k: int, scale: int, id_col: str,
                vec_col: str) -> list[list[int]]:
-    """The k lowest-portable-hash rows' FULL quantized vectors — one
-    job; subspace seeds are driver-side slices (quantize is
-    element-wise, so slice-then-quantize == quantize-then-slice)."""
-    from logunifier_spark.operators.sampling import _portable_hash
-    rows = (corpus
-            .withColumn("_r", _portable_hash(F.col(id_col)))
-            .orderBy("_r", id_col).limit(k)
-            .select(quantize(F.col(vec_col), scale).alias("_q")).collect())
-    return [list(r["_q"]) for r in rows]
+    """The k lowest-portable-hash rows' FULL quantized vectors — ONE
+    job via kmeans.seed_centroids (the canonical seeding rule; a
+    second copy here would let the two drift apart and break the
+    bit-for-bit oracle). Subspace seeds are driver-side slices
+    (quantize is element-wise, so slice-then-quantize ==
+    quantize-then-slice). Raises when the corpus holds fewer than k
+    rows — padding codebooks would silently change every code."""
+    from logunifier_spark.operators.kmeans import seed_centroids
+    full = seed_centroids(corpus, k, id_col, vec_col, scale)
+    if len(full) < k:
+        raise ValueError(
+            f"corpus has only {len(full)} rows, need k={k} seeds")
+    return full
 
 
 def pq_codebooks(corpus: DataFrame, dim: int, m: int = 8, k: int = 16,

@@ -260,6 +260,7 @@ def weighted_sample(df: DataFrame, n: int, weight_col: str,
     Scale: pure projection + the salted two-level top-k (no single
     sort partition holds the corpus; same survival argument as
     stratified_sample, pointed at a DESC ranking)."""
+    from logunifier_spark.operators.stats import grouped_top_k
     off = (salt * 0x9E3779B1) % _MOD
     u = ((_portable_hash(F.col(id_col), off) + F.lit(1)).cast("double")
          / F.lit(float(_MOD + 1)))
@@ -267,11 +268,7 @@ def weighted_sample(df: DataFrame, n: int, weight_col: str,
     d = (df.where(F.col(weight_col).isNotNull()
                   & (F.col(weight_col).cast("double") > 0))
            .withColumn("_k", key))
-    w1 = (Window.partitionBy(F.pmod(F.xxhash64(F.col(id_col)),
-                                    F.lit(fan)))
-                .orderBy(F.desc("_k"), F.asc(id_col)))
-    lvl1 = (d.withColumn("_rn", F.row_number().over(w1))
-             .where(F.col("_rn") <= n).drop("_rn"))
-    w2 = Window.orderBy(F.desc("_k"), F.asc(id_col))
-    return (lvl1.withColumn("_rn", F.row_number().over(w2))
-                .where(F.col("_rn") <= n).drop("_rn", "_k"))
+    # global (keys=[]) salted top-k — the one shared implementation of
+    # the two-level survival argument (stats.grouped_top_k)
+    return (grouped_top_k(d, [], "_k", k=n, tiebreak=[id_col], fan=fan)
+            .drop("rank", "_k"))

@@ -176,8 +176,11 @@ def group_histogram(df: DataFrame, keys: list[str] | str, col: str,
 def grouped_top_k(df: DataFrame, keys: list[str] | str,
                   order_col: str, k: int = 10,
                   tiebreak: list[str] | None = None,
-                  fan: int = 16) -> DataFrame:
-    """Per-group top-k rows by `order_col` DESC (ties broken by
+                  fan: int = 16, ascending: bool = False) -> DataFrame:
+    """Per-group top-k rows by `order_col` DESC (ASC with
+    `ascending=True` — e.g. smallest ids/keys; keys=[] gives a GLOBAL
+    top-k whose level-2 window runs over <= fan*k rows only; ties
+    broken by
     `tiebreak` ascending — pass columns forming a total order for a
     deterministic result), with `rank` added. The skew-safe grouped
     top-k: level 1 ranks within (keys, xxhash64(order+tiebreak) mod fan)
@@ -187,7 +190,8 @@ def grouped_top_k(df: DataFrame, keys: list[str] | str,
     pointed at a DESC ranking)."""
     keys = [keys] if isinstance(keys, str) else list(keys)
     tiebreak = list(tiebreak or [])
-    order = [F.desc(order_col)] + [F.asc(c) for c in tiebreak]
+    head = F.asc(order_col) if ascending else F.desc(order_col)
+    order = [head] + [F.asc(c) for c in tiebreak]
     salt = F.pmod(F.xxhash64(F.col(order_col),
                              *[F.col(c) for c in tiebreak]), F.lit(fan))
     w1 = Window.partitionBy(*keys, salt).orderBy(*order)
@@ -272,6 +276,26 @@ def range_bounds(df: DataFrame, col: str, parts: int,
 CMS_HEX_PER_ROW = 6                      # 24-bit slice per hash row
 
 
+def _cms_validate(d: int, w: int) -> None:
+    if not (1 <= d <= 5):
+        raise ValueError(f"d must be in [1, 5] (md5 slices), got {d}")
+    if not (2 <= w <= 1 << 24):
+        raise ValueError(f"w must be in [2, 2^24], got {w}")
+
+
+def _cms_cells(col: str, d: int, w: int) -> Column:
+    """The d (row, bucket) cells of a value — THE shared hashing between
+    cms_sketch and cms_estimate (build/probe parity is the whole
+    correctness argument; two copies could silently diverge)."""
+    md5c = F.md5(F.col(col).cast("string"))
+    return F.array(*[F.struct(
+        F.lit(i).alias("row"),
+        F.pmod(F.conv(F.substring(md5c, 1 + CMS_HEX_PER_ROW * i,
+                                  CMS_HEX_PER_ROW), 16, 10).cast("long"),
+               F.lit(w)).cast("int").alias("bucket"))
+        for i in range(d)])
+
+
 def cms_sketch(df: DataFrame, col: str, d: int = 4,
                w: int = 1024) -> DataFrame:
     """Count-Min sketch (Cormode & Muthukrishnan 2005) of `col`'s value
@@ -288,19 +312,9 @@ def cms_sketch(df: DataFrame, col: str, d: int = 4,
     hash aggregate bounded at d*w cells.
 
     Standard error: est <= true + 2N/w with prob 1 - (1/2)^d."""
-    if not (1 <= d <= 5):
-        raise ValueError(f"d must be in [1, 5] (md5 slices), got {d}")
-    if not (2 <= w <= 1 << 24):
-        raise ValueError(f"w must be in [2, 2^24], got {w}")
-    md5c = F.md5(F.col(col).cast("string"))
-    cells = [F.struct(
-        F.lit(i).alias("row"),
-        F.pmod(F.conv(F.substring(md5c, 1 + CMS_HEX_PER_ROW * i,
-                                  CMS_HEX_PER_ROW), 16, 10).cast("long"),
-               F.lit(w)).cast("int").alias("bucket"))
-        for i in range(d)]
+    _cms_validate(d, w)
     ex = (df.where(F.col(col).isNotNull())
-            .withColumn("_cells", F.array(*cells))
+            .withColumn("_cells", _cms_cells(col, d, w))
             .select(F.explode("_cells").alias("rb")))
     return (ex.groupBy(F.col("rb.row").alias("row"),
                        F.col("rb.bucket").alias("bucket"))
@@ -312,16 +326,13 @@ def cms_estimate(sketch: DataFrame, probes: DataFrame, col: str,
     """Point-estimate the frequency of each distinct probe value:
     (col, est BIGINT) with est = min over rows of the value's cell
     (0 when a cell is empty). est >= true count always (CMS
-    one-sided error). `d`/`w` must match the sketch's build."""
-    md5c = F.md5(F.col(col).cast("string"))
-    cells = [F.struct(
-        F.lit(i).alias("row"),
-        F.pmod(F.conv(F.substring(md5c, 1 + CMS_HEX_PER_ROW * i,
-                                  CMS_HEX_PER_ROW), 16, 10).cast("long"),
-               F.lit(w)).cast("int").alias("bucket"))
-        for i in range(d)]
+    one-sided error). `d`/`w` MUST match the sketch's build — the
+    sketch frame carries no metadata, so a mismatch is undetectable
+    here and silently breaks the one-sided guarantee (probe buckets
+    miss, est=0); parameter ranges are validated like cms_sketch."""
+    _cms_validate(d, w)
     p = (probes.where(F.col(col).isNotNull()).select(col).distinct()
-               .withColumn("_cells", F.array(*cells))
+               .withColumn("_cells", _cms_cells(col, d, w))
                .select(F.col(col), F.explode("_cells").alias("rb"))
                .select(F.col(col), F.col("rb.row").alias("row"),
                        F.col("rb.bucket").alias("bucket")))

@@ -291,6 +291,10 @@ def session_paths(df: DataFrame, key: list[str] | str,
                   F.slice(F.transform(collected, lambda e: e["s"]),
                           1, max_len), ">").alias("path")))
     counts = paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
+    # TakeOrdered bounds the global top-k (no full sort partition);
+    # the rank window then runs over <= k rows only — an unpartitioned
+    # window over the full distinct-path frame would move it all to one
+    # task
+    top = counts.orderBy(F.desc("n_sessions"), F.asc("path")).limit(k)
     w = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
-    return (counts.withColumn("rank", F.row_number().over(w))
-                  .where(F.col("rank") <= k))
+    return top.withColumn("rank", F.row_number().over(w))
