@@ -76,7 +76,15 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[str, str]],
     tf = tf.localCheckpoint(eager=False)
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     tot = dl.agg(F.sum("dl").alias("t")).first()
-    avgdl = float(int(tot["t"])) / float(n_docs) if n_docs else 0.0
+    # sum over zero rows is NULL: a corpus with rows but no valid tokens
+    # must return the empty result, not crash on int(None) / divide into
+    # a 0.0 avgdl (ADVICE r3)
+    total_tokens = int(tot["t"] or 0)
+    if n_docs == 0 or total_tokens == 0:
+        id_t = docs.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"query_id string, {id_col} {id_t}, rank int, score double")
+    avgdl = float(total_tokens) / float(n_docs)
 
     qdf = F.broadcast(
         _terms(spark.createDataFrame(queries,

@@ -269,6 +269,33 @@ _SIG_BROADCAST_INPUT_BYTES = 512 * 1024 * 1024
 _SIG_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
 
 
+class _CapStats:
+    """Accessor for minhash_lsh_pairs' hot-bucket cap metrics. `.get`
+    (after the first action on the returned frame) is a mapping with
+    `capped_buckets` and `max_bucket_rows`. Normally it reads the free
+    ride-along Observation; when EVERY bucket was capped the survivor
+    set is empty, Spark 4.1's AQE empty-relation propagation cancels the
+    stage carrying the CollectMetrics node, and Observation.get crashes
+    on a schemaless row (same bug class as write_sinks' zero-row write)
+    — the fallback recomputes the two scalars from the checkpointed
+    signatures: one small agg job, paid only on that rare all-hot path."""
+
+    def __init__(self, obs, raw_counts: DataFrame, max_bucket: int):
+        self._obs, self._counts, self._mb = obs, raw_counts, max_bucket
+
+    @property
+    def get(self) -> dict:
+        try:
+            return dict(self._obs.get)
+        except Exception:  # noqa: BLE001 — Py4J assert, see docstring
+            row = self._counts.agg(
+                F.sum((F.col("_n") > self._mb).cast("long"))
+                 .alias("capped_buckets"),
+                F.max("_n").alias("max_bucket_rows")).first()
+            return {"capped_buckets": int(row["capped_buckets"] or 0),
+                    "max_bucket_rows": int(row["max_bucket_rows"] or 0)}
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 64,
                       bands: int = 16, shingle_n: int = 5,
@@ -290,7 +317,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     boilerplate-identical and better collapsed by exact_dedup first.
     Callers needing the exact pigeonhole guarantee opt out with
     max_bucket=None explicitly (default flipped in round 3 — see
-    CHANGES_r03.md).
+    CHANGES_r03.md). Because the cap silently trades recall, the loss is
+    made OBSERVABLE (ADVICE r3): the returned frame carries a
+    `hot_bucket_observation` attribute (a `_CapStats`; None when
+    uncapped) whose `.get`, available after the first action on the
+    result, reports `capped_buckets` (how many (band, bucket)
+    populations exceeded the cap and were dropped from candidate
+    generation) and `max_bucket_rows` (the largest population seen). It
+    rides the existing bucket-count aggregate — zero extra jobs on the
+    normal path (see _CapStats for the all-hot fallback).
 
     `broadcast_sigs` (default auto from the input's Catalyst size stats):
     when the signature table is small enough to broadcast, the two
@@ -339,10 +374,19 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
               .select("id", F.explode("bb_arr").alias("bb"))
               .select("id", F.col("bb.band").alias("band"),
                       F.col("bb.bucket").alias("bucket")))
+    hot_obs = None
     if max_bucket is not None:
-        cool = (banded.groupBy("band", "bucket")
-                      .agg(F.count("*").alias("_n"))
-                      .where(F.col("_n") <= max_bucket)
+        from pyspark.sql import Observation
+        raw_counts = (banded.groupBy("band", "bucket")
+                            .agg(F.count("*").alias("_n")))
+        obs = Observation("minhash_hot_buckets")
+        counts = raw_counts.observe(
+            obs,
+            F.sum((F.col("_n") > max_bucket).cast("long"))
+             .alias("capped_buckets"),
+            F.max("_n").alias("max_bucket_rows"))
+        hot_obs = _CapStats(obs, raw_counts, max_bucket)
+        cool = (counts.where(F.col("_n") <= max_bucket)
                       .select("band", "bucket"))
         banded = banded.join(cool, ["band", "bucket"], "left_semi")
 
@@ -371,7 +415,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
         lambda v: v == 1))
     sim = (agree / F.lit(num_hashes)).alias("sim")
-    return pairs.select("id_a", "id_b", sim).where(F.col("sim") >= threshold)
+    out = pairs.select("id_a", "id_b", sim).where(F.col("sim") >= threshold)
+    # surface the cap's recall trade (see docstring); None when uncapped
+    out.hot_bucket_observation = hot_obs
+    return out
 
 
 def minhash_dedup(df: DataFrame, text_col: str = "text",

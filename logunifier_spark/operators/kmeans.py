@@ -63,12 +63,21 @@ def seed_centroids(corpus: DataFrame, k: int, id_col: str = "vec_id",
                    scale: int = 1000) -> list[list[int]]:
     """Deterministic seeds: the k vectors with the lowest portable hash of
     id (same injective-on-int32 family as sampling/ivf — plain-SQL
-    expressible), quantized. Ties broken by id."""
+    expressible), quantized. Ties broken by id. Raises when the corpus
+    holds fewer than k rows (mirrors pq._seed_full): a short seed list
+    would make the Lloyd update's cents[cid] IndexError later with no
+    hint at the cause, and padding seeds would silently change every
+    assignment."""
     from logunifier_spark.operators.sampling import _portable_hash
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     rows = (corpus
             .withColumn("_r", _portable_hash(F.col(id_col)))
             .orderBy("_r", id_col).limit(k)
             .select(quantize(F.col(vec_col), scale).alias("_q")).collect())
+    if len(rows) < k:
+        raise ValueError(
+            f"corpus has only {len(rows)} rows, need k={k} seeds")
     return [list(r["_q"]) for r in rows]
 
 

@@ -56,7 +56,13 @@ def unigram_logppl(docs: DataFrame, text_col: str = "text",
                .localCheckpoint(eager=False))
     lm = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
     tot = lm.agg(F.sum("cnt").alias("t"), F.count("*").alias("v")).first()
-    denom = int(tot["t"]) + int(tot["v"])
+    # sum over an empty/token-free corpus is NULL → int(None) crash
+    # (ADVICE r3); with zero tokens the result is the empty frame
+    denom = int(tot["t"] or 0) + int(tot["v"] or 0)
+    if denom == 0:
+        id_t = docs.schema[id_col].dataType.simpleString()
+        return docs.sparkSession.createDataFrame(
+            [], f"{id_col} {id_t}, n_tokens bigint, logppl double")
     logp_q = F.floor(
         F.lit(float(QUANT))
         * F.log((F.col("cnt") + F.lit(1)).cast("double")

@@ -221,16 +221,40 @@ def compact_sinks(spark, base_path: str,
     FileSystem's content summary (no data scan), the file count target
     is ceil(bytes / target_file_bytes), and the rewrite is one
     repartition(n) job per sink preserving the route_partition layout.
-    The rewrite goes through a sibling staging directory + atomic-ish
-    rename swap (rename is atomic on HDFS and a fast metadata move
-    locally; on object stores prefer the Iceberg path in
+    The rewrite goes through a sibling staging directory + a TWO-rename
+    swap (path→._compact_old, staging→path; each rename is atomic on
+    HDFS and a fast metadata move locally, but the pair is NOT one
+    atomic operation — on object stores prefer the Iceberg path in
     `write_sinks_iceberg`, where compaction is a snapshot-safe rewrite).
-    Readers racing the swap see the old or the new listing, never a
-    partial mix of both — the same guarantee the reference's file-sink
-    ack model gives (streamcfg.go:96-120), minus Iceberg's time travel.
+
+    Guarantee, stated honestly (ADVICE r3): a reader that lists the sink
+    sees the complete old data or the complete new data, never a partial
+    mix — but BETWEEN the two renames there is a window where the sink
+    directory does not exist (a racing reader gets an empty/missing
+    listing, not wrong rows), and a crash inside that window strands the
+    data in `sink=<name>._compact_old`. That state is RECOVERABLE and
+    this function self-heals it: on entry, any `._compact_old` whose
+    sink directory is missing is renamed back (the data was complete
+    when it was set aside), and leftover `._compact_tmp` staging dirs
+    from a crashed write are deleted (they may be partial; the live sink
+    was never touched). The reference's file-sink ack model
+    (streamcfg.go:96-120) gives the same old-or-new listing guarantee
+    with the same non-atomic swap caveat, minus Iceberg's time travel.
     """
     jvm = spark._jvm  # noqa: SLF001
     conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    base_jpath = jvm.org.apache.hadoop.fs.Path(base_path)
+    base_fs = base_jpath.getFileSystem(conf)
+    # crash recovery BEFORE listing sinks (see docstring)
+    for st in base_fs.listStatus(base_jpath):
+        name = st.getPath().getName()
+        if name.endswith("._compact_tmp"):
+            base_fs.delete(st.getPath(), True)
+        elif name.endswith("._compact_old"):
+            live = jvm.org.apache.hadoop.fs.Path(
+                base_path, name[: -len("._compact_old")])
+            if not base_fs.exists(live):
+                base_fs.rename(st.getPath(), live)
     out: dict[str, int] = {}
     for sink, path in _list_sink_dirs(spark, base_path).items():
         jpath = jvm.org.apache.hadoop.fs.Path(path)

@@ -162,22 +162,23 @@ def pack_sequences(df: DataFrame, budget: int, tokens_col: Column | None = None,
     (shard, pack) composites independent of cluster layout.
 
     `n_shards` BOUNDS the parallelism: each shard is one window-sort
-    partition, so a fixed small count would leave a 1000-executor cluster
-    idle and make each shard one giant external sort. The default is
-    therefore adaptive — max(64, input scan partitions) — sized with the
-    data while staying deterministic for a given input layout. Pass an
-    explicit n_shards when the pack layout itself must be reproducible
-    across differently-partitioned reads of the same corpus (the driver
-    query and its oracle both pin n_shards=8).
+    partition. Unlike epoch_shuffle, the shard id is PART OF THE RESULT
+    (pack ids are (shard, pack) composites), so the default is a FIXED
+    64 — an adaptive default would make the pack layout silently vary
+    with the input's partitioning (maxPartitionBytes, file count), which
+    breaks the repo's determinism convention and any resume that assumes
+    stable pack ids (ADVICE r3). Callers packing corpora where 64
+    parallel sorts is too coarse (each shard is one external sort of
+    ~n/64 docs) pass a larger explicit n_shards and record it next to
+    the layout — the value is a property of the DATASET VERSION, not of
+    the cluster that happened to write it.
 
     Returns (id, shard, tokens, start_offset, first_pack, last_pack) where
     offsets are within-shard token positions."""
     from logunifier_spark.operators.textstats import token_count
     tokens = tokens_col if tokens_col is not None else token_count(F.col("text"))
     if n_shards is None:
-        # plan-time metadata only (no job): scan partition count tracks
-        # input bytes via maxPartitionBytes, so shard count scales with data
-        n_shards = max(64, df.rdd.getNumPartitions())
+        n_shards = 64
     shard = _portable_hash(F.col(id_col)) % n_shards
     w = (Window.partitionBy("shard").orderBy(id_col)
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))

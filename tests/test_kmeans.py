@@ -69,6 +69,17 @@ def test_kmeans_partitioning_invariant(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+def test_kmeans_needs_k_rows(spark):
+    # fewer rows than k must fail loudly at seeding (ADVICE r3), not
+    # IndexError deep inside the Lloyd update; empty corpora too
+    rows = [(0, [0.5, 0.5]), (1, [0.1, 0.9])]
+    df = spark.createDataFrame(rows, SCHEMA)
+    with pytest.raises(ValueError, match="need k=3 seeds"):
+        kmeans_fixed_point(df, k=3, iters=1)
+    with pytest.raises(ValueError, match="need k=2 seeds"):
+        kmeans_fixed_point(df.where(F.lit(False)), k=2, iters=1)
+
+
 def test_kmeans_empty_cluster_keeps_seed(spark):
     # two identical points, k=2: one centroid captures everything, the
     # other keeps its seed and must still exist without crashing

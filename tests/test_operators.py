@@ -43,6 +43,22 @@ def test_minhash_dedup_keeps_representative(spark, docs):
     assert 1 in kept and 2 not in kept and 4 in kept and 5 in kept
 
 
+def test_minhash_cap_observable(spark, docs):
+    # the max_bucket cap trades recall silently -> the returned frame's
+    # hot_bucket_observation must report it after the first action
+    from logunifier_spark.operators.dedup import minhash_lsh_pairs
+    capped = minhash_lsh_pairs(docs, threshold=0.5, max_bucket=1)
+    n = capped.count()
+    row = capped.hot_bucket_observation.get
+    # docs 1 and 2 are identical: every band bucket they share holds >= 2
+    assert row["capped_buckets"] >= 1 and row["max_bucket_rows"] >= 2
+    assert n == 0 or (1, 2) not in {(r["id_a"], r["id_b"])
+                                    for r in capped.collect()}
+    uncapped = minhash_lsh_pairs(docs, threshold=0.5, max_bucket=None)
+    assert uncapped.hot_bucket_observation is None
+    assert (1, 2) in {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+
+
 def test_simhash_near_dup(spark, docs):
     from logunifier_spark.operators.dedup import simhash64, simhash_pairs
     h = {r["doc_id"]: r["sh"] for r in
@@ -334,7 +350,8 @@ def test_sampling_operators(spark):
 def test_pack_sequences_shard_scaling(spark):
     # n_shards bounds window-sort parallelism; the packing invariants must
     # hold at any shard count, total token mass is shard-invariant, and the
-    # adaptive default sizes shards with the input (>= 64 floor)
+    # DEFAULT layout is fixed (64) — shard is part of the result, so it
+    # must not vary with the input's partitioning (ADVICE r3)
     from logunifier_spark.operators.sampling import pack_sequences
     d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     totals = {}
@@ -347,9 +364,11 @@ def test_pack_sequences_shard_scaling(spark):
             by_shard[r["shard"]] = r["start_offset"] + r["tokens"]
         totals[n] = sum(r["tokens"] for r in rows)
     assert totals[4] == totals[16] > 0
-    auto = pack_sequences(d, budget=128)
-    n_auto = auto.select(F.max("shard")).first()[0]
-    assert n_auto < max(64, d.rdd.getNumPartitions())
+    key = lambda r: (r["shard"], r["doc_id"])  # noqa: E731
+    auto = sorted(pack_sequences(d, budget=128).collect(), key=key)
+    relaid = sorted(pack_sequences(d.repartition(7), budget=128).collect(),
+                    key=key)
+    assert auto == relaid and max(r["shard"] for r in auto) < 64
 
 
 def test_health_check(spark, tmp_path):
@@ -679,6 +698,35 @@ def test_compact_sinks_reduces_files_and_preserves_rows(spark, tmp_path):
     leftovers = [os.path.join(d, x) for d, dirs, _ in os.walk(str(tmp_path))
                  for x in dirs if "._compact_" in x]
     assert not leftovers                     # staging/backup cleaned up
+
+
+def test_compact_sinks_recovers_crashed_swap(spark, tmp_path):
+    # crash window simulation (ADVICE r3): between the two renames the
+    # sink dir is missing and the data sits in ._compact_old; a leftover
+    # ._compact_tmp from a crashed staging write may be partial. The next
+    # compact_sinks run must restore the old data and drop the staging.
+    import os
+    import shutil
+    from logunifier_spark.operators.route import compact_sinks, write_sinks
+    base = str(tmp_path / "sinks")
+    df = spark.range(500).select(
+        F.lit("loki").alias("sink"),
+        (F.col("id") % 2).cast("string").alias("route_partition"),
+        F.concat(F.lit("m"), F.col("id")).alias("message"), F.col("id"))
+    write_sinks(df, base, mode="append")
+    want = sorted(r["message"] for r in spark.read.parquet(base).collect())
+    live = os.path.join(base, "sink=loki")
+    os.rename(live, live + "._compact_old")          # crash after rename 1
+    os.makedirs(live + "._compact_tmp")              # partial staging
+    with open(os.path.join(live + "._compact_tmp", "part-junk"), "w") as f:
+        f.write("partial")
+    out = compact_sinks(spark, base, target_file_bytes=1 << 30)
+    assert set(out) == {"loki"}
+    got = sorted(r["message"] for r in spark.read.parquet(base).collect())
+    assert got == want
+    assert not [x for _, dirs, _ in os.walk(base)
+                for x in dirs if "._compact_" in x]
+    shutil.rmtree(base)
 
 
 def test_write_sinks_empty_frame_returns_empty_map(spark, tmp_path):

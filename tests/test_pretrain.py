@@ -229,6 +229,18 @@ def test_unigram_logppl_matches_python(spark):
     assert got[1][1] < got[0][1] < got[2][1]  # freq ordering is sane
 
 
+def test_logppl_token_free_corpus_is_empty(spark):
+    # rows but zero valid tokens: sum() aggregates to NULL — must return
+    # the empty frame, not crash on int(None) (ADVICE r3)
+    from logunifier_spark.operators.perplexity import unigram_logppl
+    df = spark.createDataFrame([(0, "123 !!!"), (1, None)],
+                               "doc_id long, text string")
+    out = unigram_logppl(df)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == \
+        ["doc_id", "n_tokens", "logppl"]
+
+
 def test_perplexity_filter_keeps_low_tail(spark):
     from logunifier_spark.operators.perplexity import (
         perplexity_filter,
@@ -245,6 +257,17 @@ def test_perplexity_filter_keeps_low_tail(spark):
 
 
 # ---------------------------------------------------------------- BM25 ----
+
+def test_bm25_token_free_corpus_is_empty(spark):
+    # same int(None) edge as unigram_logppl: docs exist, no valid tokens
+    from logunifier_spark.operators.bm25 import bm25_topk
+    df = spark.createDataFrame([(0, "42 !!"), (1, "")],
+                               "doc_id long, text string")
+    out = bm25_topk(df, [("q", "spark")])
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == \
+        ["query_id", "doc_id", "rank", "score"]
+
 
 def test_bm25_matches_python_reference(spark):
     import math
