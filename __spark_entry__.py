@@ -499,8 +499,10 @@ def q_doc_length_quantiles(spark, sf_dir):
     """Exact per-group discrete quantiles (operators/stats.py): doc-length
     p50/p95 per source with integer-only rank math (pos = ceil(n*p/100)
     computed as floor((n*p+99)/100) — float q flips positions at exact
-    multiples). Oracle = DuckDB's NATIVE quantile_disc, an independent
-    implementation of the same type-1 semantics."""
+    multiples), computed skew-safely via the per-group two-pass coarse
+    histogram (no per-group sort task — a dominant group costs the same
+    as a balanced one). Oracle = DuckDB's NATIVE quantile_disc, an
+    independent implementation of the same type-1 semantics."""
     _ship(spark)
     from logunifier_spark.operators.stats import group_quantiles
     d = _load(spark, sf_dir, "documents")
@@ -1098,9 +1100,13 @@ def q_corpus_report(spark, sf_dir):
     """The dataset card: one long-format (metric STRING, value BIGINT)
     frame — row/char/token totals, vocabulary-of-metadata cardinalities,
     per-language counts, exact length percentiles — the artifact a
-    curation run publishes next to the corpus. Three small jobs (one
-    multi-aggregate, one lang rollup, one exact quantile) unioned into
-    a single plan; integer-exact throughout."""
+    curation run publishes next to the corpus. One multi-aggregate, one
+    lang rollup, and one exact whole-corpus quantile unioned into a
+    single plan; integer-exact throughout. The percentiles ride
+    group_quantiles' two-pass coarse-histogram (operators/stats.py), so
+    the constant group costs distributed hash aggregates plus a rank
+    over ~n/coarse_bins rows per task — NOT one global sort task (the
+    round-3 scale-killer; plan-asserted in test_oracles)."""
     _ship(spark)
     from logunifier_spark.operators.stats import group_quantiles
     from logunifier_spark.operators.textstats import token_count

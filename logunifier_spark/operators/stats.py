@@ -18,11 +18,15 @@ arithmetic — a float q (n·0.95) is inexact in binary and flips the
 position at exact multiples. Exact for n·p + 99 < 2^53 (n per group up
 to ~9.5e13 at p=95), far past any real group.
 
-Scale: one hash exchange on the keys + one sort (the ranking window);
-the count rides the same partitioning without its own exchange, and the
-final reduction is a hash aggregate over the already-shuffled rows.
-That sort-per-group is inherent to EXACT quantiles; when an estimate
-suffices, use `F.percentile_approx` and skip the sort entirely.
+Scale: the exact quantiles come from a per-group TWO-PASS coarse
+histogram (the per-group generalization of `range_bounds`) — hash
+aggregates plus a final rank over only the needed (group, bucket)
+populations (~n_group/coarse_bins rows per task). No window ever
+partitions row-scale data by the group keys alone, so a dominant group
+— or a constant key asking for whole-corpus percentiles — costs the
+same per-row work as a balanced one instead of one giant external
+sort. When an estimate suffices, `F.percentile_approx` is still
+cheaper (single pass, no second scan).
 
 Ties: row_number among equal values is arbitrary, but the VALUE at a
 given sorted position of a multiset is deterministic — the selected
@@ -53,29 +57,107 @@ from pyspark.sql import functions as F
 
 def group_quantiles(df: DataFrame, keys: list[str] | str, col: str,
                     percents: tuple[int, ...] = (50, 95),
-                    out_prefix: str = "p") -> DataFrame:
+                    out_prefix: str = "p",
+                    coarse_bins: int = 1024) -> DataFrame:
     """Per-`keys` exact discrete quantiles of `col`: one row per group
     with `n` (non-null count) and one `<out_prefix><p>` column per
     requested percent. Null `col` values are ignored (standard quantile
-    semantics); groups with only nulls are absent from the result."""
+    semantics); groups with only nulls are absent from the result.
+
+    SKEW-SAFE by construction (round-4 rewrite): the original form
+    ranked each group in ONE window-sort partition, so a dominant group
+    (one language at 90% corpus share — or the constant group the
+    dataset card uses to get whole-corpus percentiles) became a
+    single-task global sort. This version is the per-group
+    generalization of `range_bounds`' two-pass coarse-histogram, fully
+    distributed, with NO window ever partitioned by the group keys
+    alone over row-scale data:
+
+      1. one scan → per-group (n, lo, hi) hash aggregate;
+      2. one scan → per-(group, coarse bucket) counts, where the bucket
+         is a pure function of (value, group lo/hi) so equal values
+         always share a bucket; a cumulative window over the HISTOGRAM
+         (≤ `coarse_bins` rows per group — bounded regardless of group
+         size) locates, for each target rank ceil(n·p/100), its bucket
+         and local rank within it;
+      3. a second row scan, pruned by semi-join to only the needed
+         (group, bucket) pairs, ranks WITHIN each (group, bucket) —
+         partition size ~n_group/coarse_bins, never the group — and a
+         join on (bucket, local rank) picks the exact values.
+
+    Single-valued groups (lo == hi, which includes n == 1) are answered
+    from pass 1 directly and never touch pass 2/3. Degenerate case: one
+    VALUE dominating a group keeps its whole population in one bucket
+    of step 3 (equal values must share a bucket for exactness) — but
+    ranking among equal values is rank-free in effect, and any needed
+    bucket is still at most the hot value's population, not the group.
+    Same integer-exact type-1 semantics as before (module docstring);
+    results are bit-identical to the single-sort form."""
     keys = [keys] if isinstance(keys, str) else list(keys)
     for p in percents:
         if not (isinstance(p, int) and 1 <= p <= 100):
             raise ValueError(f"percents must be ints in 1..100, got {p!r}")
-    d = df.where(F.col(col).isNotNull()).select(*keys, col)
-    w_row = Window.partitionBy(*keys).orderBy(col)
-    w_all = Window.partitionBy(*keys)
-    rn = F.row_number().over(w_row)
-    n = F.count(col).over(w_all)
-    d = d.withColumn("_rn", rn).withColumn("_n", n)
-    aggs = [F.max("_n").alias("n")]
+    if coarse_bins < 2:
+        raise ValueError(f"coarse_bins must be >= 2, got {coarse_bins}")
+    d = df.where(F.col(col).isNotNull()).select(*keys,
+                                                F.col(col).alias("_gq_v"))
+    # pass 1: per-group stats; tiny (one row per group) — cut the
+    # lineage so the four downstream references don't rescan the input
+    g = (d.groupBy(*keys).agg(F.count("*").alias("_gq_n"),
+                              F.min("_gq_v").alias("_gq_lo"),
+                              F.max("_gq_v").alias("_gq_hi"))
+          .localCheckpoint(eager=False))
+    pcols = [f"{out_prefix}{p}" for p in percents]
+    flat = g.where(F.col("_gq_lo") == F.col("_gq_hi")).select(
+        *keys, F.col("_gq_n").alias("n"),
+        *[F.col("_gq_lo").alias(c) for c in pcols])
+    multi = g.where(F.col("_gq_lo") != F.col("_gq_hi"))
+    # bucket id: fixed-width over the group's [lo, hi] span, clamped
+    # (x == hi lands exactly on coarse_bins); double-space like
+    # range_bounds — deterministic, so both passes bucket identically
+    x = F.col("_gq_v").cast("double")
+    lo = F.col("_gq_lo").cast("double")
+    span = F.col("_gq_hi").cast("double") - lo
+    raw = F.floor((x - lo) / span * F.lit(float(coarse_bins)))
+    bucket = F.least(F.lit(coarse_bins - 1).cast("long"),
+                     F.greatest(F.lit(0).cast("long"), raw))
+    db = (d.join(multi.select(*keys, "_gq_lo", "_gq_hi"), keys)
+           .withColumn("_gq_b", bucket)
+           .drop("_gq_lo", "_gq_hi"))
+    hist = db.groupBy(*keys, "_gq_b").agg(F.count("*").alias("_gq_c"))
+    # cumulative counts: window over the histogram, ≤ coarse_bins rows
+    # per group by construction (NOT row-scale — bounded at any skew)
+    hist = hist.withColumn(
+        "_gq_cum",
+        F.sum("_gq_c").over(Window.partitionBy(*keys).orderBy("_gq_b")))
+    tstructs = []
     for p in percents:
         # pos = ceil(n*p/100), integer-only (see module docstring)
-        a = F.col("_n") * F.lit(int(p)) + F.lit(99)
-        pos = (a - F.pmod(a, F.lit(100))) / F.lit(100)
-        aggs.append(F.max(F.when(F.col("_rn") == pos, F.col(col)))
-                    .alias(f"{out_prefix}{p}"))
-    return d.groupBy(*keys).agg(*aggs)
+        a = F.col("_gq_n") * F.lit(int(p)) + F.lit(99)
+        pos = ((a - F.pmod(a, F.lit(100))) / F.lit(100)).cast("long")
+        tstructs.append(F.struct(F.lit(int(p)).alias("_gq_p"),
+                                 pos.alias("_gq_pos")))
+    tgt = (multi.select(*keys, F.explode(F.array(*tstructs)).alias("_t"))
+                .select(*keys, "_t._gq_p", "_t._gq_pos"))
+    located = (tgt.join(hist, keys)
+                  .where((F.col("_gq_pos") > F.col("_gq_cum") - F.col("_gq_c"))
+                         & (F.col("_gq_pos") <= F.col("_gq_cum")))
+                  .select(*keys, "_gq_p", "_gq_b",
+                          (F.col("_gq_pos") - F.col("_gq_cum")
+                           + F.col("_gq_c")).alias("_gq_lrank")))
+    need = located.select(*keys, "_gq_b").distinct()
+    ranked = (db.join(need, [*keys, "_gq_b"], "left_semi")
+                .withColumn("_gq_lrank", F.row_number().over(
+                    Window.partitionBy(*keys, "_gq_b").orderBy("_gq_v"))))
+    vals = (ranked.join(located, [*keys, "_gq_b", "_gq_lrank"])
+                  .select(*keys, "_gq_p", "_gq_v"))
+    pivoted = vals.groupBy(*keys).agg(
+        *[F.max(F.when(F.col("_gq_p") == p, F.col("_gq_v"))).alias(c)
+          for p, c in zip(percents, pcols)])
+    out = (multi.select(*keys, F.col("_gq_n").alias("n"))
+                .join(pivoted, keys)
+                .select(*keys, "n", *pcols))
+    return out.unionByName(flat)
 
 
 KMV_HEX_CHARS = 12                 # 48-bit hash -> fits int64 exactly

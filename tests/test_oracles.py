@@ -85,3 +85,19 @@ def test_type_drift_catches_hugeint(duck):
         list(res.types),
     )
     assert drift == ["cum: spark bigint vs duck float-class"]
+
+
+def test_corpus_report_has_no_single_partition_rank(spark):
+    """The round-3 verdict's last scale-killer: the dataset card's
+    whole-corpus p50/p95 ran through a constant-group window — ONE sort
+    task holding the entire corpus. group_quantiles' two-pass histogram
+    rewrite must leave no row_number window partitioned without the
+    coarse-bucket column anywhere in the corpus_report plan."""
+    import re
+
+    df = entrymod.queries()["corpus_report"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"row_number\(\) windowspecdefinition\([^)]*", plan)
+    assert specs, "expected the quantile rank window in the plan"
+    for spec in specs:
+        assert "_gq_b" in spec, f"single-partition rank survives: {spec}"

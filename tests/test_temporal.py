@@ -270,6 +270,48 @@ def test_group_quantiles_exact(spark):
         group_quantiles(df, "key", "x", percents=(50.0,))
 
 
+def test_group_quantiles_skewed_group_matches_bruteforce(spark):
+    # one group holds ~all rows (the 90%-one-language corpus, or the
+    # dataset card's constant group): results must stay exact AND the
+    # plan must never rank row-scale data in a window partitioned by
+    # the group key alone — every row_number window must include the
+    # coarse-bucket column (the round-3 verdict's scale-killer)
+    import math
+    import re
+    from logunifier_spark.operators.stats import group_quantiles
+    df = (spark.range(5000)
+          .select(F.when(F.col("id") < 4900, "hot").otherwise("cold")
+                   .alias("key"),
+                  # non-uniform values incl. heavy ties
+                  ((F.col("id") * F.col("id")) % 977).alias("x")))
+    rows = df.collect()
+    out = group_quantiles(df, "key", "x", percents=(25, 50, 95, 100),
+                          coarse_bins=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for spec in re.findall(r"row_number\(\) windowspecdefinition\([^)]*",
+                           plan):
+        assert "_gq_b" in spec, f"row-scale rank without bucket: {spec}"
+    got = {r["key"]: r for r in out.collect()}
+    for key in ("hot", "cold"):
+        vals = sorted(r["x"] for r in rows if r["key"] == key)
+        assert got[key]["n"] == len(vals)
+        for p in (25, 50, 95, 100):
+            want = vals[math.ceil(len(vals) * p / 100) - 1]
+            assert got[key][f"p{p}"] == want, (key, p)
+
+
+def test_group_quantiles_single_value_group_skips_second_pass(spark):
+    # lo == hi groups (incl. n == 1) answer from pass-1 stats directly
+    from logunifier_spark.operators.stats import group_quantiles
+    df = spark.createDataFrame(
+        [("same", 3)] * 1000 + [("one", 42)], "key string, x long")
+    got = {r["key"]: r for r in
+           group_quantiles(df, "key", "x", percents=(50, 95)).collect()}
+    assert (got["same"]["n"], got["same"]["p50"], got["same"]["p95"]) \
+        == (1000, 3, 3)
+    assert (got["one"]["n"], got["one"]["p50"]) == (1, 42)
+
+
 def test_curate_funnel_stages(spark):
     from logunifier_spark.curate import curate
     en = ("the cat and the dog sat in the house, and it was warm. "
