@@ -1651,6 +1651,31 @@ def q_unigram_logppl(spark, sf_dir):
     return unigram_logppl(d)
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weighting (operators/dsir.py, Xie et al. 2023):
+    per-document log importance weight under add-one-smoothed
+    hashed-word-bigram bucket models — target model fit on the English
+    slice, source model on the whole corpus. Fixed-point int64 log
+    ratios make the per-doc sum order-free; the bucket hash is the
+    48-bit md5-prefix family (engine-portable). The oracle re-derives
+    the whole chain independently in SQL."""
+    _ship(spark)
+    from logunifier_spark.operators.dsir import dsir_logweights
+    d = _load(spark, sf_dir, "documents")
+    return dsir_logweights(d, d.where(F.col("lang") == "en"))
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR selection (operators/dsir.py::dsir_topk): the 50 most
+    target-like documents by log importance weight, ties by doc_id —
+    TakeOrdered (per-partition heap + driver merge), rank window runs
+    after .limit(k) so it is bounded at any corpus size."""
+    _ship(spark)
+    from logunifier_spark.operators.dsir import dsir_topk
+    d = _load(spark, sf_dir, "documents")
+    return dsir_topk(d, d.where(F.col("lang") == "en"), k=50)
+
+
 BM25_QUERIES = [("q_engine", "spark shuffle join data"),
                 ("q_customer", "customer order query value"),
                 ("q_window", "window agg filter scan")]
@@ -1892,6 +1917,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_pairs": q_semdedup_pairs,
         "tfidf_top_terms": q_tfidf_top_terms,
         "unigram_logppl": q_unigram_logppl,
+        "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
         "bm25_search": q_bm25_search,
         "repeated_ngrams": q_repeated_ngrams,
         "ann_ivf": q_ann_ivf,
@@ -3392,6 +3419,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tfidf_top_terms": _do.tfidf_top_terms_sql(k=5),
         "unigram_logppl": _do.unigram_logppl_sql(),
+        "dsir_weights": _do.dsir_weights_sql(),
+        "dsir_select": _do.dsir_topk_sql(50),
         "bm25_search": _do.bm25_sql(BM25_QUERIES, top_k=10),
         "repeated_ngrams": _do.repeated_ngrams_sql(n=3),
         # portable hash = ((id % 2^31) * MULT) % 2^31 — id reduced BEFORE

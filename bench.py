@@ -191,11 +191,134 @@ def run_scaling(n: int, n4: int) -> dict:
     }
 
 
+def run_streaming() -> dict:
+    """Measured Structured Streaming evidence (round-3 verdict ask #5):
+    stream_unify over a file source at two trigger intervals, plus the
+    custom stateful reassembly operator with its state-store footprint.
+
+    Methodology: STREAM_TURNS synthetic transcripts written as
+    STREAM_FILES parquet files; maxFilesPerTrigger=8 so the query runs
+    ~STREAM_FILES/8 micro-batches. Per trigger interval we report
+    end-to-end rows/sec (includes trigger idle — cadence-bound by
+    design), busy rows/sec (input rows / sum of triggerExecution time —
+    the plan's actual capability), and batch-latency avg/max. The
+    reassembly run drains 4-part fragment groups shuffled across files
+    (groups SPAN micro-batches, exercising cross-batch state) with
+    availableNow, reporting peak state rows/bytes from the progress
+    metrics."""
+    import glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    n_turns = int(os.environ.get("STREAM_TURNS", "512000"))
+    n_files = int(os.environ.get("STREAM_FILES", "64"))
+    spark = _spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    from logunifier_spark.fixtures import synth_transcripts
+    from logunifier_spark.streaming.stateful import stream_reassemble_partials
+    from logunifier_spark.streaming.stream import (
+        dead_letter_count,
+        read_transcript_stream,
+        stream_unify,
+    )
+
+    root = tempfile.mkdtemp(prefix="stream_bench_")
+    in_dir = os.path.join(root, "in")
+    synth_transcripts(spark, n_turns).repartition(n_files) \
+        .write.mode("overwrite").parquet(in_dir)
+    # warm the python workers + unify plan once (not measured)
+    q0 = stream_unify(read_transcript_stream(spark, in_dir, 64),
+                      os.path.join(root, "warm_out"),
+                      os.path.join(root, "warm_ckpt"))
+    q0.awaitTermination()
+
+    out: dict = {"metric": "streaming_throughput", "turns": n_turns,
+                 "files": n_files, "max_files_per_trigger": 8,
+                 "cpus": CPUS, "runs": {}}
+    for trig in (2, 5):
+        sink = os.path.join(root, f"out_{trig}s")
+        ckpt = os.path.join(root, f"ckpt_{trig}s")
+        t0 = time.perf_counter()
+        q = stream_unify(read_transcript_stream(spark, in_dir, 8),
+                         sink, ckpt, trigger_seconds=trig)
+        done = 0
+        while done < n_turns:
+            q.processAllAvailable()
+            done = sum(int(p["numInputRows"]) for p in q.recentProgress)
+        wall = time.perf_counter() - t0
+        progresses = [p for p in q.recentProgress
+                      if int(p["numInputRows"]) > 0]
+        dead = dead_letter_count(q)
+        q.stop()
+        lat = [int(p["durationMs"]["triggerExecution"])
+               for p in progresses]
+        busy_s = sum(lat) / 1000.0
+        shipped = spark.read.parquet(sink).count()
+        out["runs"][f"trigger_{trig}s"] = {
+            "batches": len(progresses),
+            "wall_sec": round(wall, 2),
+            "rows_per_sec_incl_idle": round(n_turns / wall, 1),
+            "rows_per_sec_busy": round(n_turns / busy_s, 1),
+            "batch_latency_ms_avg": round(sum(lat) / len(lat), 1),
+            "batch_latency_ms_max": max(lat),
+            "rows_shipped": shipped,
+            "dead_letter_rows": dead,
+        }
+
+    # stateful reassembly: 4-part groups, parts scattered across files so
+    # most groups straddle micro-batch boundaries (real cross-batch state)
+    n_groups = int(os.environ.get("STREAM_GROUPS", "50000"))
+    frag_dir = os.path.join(root, "frags")
+    (spark.range(n_groups * 4)
+     .select(F.concat(F.lit("g"), (F.col("id") % n_groups)).alias("partial_id"),
+             (F.col("id") / n_groups).cast("int").alias("partial_ordinal"),
+             ((F.col("id") / n_groups).cast("int") == 3).alias("partial_last"),
+             F.concat(F.lit("part"), F.col("id")).alias("message"),
+             F.lit("svc").alias("svc"))
+     # id-ordered ranges put each ordinal tier in its own file set ->
+     # a group's parts land in DIFFERENT micro-batches
+     .repartitionByRange(16, "partial_ordinal", "id")
+     .write.mode("overwrite").parquet(frag_dir))
+    frags = (spark.readStream.schema(spark.read.parquet(frag_dir).schema)
+             .option("maxFilesPerTrigger", 4).parquet(frag_dir))
+    t0 = time.perf_counter()
+    q = (stream_reassemble_partials(frags, timeout_ms=None)
+         .writeStream.format("parquet")
+         .option("path", os.path.join(root, "frag_out"))
+         .option("checkpointLocation", os.path.join(root, "frag_ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    wall = time.perf_counter() - t0
+    assembled = spark.read.parquet(os.path.join(root, "frag_out")).count()
+    state_rows = [int(op.get("numRowsTotal", 0))
+                  for p in q.recentProgress
+                  for op in p.get("stateOperators", [])]
+    state_bytes = [int(op.get("memoryUsedBytes", 0))
+                   for p in q.recentProgress
+                   for op in p.get("stateOperators", [])]
+    out["reassembly"] = {
+        "fragment_rows": n_groups * 4,
+        "groups": n_groups,
+        "wall_sec": round(wall, 2),
+        "fragments_per_sec": round(n_groups * 4 / wall, 1),
+        "assembled": assembled,
+        "state_rows_peak": max(state_rows) if state_rows else 0,
+        "state_bytes_peak": max(state_bytes) if state_bytes else 0,
+    }
+    spark.stop()
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 2
         n4 = int(sys.argv[3]) if len(sys.argv) > 3 else 8
         print(json.dumps(run_scaling(n, n4)))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--streaming":
+        print(json.dumps(run_streaming()))
     elif len(sys.argv) > 1 and sys.argv[1] == "--headline-once":
         # internal: one pinned measurement (see run_scaling); prints seconds
         cpus, turns, trials = (int(x) for x in sys.argv[2:5])

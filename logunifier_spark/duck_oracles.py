@@ -934,3 +934,79 @@ SELECT id_a, id_b, round(sim, 4) AS est_sim,
 FROM v
 WHERE inter / (na + nb - inter) >= CAST({exact_threshold} AS DOUBLE)
 """
+
+
+# ------------------------------------------------------ DSIR weighting ----
+
+def _dsir_ctes(target_pred: str, buckets: int, quant: int) -> str:
+    """Shared CTE chain for the DSIR oracles: hashed word-bigram buckets
+    (operators/dsir.py — same raw-split adjacency, same TERM_RE on both
+    words, same 48-bit md5-prefix bucket hash), add-one-smoothed bucket
+    models, fixed-point log-ratio table, per-doc integer sums. `src` is
+    MATERIALIZED: it is referenced twice (source counts + scoring) and
+    DuckDB inlines multiply-referenced CTEs (CLAUDE.md)."""
+    ws = r"'[ \t\r\n\f\x0B]+'"
+
+    def gram_stream(src_rel: str) -> str:
+        return f"""
+  SELECT doc_id, w[i] || ' ' || w[i + 1] AS gram
+  FROM (SELECT doc_id,
+               string_split_regex(lower(text), {ws}) AS w
+        FROM {src_rel}) t,
+       LATERAL (SELECT unnest(range(1, len(w))) AS i) ix
+  WHERE len(w) >= 2
+    AND regexp_full_match(w[i], '[a-z]{{2,}}')
+    AND regexp_full_match(w[i + 1], '[a-z]{{2,}}')"""
+
+    bucket = ("CAST(concat('0x', substring(md5(gram), 1, 12)) AS BIGINT) "
+              f"% {buckets}")
+    return f"""src AS MATERIALIZED (
+  SELECT doc_id, {bucket} AS bucket FROM ({gram_stream('documents')})),
+tgtg AS (
+  SELECT doc_id, {bucket} AS bucket
+  FROM ({gram_stream(f'(SELECT * FROM documents WHERE {target_pred})')})),
+sb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS s FROM src GROUP BY 1),
+tb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS t FROM tgtg GROUP BY 1),
+stot AS (SELECT CAST(sum(s) AS BIGINT) AS stotal FROM sb),
+ttot AS (SELECT CAST(coalesce(sum(t), 0) AS BIGINT) AS ttotal FROM tb),
+lr AS (
+  SELECT sb.bucket,
+         CAST(floor(CAST({quant} AS DOUBLE)
+                    * (ln(CAST(coalesce(t, 0) + 1 AS DOUBLE)
+                          / (CAST(ttotal AS DOUBLE) + {float(buckets)}))
+                       - ln(CAST(s + 1 AS DOUBLE)
+                            / (CAST(stotal AS DOUBLE) + {float(buckets)}))))
+              AS BIGINT) AS lr
+  FROM sb LEFT JOIN tb USING (bucket) CROSS JOIN stot CROSS JOIN ttot),
+wagg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(lr) AS BIGINT) AS sfp
+  FROM src JOIN lr USING (bucket) GROUP BY 1)"""
+
+
+def dsir_weights_sql(target_pred: str = "lang = 'en'",
+                     buckets: int = 4096, quant: int = 10**6) -> str:
+    """(doc_id, n_bigrams, logw) of dsir.dsir_logweights with the target
+    model fit on `target_pred` documents."""
+    return f"""
+WITH {_dsir_ctes(target_pred, buckets, quant)}
+SELECT doc_id, n_bigrams,
+       round(CAST(sfp AS DOUBLE) / CAST({quant} AS DOUBLE), 6) AS logw
+FROM wagg
+"""
+
+
+def dsir_topk_sql(k: int, target_pred: str = "lang = 'en'",
+                  buckets: int = 4096, quant: int = 10**6) -> str:
+    """(doc_id, n_bigrams, logw, rank) of dsir.dsir_topk."""
+    return f"""
+WITH {_dsir_ctes(target_pred, buckets, quant)},
+ranked AS (
+  SELECT doc_id, n_bigrams,
+         round(CAST(sfp AS DOUBLE) / CAST({quant} AS DOUBLE), 6) AS logw,
+         CAST(row_number() OVER (
+             ORDER BY round(CAST(sfp AS DOUBLE) / CAST({quant} AS DOUBLE), 6)
+                 DESC, doc_id) AS INT) AS rank
+  FROM wagg)
+SELECT doc_id, n_bigrams, logw, rank FROM ranked WHERE rank <= {k}
+"""

@@ -104,6 +104,9 @@ def skew_report(df: DataFrame, keys: list[str] | str, top: int = 10,
                                            *[F.asc(k) for k in keys]))
     lvl1 = (counts.withColumn("_rn", F.row_number().over(w1))
                   .where(F.col("_rn") <= top).drop("_rn"))
+    # unpartitioned on purpose (WindowExec warns): level 1 already pruned
+    # the input to <= fan*top rows, so this global rank is a one-task sort
+    # of a few hundred rows — bounded at any input scale
     w2 = Window.orderBy(F.desc("rows"), *[F.asc(k) for k in keys])
     return (lvl1.withColumn("rank", F.row_number().over(w2))
                 .where(F.col("rank") <= top)

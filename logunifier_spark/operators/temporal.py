@@ -296,5 +296,7 @@ def session_paths(df: DataFrame, key: list[str] | str,
     # window over the full distinct-path frame would move it all to one
     # task
     top = counts.orderBy(F.desc("n_sessions"), F.asc("path")).limit(k)
+    # unpartitioned on purpose (WindowExec warns): runs AFTER .limit(k),
+    # so the one-task sort holds <= k rows — bounded at any input scale
     w = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
     return top.withColumn("rank", F.row_number().over(w))

@@ -389,3 +389,54 @@ def test_pmi_collocations_matches_python(spark):
             for (l, r), c in pairs.items() if c >= 2]
     want.sort(key=lambda x: (-x[3], x[0], x[1]))
     assert got == want[:5]
+
+
+# ---------------------------------------------------------------- DSIR ----
+
+def test_dsir_logweights_match_python(spark):
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+    from logunifier_spark.operators.dsir import dsir_logweights, dsir_topk
+
+    texts = {0: "the cat sat on the mat", 1: "spark shuffle join spark",
+             2: "le chat est sur le tapis", 3: "the dog sat on the rug",
+             4: "x 9"}
+    raw = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    tgt_ids = {0, 3}
+    target = raw.where(F.col("doc_id").isin(*tgt_ids))
+    B = 64
+
+    def grams(t):
+        ws = re.split(r"[ \t\r\n\f\x0B]+", t.lower())
+        return [f"{a} {b}" for a, b in zip(ws, ws[1:])
+                if re.fullmatch(r"[a-z]{2,}", a)
+                and re.fullmatch(r"[a-z]{2,}", b)]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:12], 16) % B
+
+    sc: Counter = Counter()
+    tc: Counter = Counter()
+    per_doc = {}
+    for i, t in texts.items():
+        bs = [bucket(g) for g in grams(t)]
+        per_doc[i] = bs
+        sc.update(bs)
+        if i in tgt_ids:
+            tc.update(bs)
+    S, T = sum(sc.values()), sum(tc.values())
+    lr = {b: math.floor(1e6 * (math.log((tc.get(b, 0) + 1) / (T + B))
+                               - math.log((c + 1) / (S + B))))
+          for b, c in sc.items()}
+    want = {i: (len(bs), round(sum(lr[b] for b in bs) / 1e6, 6))
+            for i, bs in per_doc.items() if bs}
+    got = {r["doc_id"]: (r["n_bigrams"], r["logw"]) for r in
+           dsir_logweights(raw, target, buckets=B).collect()}
+    assert got == want
+    assert 4 not in got  # no valid bigram -> no row
+    # target-domain docs must outrank the off-domain one
+    top = [r["doc_id"] for r in
+           dsir_topk(raw, target, k=2, buckets=B).orderBy("rank").collect()]
+    assert set(top) <= {0, 3}

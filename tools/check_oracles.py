@@ -100,9 +100,11 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    import time as _time
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        _t0 = _time.perf_counter()
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
@@ -137,7 +139,8 @@ def main() -> int:
         ok_count = len(srows) == len(drows)
         ok_vals = ok_cols and ok_count and _canon(srows, scols) == _canon(drows, dcols)
         if ok_vals:
-            print(f"✓ {name}: {len(srows)} rows match")
+            print(f"✓ {name}: {len(srows)} rows match "
+                  f"[{_time.perf_counter() - _t0:.1f}s]")
         else:
             failures.append(name)
             print(f"✗ {name}: cols {sorted(scols)} vs {sorted(dcols)} | "
