@@ -1651,6 +1651,29 @@ def q_unigram_logppl(spark, sf_dir):
     return unigram_logppl(d)
 
 
+def q_cross_doc_grams(spark, sf_dir):
+    """Cross-document exact-substring duplication (operators/dedup.py::
+    cross_doc_grams, the cross-doc face of Lee et al. 2022): 8-token
+    windows fingerprinted with the portable 48-bit md5-prefix hash;
+    fingerprints in >= 2 distinct docs reported with doc/occurrence
+    counts. One fingerprint-keyed aggregate — no pairwise work."""
+    _ship(spark)
+    from logunifier_spark.operators.dedup import cross_doc_grams
+    d = _load(spark, sf_dir, "documents")
+    return cross_doc_grams(d, gram_len=8, min_docs=2)
+
+
+def q_doc_duplication(spark, sf_dir):
+    """Per-document boilerplate load (operators/dedup.py::
+    doc_duplication_stats): fraction (ppm, integer DIV) of each doc's
+    8-token windows shared verbatim with other docs — the actionable
+    drop-documents-that-are-mostly-template filter signal."""
+    _ship(spark)
+    from logunifier_spark.operators.dedup import doc_duplication_stats
+    d = _load(spark, sf_dir, "documents")
+    return doc_duplication_stats(d, gram_len=8, min_docs=2)
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weighting (operators/dsir.py, Xie et al. 2023):
     per-document log importance weight under add-one-smoothed
@@ -1919,6 +1942,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logppl": q_unigram_logppl,
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
+        "cross_doc_grams": q_cross_doc_grams,
+        "doc_duplication": q_doc_duplication,
         "bm25_search": q_bm25_search,
         "repeated_ngrams": q_repeated_ngrams,
         "ann_ivf": q_ann_ivf,
@@ -3421,6 +3446,8 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logppl": _do.unigram_logppl_sql(),
         "dsir_weights": _do.dsir_weights_sql(),
         "dsir_select": _do.dsir_topk_sql(50),
+        "cross_doc_grams": _do.cross_doc_grams_sql(),
+        "doc_duplication": _do.doc_duplication_sql(),
         "bm25_search": _do.bm25_sql(BM25_QUERIES, top_k=10),
         "repeated_ngrams": _do.repeated_ngrams_sql(n=3),
         # portable hash = ((id % 2^31) * MULT) % 2^31 — id reduced BEFORE

@@ -104,7 +104,10 @@ def operator_benches(spark, sf_dir: str) -> dict[str, float]:
                  "log_templates", "event_funnel", "latest_events",
                  "quality_classifier", "normalize_text",
                  "heavy_hitters", "pq_encode", "ann_ivfpq",
-                 "bpe_train", "session_paths"]:
+                 "bpe_train", "session_paths",
+                 # round-4 additions: the de-scale-killed dataset card
+                 # (skew-safe quantiles) and DSIR selection
+                 "corpus_report", "dsir_weights"]:
         fn = entry.queries()[name]
         # min of 3 (shared noisy box — same rationale as the headline);
         # the multi-second rows get min-of-2 to bound total bench wall

@@ -1010,3 +1010,58 @@ ranked AS (
   FROM wagg)
 SELECT doc_id, n_bigrams, logw, rank FROM ranked WHERE rank <= {k}
 """
+
+
+# ------------------------------------------- cross-doc substring dedup ----
+
+def _xdoc_gram_ctes(gram_len: int) -> str:
+    """Shared gram-fingerprint stream for the cross-doc substring
+    oracles (operators/dedup.py::cross_doc_grams) — same trim/lower
+    whitespace split, same inclusive token windows (DuckDB list slice
+    w[i : i+g-1] == Spark slice(w, i, g)), same 48-bit md5-prefix
+    fingerprint. MATERIALIZED: the per-doc oracle references it three
+    times and DuckDB inlines multiply-referenced CTEs (CLAUDE.md)."""
+    ws = r"'[ \t\r\n\f\x0B]+'"
+    return f"""grams AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(
+             array_to_string(w[i : i + {gram_len} - 1], ' ')), 1, 12))
+           AS BIGINT) AS gram_hash
+  FROM (SELECT doc_id,
+               string_split_regex(trim(lower(text)), {ws}) AS w
+        FROM documents) t,
+       LATERAL (SELECT unnest(range(1, len(w) - {gram_len} + 2)) AS i) ix
+  WHERE len(w) >= {gram_len})"""
+
+
+def cross_doc_grams_sql(gram_len: int = 8, min_docs: int = 2) -> str:
+    """(gram_hash, n_docs, n_occurrences, sample_doc) of
+    dedup.cross_doc_grams."""
+    return f"""
+WITH {_xdoc_gram_ctes(gram_len)}
+SELECT gram_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(min(doc_id) AS BIGINT) AS sample_doc
+FROM grams GROUP BY 1
+HAVING count(DISTINCT doc_id) >= {min_docs}
+"""
+
+
+def doc_duplication_sql(gram_len: int = 8, min_docs: int = 2) -> str:
+    """(doc_id, n_grams, n_dup_grams, dup_ppm) of
+    dedup.doc_duplication_stats. Integer // division matches Spark's
+    DIV (double casts round vs truncate differently, CLAUDE.md)."""
+    return f"""
+WITH {_xdoc_gram_ctes(gram_len)},
+dup AS (SELECT gram_hash FROM grams GROUP BY 1
+        HAVING count(DISTINCT doc_id) >= {min_docs}),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+        FROM grams GROUP BY 1),
+fl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams
+       FROM grams JOIN dup USING (gram_hash) GROUP BY 1)
+SELECT doc_id, n_grams,
+       coalesce(n_dup_grams, CAST(0 AS BIGINT)) AS n_dup_grams,
+       CAST((coalesce(n_dup_grams, 0) * 1000000) // n_grams AS BIGINT)
+         AS dup_ppm
+FROM tot LEFT JOIN fl USING (doc_id)
+"""

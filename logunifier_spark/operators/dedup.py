@@ -755,13 +755,32 @@ def verified_neardup_pairs(df: DataFrame, text_col: str = "text",
                            num_hashes: int = 64, bands: int = 16,
                            est_threshold: float = 0.35,
                            exact_threshold: float = 0.5,
-                           max_bucket: int | None = 10_000) -> DataFrame:
+                           max_bucket: int | None = 10_000,
+                           expand: bool = True) -> DataFrame:
     """The CANDIDATE -> VERIFY near-dup composition: banded minhash at a
     LOOSE estimated threshold generates candidates (cheap, recall-
     oriented), then the TRUE Jaccard over the full portable gram sets
     confirms or kills each pair — the production shape where sketch
     error must not decide deletions. Returns (id_a, id_b, est_sim,
     jaccard), both rounded to 4, jaccard >= exact_threshold.
+
+    EXACT-DUPLICATE PRE-COLLAPSE (round-4 soak finding): signatures,
+    bucket membership, est_sim and Jaccard are all pure functions of
+    the TEXT, so verifying a pair of exact clones is pure waste — and
+    on a corpus where every doc has c exact copies, skipping the
+    collapse multiplies every candidate pair by c² (measured at the
+    sf1.0 soak: 121.5M candidate pairs instead of ~1.2M, turning the
+    verify join into a ~400 GB shuffle of gram arrays and one wedged
+    straggler task). So: group by md5(text), verify ONCE per distinct
+    text on the min-id representative, then expand verified rep pairs
+    back to member pairs (identical est_sim/jaccard by construction)
+    and add within-group pairs at sim 1.0. `expand=False` returns rep
+    pairs only — the right call when clone groups are huge (a text
+    with a million copies expands to ~5·10^11 within-group pairs; no
+    engine should materialize that, collapse-then-count instead).
+    Under the hot-bucket cap the collapsed form is also the SAFER
+    semantics: bucket populations count distinct texts, so a million
+    clones can no longer evict their bucket.
 
     Scale: the verify joins attach one gram array per side to the
     candidate frame only (never all pairs); array_intersect/union on
@@ -770,12 +789,22 @@ def verified_neardup_pairs(df: DataFrame, text_col: str = "text",
     — an empty-vs-empty pair would divide 0/0. The estimated and exact
     thresholds are independent knobs: est low for recall, exact the
     real bar."""
-    cands = minhash_lsh_pairs(df, text_col, id_col, num_hashes=num_hashes,
+    members = df.select(F.col(id_col).alias("_m"),
+                        F.md5(F.col(text_col)).alias("_tk"))
+    reps = members.groupBy("_tk").agg(F.min("_m").alias("_rep"))
+    # id -> its group's representative; referenced up to three times
+    members = (members.join(reps, "_tk").select("_m", "_rep")
+                      .localCheckpoint(eager=False))
+    rep_docs = df.join(reps.select(F.col("_rep").alias(id_col)),
+                       id_col, "left_semi")
+    cands = minhash_lsh_pairs(rep_docs, text_col, id_col,
+                              num_hashes=num_hashes,
                               bands=bands, shingle_n=shingle_n,
                               threshold=est_threshold,
                               max_bucket=max_bucket)
-    g = df.select(F.col(id_col).alias("_gid"),
-                  portable_grams_udf(shingle_n)(F.col(text_col)).alias("g"))
+    g = rep_docs.select(F.col(id_col).alias("_gid"),
+                        portable_grams_udf(shingle_n)(F.col(text_col))
+                        .alias("g"))
     g = g.localCheckpoint(eager=False)
     pairs = (cands
              .join(g.select(F.col("_gid").alias("id_a"),
@@ -785,8 +814,114 @@ def verified_neardup_pairs(df: DataFrame, text_col: str = "text",
     inter = F.size(F.array_intersect("_ga", "_gb"))
     union = F.size(F.array_union("_ga", "_gb"))
     jac = inter / union
-    return (pairs.withColumn("_j", jac)
-                 .where(F.col("_j") >= exact_threshold)
-                 .select("id_a", "id_b",
-                         F.round(F.col("sim"), 4).alias("est_sim"),
-                         F.round(F.col("_j"), 4).alias("jaccard")))
+    verified = (pairs.withColumn("_j", jac)
+                     .where(F.col("_j") >= exact_threshold)
+                     .select("id_a", "id_b",
+                             F.round(F.col("sim"), 4).alias("est_sim"),
+                             F.round(F.col("_j"), 4).alias("jaccard")))
+    if not expand:
+        return verified
+    # cross-group expansion: every member pair inherits its rep pair's
+    # scores exactly (same texts); canonical id_a < id_b ordering
+    ma = members.select(F.col("_rep").alias("id_a"), F.col("_m").alias("_a"))
+    mb = members.select(F.col("_rep").alias("id_b"), F.col("_m").alias("_b"))
+    cross = (verified.join(ma, "id_a").join(mb, "id_b")
+             .select(F.least("_a", "_b").alias("id_a"),
+                     F.greatest("_a", "_b").alias("id_b"),
+                     "est_sim", "jaccard"))
+    # within-group pairs: exact clones are sim 1.0 / jaccard 1.0 (the
+    # direct computation finds them too: identical signatures share
+    # every band)
+    within = (members.alias("x").join(members.alias("y"), "_rep")
+              .where(F.col("x._m") < F.col("y._m"))
+              .select(F.col("x._m").alias("id_a"),
+                      F.col("y._m").alias("id_b"),
+                      F.lit(1.0).alias("est_sim"),
+                      F.lit(1.0).alias("jaccard")))
+    return cross.unionByName(within)
+
+
+# ------------------------------------------------- cross-doc substrings ----
+
+def cross_doc_grams(docs: DataFrame, gram_len: int = 8, min_docs: int = 2,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Exact-substring duplication ACROSS documents (the cross-document
+    face of Lee et al. 2022's exact substring dedup — boilerplate,
+    licenses, templated sentences shared verbatim by many pages): every
+    `gram_len`-token window is fingerprinted, and fingerprints seen in
+    at least `min_docs` DISTINCT documents are reported as
+    (gram_hash BIGINT, n_docs, n_occurrences, sample_doc).
+
+    Scale shape: the gram stream is the repo's codegen idiom —
+    explode(sequence) + slice/array_join projection, no interpreted
+    HOFs, no Python — and the only shuffle is the fingerprint-keyed
+    aggregate (map-side combined; countDistinct adds the standard
+    two-phase expansion). The fingerprint is stats.kmv_hash (48-bit
+    md5 prefix), so the oracle re-derives it byte-identically in SQL.
+    A true suffix-array pass (arbitrary-length maximal repeats) does
+    not distribute; fixed-length windows with gram_len at the dedup
+    threshold are the standard scalable surrogate — any repeat of
+    >= gram_len tokens is caught by one of its windows."""
+    from logunifier_spark.operators.stats import kmv_hash
+    if gram_len < 2:
+        raise ValueError(f"gram_len must be >= 2, got {gram_len}")
+    ws = F.split(F.trim(F.lower(F.col(text_col))), ASCII_WS + "+")
+    grams = (docs.select(F.col(id_col), ws.alias("_ws"))
+                 .where(F.size("_ws") >= gram_len)
+                 .select(F.col(id_col), "_ws",
+                         F.explode(F.sequence(
+                             F.lit(1), F.size("_ws") - gram_len + 1))
+                          .alias("_i"))
+                 .select(F.col(id_col),
+                         kmv_hash(F.array_join(
+                             F.slice(F.col("_ws"), F.col("_i"), gram_len),
+                             " ")).alias("gram_hash")))
+    return (grams.groupBy("gram_hash")
+                 .agg(F.countDistinct(id_col).alias("n_docs"),
+                      F.count("*").alias("n_occurrences"),
+                      F.min(id_col).alias("sample_doc"))
+                 .where(F.col("n_docs") >= min_docs))
+
+
+def doc_duplication_stats(docs: DataFrame, gram_len: int = 8,
+                          min_docs: int = 2, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Per-document cross-doc duplication load — the actionable filter
+    signal ("drop documents that are mostly boilerplate"): (id_col,
+    n_grams, n_dup_grams, dup_ppm) where n_dup_grams counts this doc's
+    windows whose fingerprint appears in >= min_docs distinct docs and
+    dup_ppm = n_dup_grams * 1e6 DIV n_grams (integer — Spark/DuckDB
+    round doubles differently, CLAUDE.md). Documents shorter than
+    gram_len produce no row. One extra equi-join on the fingerprint
+    against the (already aggregated, much smaller) duplicated-gram set;
+    AQE broadcasts it when it fits."""
+    from logunifier_spark.operators.stats import kmv_hash
+    if gram_len < 2:
+        raise ValueError(f"gram_len must be >= 2, got {gram_len}")
+    ws = F.split(F.trim(F.lower(F.col(text_col))), ASCII_WS + "+")
+    grams = (docs.select(F.col(id_col), ws.alias("_ws"))
+                 .where(F.size("_ws") >= gram_len)
+                 .select(F.col(id_col), "_ws",
+                         F.explode(F.sequence(
+                             F.lit(1), F.size("_ws") - gram_len + 1))
+                          .alias("_i"))
+                 .select(F.col(id_col),
+                         kmv_hash(F.array_join(
+                             F.slice(F.col("_ws"), F.col("_i"), gram_len),
+                             " ")).alias("gram_hash")))
+    # referenced twice (dup-set aggregate + per-doc join) — one compute
+    grams = grams.localCheckpoint(eager=False)
+    dup = (grams.groupBy("gram_hash")
+                .agg(F.countDistinct(id_col).alias("_nd"))
+                .where(F.col("_nd") >= min_docs)
+                .select("gram_hash"))
+    flagged = (grams.join(dup, "gram_hash", "left_semi")
+                    .groupBy(id_col)
+                    .agg(F.count("*").alias("n_dup_grams")))
+    totals = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    return (totals.join(flagged, id_col, "left")
+                  .na.fill({"n_dup_grams": 0})
+                  .select(id_col, "n_grams", "n_dup_grams",
+                          F.expr("CAST((n_dup_grams * 1000000) DIV n_grams "
+                                 "AS BIGINT)").alias("dup_ppm")))

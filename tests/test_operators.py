@@ -1288,3 +1288,30 @@ def test_verified_neardups_kills_sketch_false_positives(spark):
     n_tight = verified_neardup_pairs(df, est_threshold=0.2,
                                      exact_threshold=0.95).count()
     assert n_tight <= n_loose and n_tight < len(out) + 1
+
+
+def test_cross_doc_substring_dedup(spark):
+    # shared 3-token windows across docs; within-doc repeats alone must
+    # NOT count (min_docs is about DISTINCT docs)
+    from logunifier_spark.operators.dedup import (
+        cross_doc_grams,
+        doc_duplication_stats,
+    )
+    rows = [(0, "all rights reserved terms apply"),
+            (1, "copyright all rights reserved terms"),
+            (2, "totally unique words here only"),
+            (3, "all rights reserved all rights reserved")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    shared = cross_doc_grams(df, gram_len=3, min_docs=2).collect()
+    # 'all rights reserved' occurs in docs 0,1,3 (twice in 3);
+    # 'rights reserved terms' in docs 0,1
+    by_docs = sorted((r["n_docs"], r["n_occurrences"], r["sample_doc"])
+                     for r in shared)
+    assert (3, 4, 0) in by_docs and (2, 2, 0) in by_docs
+    stats = {r["doc_id"]: (r["n_grams"], r["n_dup_grams"], r["dup_ppm"])
+             for r in doc_duplication_stats(df, gram_len=3,
+                                            min_docs=2).collect()}
+    assert stats[2] == (3, 0, 0)                    # clean doc
+    assert stats[0][0] == 3 and stats[0][1] == 2    # 2 of 3 windows shared
+    assert stats[0][2] == 2 * 1_000_000 // 3
+    assert stats[3][1] >= 2                         # both 'all rights...' hits
