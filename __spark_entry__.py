@@ -3316,31 +3316,49 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY text
         """,
         "ngram_jaccard": """
-            WITH sh AS (
+            WITH xreps AS (
+              -- exact-duplicate collapse mirror of dedup.exact_groups
+              -- (collapse_exact=True default): the chain runs on one
+              -- representative per distinct text; df counts distinct texts
+              SELECT text, min(doc_id) AS rep FROM documents
+              WHERE length(text) >= 20 GROUP BY text),
+            xmembers AS (
+              SELECT d.doc_id AS m, r.rep FROM documents d
+              JOIN xreps r USING (text) WHERE length(d.text) >= 20),
+            sh AS (
               SELECT doc_id,
                      list_distinct([substr(t, i, 3)
                                     for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS g
-              FROM (SELECT doc_id, regexp_replace(lower(text), '[ \t\r\n\f\x0B]+', ' ', 'g') AS t
-                    FROM documents WHERE length(text) >= 20)
+              FROM (SELECT rep AS doc_id,
+                           regexp_replace(lower(text), '[ \t\r\n\f\x0B]+', ' ', 'g') AS t
+                    FROM xreps)
             ),
             ex AS (SELECT doc_id, unnest(g) AS gram FROM sh),
             -- df-pruning mirror of ngram_jaccard_pairs(max_df=100): grams in
-            -- more than 100 docs are dropped from CANDIDATE GENERATION only
+            -- more than 100 DISTINCT TEXTS are dropped from CANDIDATE
+            -- GENERATION only
             rare AS (SELECT gram FROM ex GROUP BY gram HAVING count(*) <= 100),
             exr AS (SELECT doc_id, gram FROM ex JOIN rare USING (gram)),
             cand AS (
               SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
               FROM exr a JOIN exr b USING (gram)
               WHERE a.doc_id < b.doc_id
-            )
-            SELECT id_a, id_b,
-                   round(CAST(len(list_intersect(sa.g, sb.g)) AS DOUBLE)
-                         / len(list_distinct(list_concat(sa.g, sb.g))), 4) AS jac
-            FROM cand
-            JOIN sh sa ON sa.doc_id = id_a
-            JOIN sh sb ON sb.doc_id = id_b
-            WHERE CAST(len(list_intersect(sa.g, sb.g)) AS DOUBLE)
-                  / len(list_distinct(list_concat(sa.g, sb.g))) >= 0.8
+            ),
+            vp AS (
+              SELECT id_a, id_b,
+                     round(CAST(len(list_intersect(sa.g, sb.g)) AS DOUBLE)
+                           / len(list_distinct(list_concat(sa.g, sb.g))), 4) AS jac
+              FROM cand
+              JOIN sh sa ON sa.doc_id = id_a
+              JOIN sh sb ON sb.doc_id = id_b
+              WHERE CAST(len(list_intersect(sa.g, sb.g)) AS DOUBLE)
+                    / len(list_distinct(list_concat(sa.g, sb.g))) >= 0.8)
+            SELECT least(ma.m, mb.m) AS id_a, greatest(ma.m, mb.m) AS id_b, jac
+            FROM vp JOIN xmembers ma ON ma.rep = vp.id_a
+                    JOIN xmembers mb ON mb.rep = vp.id_b
+            UNION ALL
+            SELECT x.m AS id_a, y.m AS id_b, round(1.0, 4) AS jac
+            FROM xmembers x JOIN xmembers y ON x.rep = y.rep AND x.m < y.m
         """,
         "ann_bruteforce": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),

@@ -229,8 +229,21 @@ def run_streaming() -> dict:
 
     root = tempfile.mkdtemp(prefix="stream_bench_")
     in_dir = os.path.join(root, "in")
-    synth_transcripts(spark, n_turns).repartition(n_files) \
+    # RANGE-partition by event time AND set file mtimes in range order:
+    # a replayed log corpus arrives in rough time order (that is what
+    # log shippers emit), and Spark's file stream source picks new
+    # files OLDEST-MTIME-FIRST — parallel-written parts get arbitrary
+    # near-equal mtimes, so without the utime pass the month-spanning
+    # replay arrives shuffled and the 5-min dedup watermark drops
+    # 45-75% of it as late (measured; correct semantics, wrong input).
+    # A genuinely shuffled replay must size its watermark with
+    # streaming.suggest_watermark_delay (measured disorder), not 5 min.
+    synth_transcripts(spark, n_turns).repartitionByRange(n_files, "ts") \
         .write.mode("overwrite").parquet(in_dir)
+    base_mtime = time.time() - 86_400
+    for i, part in enumerate(sorted(glob.glob(os.path.join(in_dir,
+                                                           "part-*")))):
+        os.utime(part, (base_mtime + 2 * i, base_mtime + 2 * i))
     # warm the python workers + unify plan once (not measured)
     q0 = stream_unify(read_transcript_stream(spark, in_dir, 64),
                       os.path.join(root, "warm_out"),

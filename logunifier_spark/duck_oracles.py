@@ -46,8 +46,39 @@ def _horner(window_expr: str, base: int) -> str:
             f"(a, x) -> (a*{base} + x) % {P})")
 
 
+def _collapse_sql(min_len: int) -> tuple[str, str]:
+    """Exact-duplicate collapse mirror of dedup.exact_groups over
+    `documents` filtered to length >= min_len: returns (CTEs defining
+    xreps/xmembers, the representatives-only relation to feed the pair
+    chain). Grouping is by raw text (the operator groups by md5(text) —
+    identical partition modulo an md5 collision)."""
+    ctes = f"""xreps AS (
+  SELECT text, min(doc_id) AS rep FROM documents
+  WHERE length(text) >= {min_len} GROUP BY text),
+xmembers AS (
+  SELECT d.doc_id AS m, r.rep FROM documents d JOIN xreps r USING (text)
+  WHERE length(d.text) >= {min_len})"""
+    return ctes, "(SELECT rep AS doc_id, text FROM xreps)"
+
+
+def _expand_sql(pair_rel: str, score_cols: str, unit_scores: str) -> str:
+    """Expansion mirror of dedup.expand_rep_pairs: rep pairs -> member
+    pairs (scores inherited; canonical id_a < id_b) + within-group
+    clone pairs at the unit scores."""
+    return f"""
+SELECT least(ma.m, mb.m) AS id_a, greatest(ma.m, mb.m) AS id_b, {score_cols}
+FROM {pair_rel} p
+JOIN xmembers ma ON ma.rep = p.id_a
+JOIN xmembers mb ON mb.rep = p.id_b
+UNION ALL
+SELECT x.m AS id_a, y.m AS id_b, {unit_scores}
+FROM xmembers x JOIN xmembers y ON x.rep = y.rep AND x.m < y.m
+"""
+
+
 def _minhash_pairs_ctes(min_len: int, num_hashes: int, bands: int,
-                        shingle_n: int, max_bucket: int | None) -> str:
+                        shingle_n: int, max_bucket: int | None,
+                        table: str = "documents") -> str:
     """The shared CTE chain docs→…→pairs of the minhash pipeline (used by
     the keep-set AND the connected-components oracles)."""
     rows_per_band = num_hashes // bands
@@ -69,7 +100,7 @@ pruned AS (SELECT b.* FROM bands b JOIN cool USING (band, key)),"""
     else:
         bucket_cap = ""
         cand_src = "bands"
-    return f"""{_codepoints_cte(min_len, shingle_n)},
+    return f"""{_codepoints_cte(min_len, shingle_n, table=table)},
 grams AS (
   SELECT doc_id, list_distinct([
       {_horner(f"c[i:i+{shingle_n - 1}]", GRAM_BASE_1)}
@@ -160,8 +191,10 @@ def simhash_pairs_sql(min_len: int = 20, shingle_n: int = 4,
         f"(CASE WHEN 2*len(list_filter(g, x -> ((x >> {31 + i if i < half else i - half}) & 1) = 1)) > len(g) "
         f"THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
         for i in range(sim_bits))
+    collapse, rep_table = _collapse_sql(min_len)
     return f"""
-WITH {_codepoints_cte(min_len, shingle_n)},
+WITH {collapse},
+{_codepoints_cte(min_len, shingle_n, table=rep_table)},
 grams AS (
   SELECT doc_id, list_distinct([
       ({_horner(f"c[i:i+{shingle_n - 1}]", GRAM_BASE_1)} << 31)
@@ -190,9 +223,11 @@ cand AS (
                   a.sh AS sh_a, b.sh AS sh_b
   FROM pruned a JOIN pruned b USING (blk, val)
   WHERE a.doc_id < b.doc_id
-)
-SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
-FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+),
+vp AS (
+  SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+  FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming})
+{_expand_sql('vp', 'hamming', 'CAST(0 AS BIGINT) AS hamming')}
 """
 
 
@@ -917,9 +952,11 @@ def verified_pairs_sql(min_len: int = 20, num_hashes: int = 64,
     estimated threshold; TRUE Jaccard over the same portable gram sets
     (the `grams` CTE) verifies. int/int division is double in both
     engines."""
+    collapse, rep_table = _collapse_sql(min_len)
     return f"""
-WITH {_minhash_pairs_ctes(min_len, num_hashes, bands, shingle_n,
-                          max_bucket)},
+WITH {collapse},
+{_minhash_pairs_ctes(min_len, num_hashes, bands, shingle_n,
+                     max_bucket, table=rep_table)},
 cand2 AS (
   SELECT id_a, id_b, sim FROM pairs
   WHERE sim >= CAST({est_threshold} AS DOUBLE)),
@@ -928,11 +965,14 @@ v AS (
          len(list_filter(ga.g, x -> list_contains(gb.g, x))) AS inter,
          len(ga.g) AS na, len(gb.g) AS nb
   FROM cand2 JOIN grams ga ON ga.doc_id = cand2.id_a
-             JOIN grams gb ON gb.doc_id = cand2.id_b)
-SELECT id_a, id_b, round(sim, 4) AS est_sim,
-       round(inter / (na + nb - inter), 4) AS jaccard
-FROM v
-WHERE inter / (na + nb - inter) >= CAST({exact_threshold} AS DOUBLE)
+             JOIN grams gb ON gb.doc_id = cand2.id_b),
+vp AS (
+  SELECT id_a, id_b, round(sim, 4) AS est_sim,
+         round(inter / (na + nb - inter), 4) AS jaccard
+  FROM v
+  WHERE inter / (na + nb - inter) >= CAST({exact_threshold} AS DOUBLE))
+{_expand_sql('vp', 'est_sim, jaccard',
+             'round(1.0, 4) AS est_sim, round(1.0, 4) AS jaccard')}
 """
 
 

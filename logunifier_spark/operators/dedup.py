@@ -589,10 +589,19 @@ def simhash64(text: Column, shingle_n: int = 4) -> Column:
 
 def simhash_pairs(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", max_hamming: int = 3,
-                  max_bucket: int | None = 10_000) -> DataFrame:
+                  max_bucket: int | None = 10_000,
+                  collapse_exact: bool = True) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming, using the
     4×15-bit block pigeonhole: any pair within distance 3 shares at least
     one exact 15-bit block — bucket-join per block, then verify.
+
+    `collapse_exact` (default ON — the round-4 soak lesson, see
+    exact_groups): the simhash is a pure function of the text, so exact
+    clones are collapsed to one representative before hashing/banding
+    and verified pairs expand back afterwards (clone pairs at hamming
+    0). On a corpus with c clones per doc this cuts candidate work by
+    c² and, under the bucket cap, makes populations count DISTINCT
+    texts (a million clones can no longer evict their block bucket).
 
     `max_bucket` caps the per-(block, value) bucket population used for
     CANDIDATE GENERATION (the simhash analog of ngram_jaccard's df-cap):
@@ -602,6 +611,9 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     pair is missed only if ALL FOUR of its shared blocks are hot — at that
     point the docs are near-identical boilerplate better handled by
     exact_dedup first. None disables the cap (exact pigeonhole)."""
+    members = None
+    if collapse_exact:
+        members, df = exact_groups(df, text_col, id_col)
     s = fan_out(df, divisor=2).select(
         F.col(id_col).alias("id"),
         simhash_udf()(F.col(text_col)).alias("sh"))
@@ -632,7 +644,12 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
                       F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
               .dropDuplicates(["id_a", "id_b"]))
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming")
-    return cand.select("id_a", "id_b", ham).where(F.col("hamming") <= max_hamming)
+    out = cand.select("id_a", "id_b", ham).where(F.col("hamming") <= max_hamming)
+    if members is not None:
+        out = expand_rep_pairs(
+            out, members,
+            [F.lit(0).cast("int").alias("hamming")])
+    return out
 
 
 # -------------------------------------------------------- ngram jaccard ----
@@ -640,10 +657,21 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.8,
-                        max_df: int | None = 100) -> DataFrame:
+                        max_df: int | None = 100,
+                        collapse_exact: bool = True) -> DataFrame:
     """Exact character-n-gram Jaccard for pairs sharing at least one shingle.
     Shuffles (shingle, id); candidate pairs deduped before the exact
     intersection/union computation on the shingle arrays.
+
+    `collapse_exact` (default ON — the round-4 soak lesson, see
+    exact_groups): Jaccard is a pure function of the two texts, so
+    exact clones collapse to one representative before shingling and
+    verified pairs expand back afterwards (clone pairs at jaccard 1.0).
+    This also makes `max_df` count DISTINCT TEXTS containing a gram —
+    the meaningful discriminativeness measure: on the sf1.0 soak corpus
+    (every doc ×10 exact clones) the uncollapsed df crossed the cap for
+    EVERY gram and the operator returned zero pairs; collapsed, df is
+    clone-invariant.
 
     `max_df` (DEFAULT ON at 100) is the scale guard: grams appearing in
     more than max_df documents are dropped from CANDIDATE GENERATION only
@@ -655,8 +683,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     max_df, which template-generated corpora (many mutually-similar docs
     sharing the same gram families) can hit — on such data prefer
     minhash_lsh_pairs, whose banding cost is O(rows·bands) regardless of
-    gram frequency. The DuckDB oracle mirrors the same df-pruning, so the
-    default stays value-hash-verified."""
+    gram frequency. The DuckDB oracle mirrors the same df-pruning (and
+    the collapse), so the default stays value-hash-verified."""
+    members = None
+    if collapse_exact:
+        members, df = exact_groups(df, text_col, id_col)
     sh = fan_out(df).select(F.col(id_col).alias("id"),
                             char_shingles(F.col(text_col), n).alias("sh"))
     exploded = sh.select("id", F.explode("sh").alias("g"))
@@ -673,7 +704,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = (inter / union).alias("jaccard")
-    return pairs.select("id_a", "id_b", jac).where(F.col("jaccard") >= threshold)
+    out = pairs.select("id_a", "id_b", jac).where(F.col("jaccard") >= threshold)
+    if members is not None:
+        out = expand_rep_pairs(out, members,
+                               [F.lit(1.0).alias("jaccard")])
+    return out
 
 
 # ------------------------------------------------- repeated n-gram spans ----
@@ -750,6 +785,46 @@ def portable_grams_udf(shingle_n: int = 5):
     return _g
 
 
+def exact_groups(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> tuple[DataFrame, DataFrame]:
+    """Exact-duplicate collapse (the round-4 soak lesson, shared by the
+    pair-scoring operators): returns (members, rep_docs) where members
+    maps every id (`_m`) to its exact-duplicate group's min-id
+    representative (`_rep`, grouped by md5(text) — the shuffle key is
+    32 bytes, not the document), and rep_docs is df filtered to the
+    representatives. members is localCheckpointed: the expansion joins
+    reference it up to three times."""
+    members = df.select(F.col(id_col).alias("_m"),
+                        F.md5(F.col(text_col)).alias("_tk"))
+    reps = members.groupBy("_tk").agg(F.min("_m").alias("_rep"))
+    members = (members.join(reps, "_tk").select("_m", "_rep")
+                      .localCheckpoint(eager=False))
+    rep_docs = df.join(reps.select(F.col("_rep").alias(id_col)),
+                       id_col, "left_semi")
+    return members, rep_docs
+
+
+def expand_rep_pairs(pairs: DataFrame, members: DataFrame,
+                     unit_scores: list[Column]) -> DataFrame:
+    """Expand (id_a, id_b, scores…) pairs over exact-duplicate
+    REPRESENTATIVES back to member pairs: every score is a pure
+    function of the two texts, so cross-group member pairs inherit
+    their rep pair's scores verbatim (least/greatest restores the
+    canonical id_a < id_b), and within-group pairs (exact clones) get
+    the caller's `unit_scores` (hamming 0 / jaccard 1.0 / …)."""
+    score_cols = [c for c in pairs.columns if c not in ("id_a", "id_b")]
+    ma = members.select(F.col("_rep").alias("id_a"), F.col("_m").alias("_a"))
+    mb = members.select(F.col("_rep").alias("id_b"), F.col("_m").alias("_b"))
+    cross = (pairs.join(ma, "id_a").join(mb, "id_b")
+             .select(F.least("_a", "_b").alias("id_a"),
+                     F.greatest("_a", "_b").alias("id_b"), *score_cols))
+    within = (members.alias("x").join(members.alias("y"), "_rep")
+              .where(F.col("x._m") < F.col("y._m"))
+              .select(F.col("x._m").alias("id_a"),
+                      F.col("y._m").alias("id_b"), *unit_scores))
+    return cross.unionByName(within)
+
+
 def verified_neardup_pairs(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", shingle_n: int = 5,
                            num_hashes: int = 64, bands: int = 16,
@@ -789,14 +864,7 @@ def verified_neardup_pairs(df: DataFrame, text_col: str = "text",
     — an empty-vs-empty pair would divide 0/0. The estimated and exact
     thresholds are independent knobs: est low for recall, exact the
     real bar."""
-    members = df.select(F.col(id_col).alias("_m"),
-                        F.md5(F.col(text_col)).alias("_tk"))
-    reps = members.groupBy("_tk").agg(F.min("_m").alias("_rep"))
-    # id -> its group's representative; referenced up to three times
-    members = (members.join(reps, "_tk").select("_m", "_rep")
-                      .localCheckpoint(eager=False))
-    rep_docs = df.join(reps.select(F.col("_rep").alias(id_col)),
-                       id_col, "left_semi")
+    members, rep_docs = exact_groups(df, text_col, id_col)
     cands = minhash_lsh_pairs(rep_docs, text_col, id_col,
                               num_hashes=num_hashes,
                               bands=bands, shingle_n=shingle_n,
@@ -821,24 +889,11 @@ def verified_neardup_pairs(df: DataFrame, text_col: str = "text",
                              F.round(F.col("_j"), 4).alias("jaccard")))
     if not expand:
         return verified
-    # cross-group expansion: every member pair inherits its rep pair's
-    # scores exactly (same texts); canonical id_a < id_b ordering
-    ma = members.select(F.col("_rep").alias("id_a"), F.col("_m").alias("_a"))
-    mb = members.select(F.col("_rep").alias("id_b"), F.col("_m").alias("_b"))
-    cross = (verified.join(ma, "id_a").join(mb, "id_b")
-             .select(F.least("_a", "_b").alias("id_a"),
-                     F.greatest("_a", "_b").alias("id_b"),
-                     "est_sim", "jaccard"))
-    # within-group pairs: exact clones are sim 1.0 / jaccard 1.0 (the
-    # direct computation finds them too: identical signatures share
-    # every band)
-    within = (members.alias("x").join(members.alias("y"), "_rep")
-              .where(F.col("x._m") < F.col("y._m"))
-              .select(F.col("x._m").alias("id_a"),
-                      F.col("y._m").alias("id_b"),
-                      F.lit(1.0).alias("est_sim"),
-                      F.lit(1.0).alias("jaccard")))
-    return cross.unionByName(within)
+    # exact clones are sim 1.0 / jaccard 1.0 (the direct computation
+    # finds them too: identical signatures share every band)
+    return expand_rep_pairs(verified, members,
+                            [F.lit(1.0).alias("est_sim"),
+                             F.lit(1.0).alias("jaccard")])
 
 
 # ------------------------------------------------- cross-doc substrings ----

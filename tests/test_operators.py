@@ -1315,3 +1315,67 @@ def test_cross_doc_substring_dedup(spark):
     assert stats[0][0] == 3 and stats[0][1] == 2    # 2 of 3 windows shared
     assert stats[0][2] == 2 * 1_000_000 // 3
     assert stats[3][1] >= 2                         # both 'all rights...' hits
+
+
+def test_collapsed_pair_oracles_on_cloned_corpus(spark, tmp_path):
+    # the sf0.01 gate has ZERO exact clones, so it cannot distinguish
+    # the collapsed implementations from the direct ones — this corpus
+    # can: every text has 3 exact copies, so within-group pairs,
+    # inherited cross-group scores, and clone-invariant df/bucket
+    # populations are all load-bearing. Operator (collapse ON) must
+    # equal the collapse-mirrored DuckDB oracle exactly.
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from logunifier_spark.duck_oracles import (
+        simhash_pairs_sql,
+        verified_pairs_sql,
+    )
+    from logunifier_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        simhash_pairs,
+        verified_neardup_pairs,
+    )
+    texts = [
+        "the quick brown fox jumps over the lazy dog today",
+        "the quick brown fox jumps over the lazy dog tonight",
+        "completely different content about spark shuffle joins",
+        "completely different content about spark shuffle joins!",
+        "unrelated third topic mentioning nothing shared at all",
+    ]
+    rows = [(t_i * 3 + c, t) for t_i, t in enumerate(texts)
+            for c in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pq = str(tmp_path / "docs_pq")
+    df.write.parquet(pq)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{pq}/*.parquet'")
+    d20 = df.where(F.length("text") >= 20)
+
+    got = sorted((r["id_a"], r["id_b"], r["hamming"]) for r in
+                 simhash_pairs(d20, "text", "doc_id",
+                               max_hamming=3).collect())
+    want = sorted(map(tuple, con.execute(simhash_pairs_sql()).fetchall()))
+    assert got == want and len(got) >= len(texts) * 3
+    # every clone pair present at hamming 0
+    assert (0, 1, 0) in got and (0, 2, 0) in got
+
+    got = sorted((r["id_a"], r["id_b"], round(r["est_sim"], 4),
+                  round(r["jaccard"], 4)) for r in
+                 verified_neardup_pairs(d20, "text", "doc_id",
+                                        est_threshold=0.35,
+                                        exact_threshold=0.5,
+                                        max_bucket=500).collect())
+    want = sorted((a, b, round(e, 4), round(j, 4)) for a, b, e, j in
+                  con.execute(verified_pairs_sql(
+                      min_len=20, est_threshold=0.35, exact_threshold=0.5,
+                      max_bucket=500)).fetchall())
+    assert got == want and (0, 1, 1.0, 1.0) in got
+
+    got = sorted((r["id_a"], r["id_b"], round(r["jaccard"], 4)) for r in
+                 ngram_jaccard_pairs(d20, "text", "doc_id", n=3,
+                                     threshold=0.8).collect())
+    want = sorted(map(tuple, con.execute(
+        entrymod.oracle_sql()["ngram_jaccard"]).fetchall()))
+    assert got == want and (0, 1, 1.0) in got
