@@ -250,14 +250,15 @@ def run_streaming() -> dict:
                       os.path.join(root, "warm_ckpt"))
     q0.awaitTermination()
 
+    mfpt = int(os.environ.get("STREAM_MAX_FILES", "8"))
     out: dict = {"metric": "streaming_throughput", "turns": n_turns,
-                 "files": n_files, "max_files_per_trigger": 8,
+                 "files": n_files, "max_files_per_trigger": mfpt,
                  "cpus": CPUS, "runs": {}}
     for trig in (2, 5):
         sink = os.path.join(root, f"out_{trig}s")
         ckpt = os.path.join(root, f"ckpt_{trig}s")
         t0 = time.perf_counter()
-        q = stream_unify(read_transcript_stream(spark, in_dir, 8),
+        q = stream_unify(read_transcript_stream(spark, in_dir, mfpt),
                          sink, ckpt, trigger_seconds=trig)
         done = 0
         while done < n_turns:
