@@ -136,13 +136,18 @@ def minhash_dedup_sql(min_len: int = 20, num_hashes: int = 64,
                       bands: int = 16, shingle_n: int = 5,
                       threshold: float = 0.7,
                       max_bucket: int | None = None) -> str:
-    """Keep-set of minhash_dedup: signature → banded LSH candidates
-    (optionally hot-bucket-capped, mirroring minhash_lsh_pairs.max_bucket)
-    → signature-agreement verify → drop the higher id of each pair."""
+    """Keep-set of minhash_dedup: exact-duplicate collapse (mirroring
+    collapse_exact=True — the chain runs on one representative per
+    distinct text; non-rep clones are dropped by construction), then
+    signature → banded LSH candidates (optionally hot-bucket-capped,
+    mirroring minhash_lsh_pairs.max_bucket) → signature-agreement
+    verify → drop the higher id of each pair."""
+    collapse, rep_table = _collapse_sql(min_len)
     prelude = _minhash_pairs_ctes(min_len, num_hashes, bands, shingle_n,
-                                  max_bucket)
+                                  max_bucket, table=rep_table)
     return f"""
-WITH {prelude}
+WITH {collapse},
+{prelude}
 SELECT doc_id FROM docs
 WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM pairs WHERE sim >= {threshold})
 """

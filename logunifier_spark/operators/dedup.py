@@ -422,10 +422,26 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 
 
 def minhash_dedup(df: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id", **kwargs) -> DataFrame:
+                  id_col: str = "doc_id", collapse_exact: bool = True,
+                  **kwargs) -> DataFrame:
     """Keep-set after dropping the higher id of every near-dup pair
     (greedy single-pass; `connected_components` gives the exact
-    transitive clustering when chains A~B~C with A≁C matter)."""
+    transitive clustering when chains A~B~C with A≁C matter).
+
+    `collapse_exact` (default ON, round-4 family design — see
+    exact_groups): exact clones collapse before the LSH chain, the
+    keep-set is computed among representatives, and non-representative
+    clones are dropped without any pair work. Equivalent to the direct
+    computation — a non-rep clone c is always dropped there too (its
+    rep has a lower id and sim 1.0 ≥ any threshold), and a rep is
+    dropped iff some lower rep pairs with it (a lower MEMBER implies
+    its own rep is lower still, with the identical signature) — except
+    under the hot-bucket cap, where collapsed populations count
+    DISTINCT texts: clones can no longer evict their own bucket and
+    silently survive dedup, the strictly safer behavior (the sf1.0
+    soak's measured failure mode). The oracle mirrors the collapse."""
+    if collapse_exact:
+        _, df = exact_groups(df, text_col, id_col)
     pairs = minhash_lsh_pairs(df, text_col, id_col, **kwargs)
     drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drops, on=id_col, how="left_anti")

@@ -1379,3 +1379,33 @@ def test_collapsed_pair_oracles_on_cloned_corpus(spark, tmp_path):
     want = sorted(map(tuple, con.execute(
         entrymod.oracle_sql()["ngram_jaccard"]).fetchall()))
     assert got == want and (0, 1, 1.0) in got
+
+
+def test_minhash_dedup_collapses_clones(spark, tmp_path):
+    # collapsed keep-set == the duckdb oracle on a corpus WITH clones,
+    # and equals the direct computation when no bucket caps bind
+    import duckdb
+    from logunifier_spark.duck_oracles import minhash_dedup_sql
+    from logunifier_spark.operators.dedup import minhash_dedup
+    texts = [
+        "the quick brown fox jumps over the lazy dog today",
+        "the quick brown fox jumps over the lazy dog tonight",
+        "unrelated third topic mentioning nothing shared at all",
+    ]
+    rows = [(t_i * 3 + c, t) for t_i, t in enumerate(texts)
+            for c in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pq = str(tmp_path / "docs_pq")
+    df.write.parquet(pq)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{pq}/*.parquet'")
+    kept = sorted(r["doc_id"] for r in
+                  minhash_dedup(df, "text", "doc_id").collect())
+    want = sorted(r[0] for r in con.execute(minhash_dedup_sql()).fetchall())
+    assert kept == want
+    # reps 0 and 6 survive; 3 (near-dup of 0) and every clone are gone
+    assert kept == [0, 6]
+    direct = sorted(r["doc_id"] for r in
+                    minhash_dedup(df, "text", "doc_id",
+                                  collapse_exact=False).collect())
+    assert direct == kept
