@@ -1674,6 +1674,18 @@ def q_doc_duplication(spark, sf_dir):
     return doc_duplication_stats(d, gram_len=8, min_docs=2)
 
 
+def q_char_entropy(spark, sf_dir):
+    """Character-distribution Shannon entropy per document
+    (operators/textstats.py::char_entropy) — the cheap C4-lineage
+    spam/keyboard-mash filter signal. Fixed-point int64 contributions
+    keep the per-doc sum order-free and engine-exact; the oracle
+    re-derives the character stream with DuckDB's native indexing."""
+    _ship(spark)
+    from logunifier_spark.operators.textstats import char_entropy
+    d = _load(spark, sf_dir, "documents")
+    return char_entropy(d)
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weighting (operators/dsir.py, Xie et al. 2023):
     per-document log importance weight under add-one-smoothed
@@ -1942,6 +1954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logppl": q_unigram_logppl,
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
+        "char_entropy": q_char_entropy,
         "cross_doc_grams": q_cross_doc_grams,
         "doc_duplication": q_doc_duplication,
         "bm25_search": q_bm25_search,
@@ -3464,6 +3477,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logppl": _do.unigram_logppl_sql(),
         "dsir_weights": _do.dsir_weights_sql(),
         "dsir_select": _do.dsir_topk_sql(50),
+        "char_entropy": _do.char_entropy_sql(),
         "cross_doc_grams": _do.cross_doc_grams_sql(),
         "doc_duplication": _do.doc_duplication_sql(),
         "bm25_search": _do.bm25_sql(BM25_QUERIES, top_k=10),

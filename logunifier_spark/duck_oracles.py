@@ -1110,3 +1110,32 @@ SELECT doc_id, n_grams,
          AS dup_ppm
 FROM tot LEFT JOIN fl USING (doc_id)
 """
+
+
+# ----------------------------------------------------- char entropy ----
+
+def char_entropy_sql(quant: int = 10**6) -> str:
+    """(doc_id, n_counted, entropy) of textstats.char_entropy — same
+    raw-codepoint character stream (DuckDB character indexing t[i] ==
+    Spark substring(t, i, 1)), same fixed-point cnt·floor(q·ln(cnt))
+    integer contributions, same two final double ops."""
+    return f"""
+WITH ch AS (
+  SELECT doc_id, t[i] AS ch
+  FROM (SELECT doc_id, text AS t FROM documents
+        WHERE text IS NOT NULL AND length(text) > 0) x,
+       LATERAL (SELECT unnest(range(1, length(t) + 1)) AS i) ix),
+cnt AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+        FROM ch GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_counted,
+         CAST(sum(c * CAST(floor(CAST({quant} AS DOUBLE)
+                                 * ln(CAST(c AS DOUBLE))) AS BIGINT))
+              AS BIGINT) AS s
+  FROM cnt GROUP BY 1)
+SELECT doc_id, n_counted,
+       round(ln(CAST(n_counted AS DOUBLE))
+             - CAST(s AS DOUBLE)
+               / (CAST({quant} AS DOUBLE) * n_counted), 6) AS entropy
+FROM agg
+"""

@@ -178,3 +178,45 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         "quality": quality_score(t),
         "fingerprint": fingerprint(t),
     })
+
+
+ENTROPY_QUANT = 10**6
+
+
+def char_entropy(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document character-distribution Shannon entropy (nats) — the
+    classic cheap spam/keyboard-mash/low-diversity filter signal (C4
+    lineage): repeated-character junk and single-token spam score near
+    0, natural prose lands ~3-4. Returns (id_col, n_counted BIGINT,
+    entropy DOUBLE rounded 1e-6); empty/null texts produce no row.
+
+    H = ln(n) - (1/n)·Σ_c cnt_c·ln(cnt_c). Cross-engine float
+    discipline (the unigram_logppl trick): the per-character
+    contributions cnt·floor(1e6·ln(cnt)) are int64 and sum order-free,
+    so the result is engine-exact; only the final two double ops divide
+    the fixed point back out. Characters are raw codepoints via an
+    explode(sequence)+substring codegen projection — one (id, char)
+    hash aggregate and one (id) hash aggregate, both map-side combined,
+    are the only shuffles."""
+    d = (docs.where(F.col(text_col).isNotNull()
+                    & (F.length(text_col) > 0))
+             .select(F.col(id_col), F.col(text_col).alias("_t")))
+    chars = (d.select(F.col(id_col), "_t",
+                      F.explode(F.sequence(F.lit(1), F.length("_t")))
+                       .alias("_i"))
+              .select(F.col(id_col),
+                      F.substring(F.col("_t"), F.col("_i"), 1).alias("_ch")))
+    # NB: substring with a Column start needs expr-compatible args in
+    # some Spark versions; F.substring accepts Columns since 3.4
+    cnt = chars.groupBy(id_col, "_ch").agg(F.count("*").alias("_c"))
+    contrib = F.col("_c") * F.floor(
+        F.lit(float(ENTROPY_QUANT))
+        * F.log(F.col("_c").cast("double"))).cast("long")
+    agg = (cnt.groupBy(id_col)
+              .agg(F.sum("_c").alias("n_counted"),
+                   F.sum(contrib).alias("_s")))
+    h = (F.log(F.col("n_counted").cast("double"))
+         - F.col("_s").cast("double")
+         / (F.lit(float(ENTROPY_QUANT)) * F.col("n_counted").cast("double")))
+    return agg.select(id_col, "n_counted", F.round(h, 6).alias("entropy"))

@@ -440,3 +440,25 @@ def test_dsir_logweights_match_python(spark):
     top = [r["doc_id"] for r in
            dsir_topk(raw, target, k=2, buckets=B).orderBy("rank").collect()]
     assert set(top) <= {0, 3}
+
+
+def test_char_entropy_matches_python(spark):
+    import math
+    from collections import Counter
+    from logunifier_spark.operators.textstats import char_entropy
+    texts = {0: "aaaa", 1: "abcd", 2: "the cat sat", 3: "", 5: "zzzzzzzzzy"}
+    df = spark.createDataFrame(
+        list(texts.items()) + [(4, None)], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_counted"], r["entropy"]) for r in
+           char_entropy(df).collect()}
+    for i, t in texts.items():
+        if not t:
+            assert i not in got
+            continue
+        cnt = Counter(t)
+        s = sum(c * math.floor(1e6 * math.log(c)) for c in cnt.values())
+        want = round(math.log(len(t)) - s / (1e6 * len(t)), 6)
+        assert got[i] == (len(t), want), i
+    assert 4 not in got
+    # low-diversity junk scores below prose
+    assert got[5][1] < got[2][1]
