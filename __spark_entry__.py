@@ -1674,6 +1674,19 @@ def q_doc_duplication(spark, sf_dir):
     return doc_duplication_stats(d, gram_len=8, min_docs=2)
 
 
+def q_source_drift(spark, sf_dir):
+    """Per-source distribution-shift monitor (operators/dsir.py::
+    source_drift): smoothed KL of each source's hashed-bigram bucket
+    distribution from the whole corpus — the per-batch "did this feed
+    change" alarm. Integer-defined fixed-point estimator, one broadcast
+    of the ≤buckets-row corpus table; oracle re-derives the whole chain
+    independently in SQL."""
+    _ship(spark)
+    from logunifier_spark.operators.dsir import source_drift
+    d = _load(spark, sf_dir, "documents")
+    return source_drift(d)
+
+
 def q_char_entropy(spark, sf_dir):
     """Character-distribution Shannon entropy per document
     (operators/textstats.py::char_entropy) — the cheap C4-lineage
@@ -1955,6 +1968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
         "char_entropy": q_char_entropy,
+        "source_drift": q_source_drift,
         "cross_doc_grams": q_cross_doc_grams,
         "doc_duplication": q_doc_duplication,
         "bm25_search": q_bm25_search,
@@ -3478,6 +3492,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": _do.dsir_weights_sql(),
         "dsir_select": _do.dsir_topk_sql(50),
         "char_entropy": _do.char_entropy_sql(),
+        "source_drift": _do.source_drift_sql(),
         "cross_doc_grams": _do.cross_doc_grams_sql(),
         "doc_duplication": _do.doc_duplication_sql(),
         "bm25_search": _do.bm25_sql(BM25_QUERIES, top_k=10),

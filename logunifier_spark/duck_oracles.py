@@ -1139,3 +1139,49 @@ SELECT doc_id, n_counted,
                / (CAST({quant} AS DOUBLE) * n_counted), 6) AS entropy
 FROM agg
 """
+
+
+def source_drift_sql(group_col: str = "source", buckets: int = 4096,
+                     quant: int = 10**6) -> str:
+    """(group, n_bigrams, drift) of dsir.source_drift — the smoothed-KL
+    fixed-point estimator over the same hashed-bigram buckets; the sum
+    runs over every (group, corpus-bucket) cell (missing group counts
+    are 0), mirroring the operator's corpus-table cross."""
+    ws = r"'[ \t\r\n\f\x0B]+'"
+    return f"""
+WITH grams AS MATERIALIZED (
+  SELECT {group_col} AS grp,
+         CAST(concat('0x', substring(md5(w[i] || ' ' || w[i + 1]), 1, 12))
+           AS BIGINT) % {buckets} AS bucket
+  FROM (SELECT {group_col},
+               string_split_regex(lower(text), {ws}) AS w
+        FROM documents) t,
+       LATERAL (SELECT unnest(range(1, len(w))) AS i) ix
+  WHERE len(w) >= 2
+    AND regexp_full_match(w[i], '[a-z]{{2,}}')
+    AND regexp_full_match(w[i + 1], '[a-z]{{2,}}')),
+gb AS (SELECT grp, bucket, CAST(count(*) AS BIGINT) AS g
+       FROM grams GROUP BY 1, 2),
+cb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM grams GROUP BY 1),
+ctot AS (SELECT CAST(sum(c) AS BIGINT) AS ctotal FROM cb),
+gtot AS (SELECT grp, CAST(sum(g) AS BIGINT) AS gtotal FROM gb GROUP BY 1),
+cells AS (
+  SELECT gtot.grp, gtot.gtotal, cb.bucket, cb.c, ctot.ctotal,
+         coalesce(gb.g, 0) AS g
+  FROM gtot CROSS JOIN cb CROSS JOIN ctot
+  LEFT JOIN gb ON gb.grp = gtot.grp AND gb.bucket = cb.bucket),
+agg AS (
+  SELECT grp, gtotal,
+         CAST(sum((g + 1) * CAST(floor(CAST({quant} AS DOUBLE)
+             * (ln(CAST(g + 1 AS DOUBLE)
+                   / (CAST(gtotal AS DOUBLE) + {float(buckets)}))
+                - ln(CAST(c + 1 AS DOUBLE)
+                     / (CAST(ctotal AS DOUBLE) + {float(buckets)}))))
+           AS BIGINT)) AS BIGINT) AS s
+  FROM cells GROUP BY 1, 2)
+SELECT grp AS {group_col}, gtotal AS n_bigrams,
+       round(CAST(s AS DOUBLE)
+             / (CAST({quant} AS DOUBLE)
+                * (CAST(gtotal AS DOUBLE) + {float(buckets)})), 6) AS drift
+FROM agg
+"""

@@ -122,3 +122,56 @@ def dsir_topk(raw: DataFrame, target: DataFrame, k: int,
     rank = F.row_number().over(
         Window.orderBy(F.desc("logw"), F.asc(id_col)))
     return top.withColumn("rank", rank)
+
+
+def source_drift(docs: DataFrame, group_col: str = "source",
+                 text_col: str = "text", id_col: str = "doc_id",
+                 buckets: int = 4096) -> DataFrame:
+    """Distribution-shift monitor for corpus curation: per-`group_col`
+    smoothed KL divergence of the group's hashed-bigram bucket
+    distribution from the whole corpus — the "did this source start
+    shipping different content" alarm a 100 TB ingest pipeline watches
+    per batch. Returns (group_col, n_bigrams BIGINT, drift DOUBLE
+    rounded 1e-6), drift >= 0 up to fixed-point rounding, higher =
+    more divergent.
+
+    Exact statistic (integer-defined, engine-portable): with
+    per-(group, bucket) counts g_b, group total G, corpus counts c_b,
+    corpus total C and add-one smoothing over `buckets` = B,
+        drift = Σ_b (g_b+1)·floor(Q·(ln((g_b+1)/(G+B))
+                                     − ln((c_b+1)/(C+B)))) / (Q·(G+B))
+    — the fixed-point estimator of KL(p_group ‖ p_corpus). Every bucket
+    of the corpus contributes (groups missing a bucket contribute its
+    smoothed mass), so the sum runs over the corpus bucket table, which
+    has at most B rows per group after the one broadcast join. Scale
+    shape identical to dsir_logweights: codegen gram stream, two hash
+    aggregates, one broadcast of the ≤B-row corpus bucket table."""
+    src = bigram_buckets(docs.select(F.col(group_col), F.col(id_col),
+                                     F.col(text_col)),
+                         text_col, group_col, buckets)
+    src = src.localCheckpoint(eager=False)
+    gb = (src.groupBy(group_col, "bucket").agg(F.count("*").alias("g")))
+    cb = src.groupBy("bucket").agg(F.count("*").alias("c"))
+    ctot = cb.agg(F.sum("c").alias("ctotal"))
+    gtot = gb.groupBy(group_col).agg(F.sum("g").alias("gtotal"))
+    b = F.lit(float(buckets))
+    # every (group, corpus-bucket) cell exists: cross the group list
+    # with the ≤B-row corpus table, then attach the group's own counts
+    cells = (gtot.crossJoin(F.broadcast(cb.crossJoin(ctot)))
+                 .join(gb, [group_col, "bucket"], "left")
+                 .na.fill({"g": 0}))
+    lr = F.floor(
+        F.lit(float(QUANT))
+        * (F.log((F.col("g") + F.lit(1)).cast("double")
+                 / (F.col("gtotal").cast("double") + b))
+           - F.log((F.col("c") + F.lit(1)).cast("double")
+                   / (F.col("ctotal").cast("double") + b)))).cast("long")
+    term = (F.col("g") + F.lit(1)) * lr
+    return (cells.groupBy(group_col, "gtotal")
+                 .agg(F.sum(term).alias("_s"))
+                 .select(F.col(group_col),
+                         F.col("gtotal").alias("n_bigrams"),
+                         F.round(F.col("_s").cast("double")
+                                 / (F.lit(float(QUANT))
+                                    * (F.col("gtotal").cast("double") + b)),
+                                 6).alias("drift")))

@@ -462,3 +462,45 @@ def test_char_entropy_matches_python(spark):
     assert 4 not in got
     # low-diversity junk scores below prose
     assert got[5][1] < got[2][1]
+
+
+def test_source_drift_matches_python(spark):
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+    from logunifier_spark.operators.dsir import source_drift
+    rows = [(0, "aa", "the cat sat on the mat"),
+            (1, "aa", "the dog sat on the rug"),
+            (2, "bb", "spark shuffle join spark shuffle"),
+            (3, "bb", "query plan codegen stage")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    B = 64
+
+    def buckets_of(t):
+        ws = re.split(r"[ \t\r\n\f\x0B]+", t.lower())
+        return [int(hashlib.md5(f"{a} {b}".encode()).hexdigest()[:12], 16) % B
+                for a, b in zip(ws, ws[1:])
+                if re.fullmatch(r"[a-z]{2,}", a)
+                and re.fullmatch(r"[a-z]{2,}", b)]
+
+    per_grp: dict = {}
+    corpus: Counter = Counter()
+    for _, g, t in rows:
+        bs = buckets_of(t)
+        per_grp.setdefault(g, Counter()).update(bs)
+        corpus.update(bs)
+    C = sum(corpus.values())
+    want = {}
+    for g, cnts in per_grp.items():
+        G = sum(cnts.values())
+        s = sum((cnts.get(b, 0) + 1)
+                * math.floor(1e6 * (math.log((cnts.get(b, 0) + 1) / (G + B))
+                                    - math.log((c + 1) / (C + B))))
+                for b, c in corpus.items())
+        want[g] = (G, round(s / (1e6 * (G + B)), 6))
+    got = {r["source"]: (r["n_bigrams"], r["drift"]) for r in
+           source_drift(df, buckets=B).collect()}
+    assert got == want
+    # the divergent source must out-drift the self-similar pair
+    assert got["bb"][1] != got["aa"][1]
