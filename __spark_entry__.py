@@ -1674,6 +1674,19 @@ def q_doc_duplication(spark, sf_dir):
     return doc_duplication_stats(d, gram_len=8, min_docs=2)
 
 
+def q_bigram_logppl(spark, sf_dir):
+    """Interpolated-bigram LM perplexity (operators/perplexity.py::
+    bigram_logppl): Jelinek-Mercer mixture of add-one bigram and
+    unigram models trained on the corpus itself — the step from the
+    unigram CCNet filter toward a real LM filter. Per-row fixed-point
+    floors keep the per-doc sum order-free; mixture doubles use the
+    identical expression tree in both engines."""
+    _ship(spark)
+    from logunifier_spark.operators.perplexity import bigram_logppl
+    d = _load(spark, sf_dir, "documents")
+    return bigram_logppl(d)
+
+
 def q_source_drift(spark, sf_dir):
     """Per-source distribution-shift monitor (operators/dsir.py::
     source_drift): smoothed KL of each source's hashed-bigram bucket
@@ -1969,6 +1982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "char_entropy": q_char_entropy,
         "source_drift": q_source_drift,
+        "bigram_logppl": q_bigram_logppl,
         "cross_doc_grams": q_cross_doc_grams,
         "doc_duplication": q_doc_duplication,
         "bm25_search": q_bm25_search,
@@ -3493,6 +3507,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": _do.dsir_topk_sql(50),
         "char_entropy": _do.char_entropy_sql(),
         "source_drift": _do.source_drift_sql(),
+        "bigram_logppl": _do.bigram_logppl_sql(),
         "cross_doc_grams": _do.cross_doc_grams_sql(),
         "doc_duplication": _do.doc_duplication_sql(),
         "bm25_search": _do.bm25_sql(BM25_QUERIES, top_k=10),

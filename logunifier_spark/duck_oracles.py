@@ -1185,3 +1185,56 @@ SELECT grp AS {group_col}, gtotal AS n_bigrams,
                 * (CAST(gtotal AS DOUBLE) + {float(buckets)})), 6) AS drift
 FROM agg
 """
+
+
+def bigram_logppl_sql(lam: float = 0.7, quant: int = 10**6) -> str:
+    """(doc_id, n_bigrams, logppl) of perplexity.bigram_logppl — same
+    raw-adjacent pair identity, same Jelinek-Mercer mixture with the
+    identical double expression tree (float literals CAST — DuckDB
+    parses bare ones as DECIMAL), same per-row fixed-point floor."""
+    ws = r"'[ \t\r\n\f\x0B]+'"
+    return f"""
+WITH pairs AS (
+  SELECT doc_id, w[i] AS prev, w[i + 1] AS term
+  FROM (SELECT doc_id, string_split_regex(lower(text), {ws}) AS w
+        FROM documents) t,
+       LATERAL (SELECT unnest(range(1, len(w))) AS i) ix
+  WHERE len(w) >= 2
+    AND regexp_full_match(w[i], '[a-z]{{2,}}')
+    AND regexp_full_match(w[i + 1], '[a-z]{{2,}}')),
+btf AS MATERIALIZED (
+  SELECT doc_id, prev, term, CAST(count(*) AS BIGINT) AS tf
+  FROM pairs GROUP BY 1, 2, 3),
+blm AS (SELECT prev, term, CAST(sum(tf) AS BIGINT) AS bcnt
+        FROM btf GROUP BY 1, 2),
+ctx AS (SELECT prev, CAST(sum(bcnt) AS BIGINT) AS ccnt FROM blm GROUP BY 1),
+toks AS (
+  SELECT unnest(string_split_regex(lower(text), {ws})) AS term
+  FROM documents),
+ulm AS (SELECT term, CAST(count(*) AS BIGINT) AS ucnt FROM toks
+        WHERE regexp_full_match(term, '[a-z]{{2,}}') GROUP BY 1),
+utot AS (SELECT CAST(sum(ucnt) AS BIGINT) AS utotal,
+                CAST(count(*) AS BIGINT) AS vsize FROM ulm),
+contrib AS (
+  SELECT doc_id, tf,
+         tf * CAST(floor(CAST({quant} AS DOUBLE) * ln(
+             CAST({lam} AS DOUBLE)
+             * (CAST(bcnt + 1 AS DOUBLE)
+                / (CAST(ccnt AS DOUBLE) + CAST(vsize AS DOUBLE)))
+             + CAST({1.0 - lam} AS DOUBLE)
+             * (CAST(ucnt + 1 AS DOUBLE)
+                / (CAST(utotal AS DOUBLE) + CAST(vsize AS DOUBLE)))))
+           AS BIGINT) AS c
+  FROM btf JOIN blm USING (prev, term)
+           JOIN ctx USING (prev)
+           JOIN ulm USING (term)
+           CROSS JOIN utot),
+agg AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         CAST(sum(c) AS BIGINT) AS s
+  FROM contrib GROUP BY 1)
+SELECT doc_id, n_bigrams,
+       round(-(CAST(s AS DOUBLE)
+               / (CAST({quant} AS DOUBLE) * n_bigrams)), 6) AS logppl
+FROM agg
+"""

@@ -89,3 +89,75 @@ def perplexity_filter(docs: DataFrame, max_logppl: float,
             .where(F.col("logppl") <= max_logppl)
             .select(id_col))
     return docs.join(keep, id_col, "left_semi")
+
+
+def bigram_logppl(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", lam: float = 0.7) -> DataFrame:
+    """Interpolated-bigram log-perplexity — the step up from
+    unigram_logppl toward a real LM filter: score each token given its
+    predecessor under p = λ·p_bigram + (1−λ)·p_unigram, both
+    add-one-smoothed over the corpus's own counts (Jelinek-Mercer
+    interpolation, the classic backoff that keeps unseen bigrams
+    finite). Scored tokens are the right element of each RAW-adjacent
+    valid word pair (the dsir bigram identity — both words TERM_RE);
+    docs with no valid pair produce no row. Returns (id_col, n_bigrams
+    BIGINT, logppl DOUBLE rounded 1e-6); higher = less like the corpus.
+
+      p_bi(t|prev)  = (cnt(prev,t) + 1) / (ctx(prev) + V)
+      p_uni(t)      = (cnt(t) + 1) / (T + V)
+      contribution  = tf · floor(1e6·ln(λ·p_bi + (1−λ)·p_uni))  (int64)
+
+    Cross-engine float discipline: the mixture is evaluated in doubles
+    with the IDENTICAL expression tree in the SQL oracle (bare float
+    literals are CAST — DuckDB parses them as DECIMAL otherwise), then
+    floored to fixed point per (doc, prev, term) row so the per-doc sum
+    is order-free and engine-exact.
+
+    Scale shape: one codegen pair stream → per-doc bigram tf (hash
+    aggregate, localCheckpointed — referenced by the LM aggregation and
+    the scoring join); the bigram LM, context, and unigram LM tables
+    are vocab-scale (Heaps' law) equi-joins; totals ride in-plan as
+    1-row crossJoins. No window, no sort, no Python."""
+    ws = F.split(F.lower(F.col(text_col)), ASCII_WS + "+")
+    pairs = (docs.select(F.col(id_col), ws.alias("_ws"))
+                 .where(F.size("_ws") >= 2)
+                 .select(F.col(id_col), "_ws",
+                         F.explode(F.sequence(F.lit(1), F.size("_ws") - 1))
+                          .alias("_i"))
+                 .select(F.col(id_col),
+                         F.element_at("_ws", F.col("_i")).alias("prev"),
+                         F.element_at("_ws", F.col("_i") + 1).alias("term"))
+                 .where(F.col("prev").rlike(TERM_RE)
+                        & F.col("term").rlike(TERM_RE)))
+    btf = (pairs.groupBy(id_col, "prev", "term")
+                .agg(F.count("*").alias("tf"))
+                .localCheckpoint(eager=False))
+    blm = btf.groupBy("prev", "term").agg(F.sum("tf").alias("bcnt"))
+    ctx = blm.groupBy("prev").agg(F.sum("bcnt").alias("ccnt"))
+    # unigram LM over ALL valid tokens (the unigram_logppl tokenizer)
+    terms = (docs.select(F.col(id_col),
+                         F.explode(ws).alias("term"))
+                 .where(F.col("term").rlike(TERM_RE)))
+    ulm = terms.groupBy("term").agg(F.count("*").alias("ucnt"))
+    utot = ulm.agg(F.sum("ucnt").alias("utotal"),
+                   F.count("*").alias("vsize"))
+    v = F.col("vsize").cast("double")
+    p_bi = ((F.col("bcnt") + F.lit(1)).cast("double")
+            / (F.col("ccnt").cast("double") + v))
+    p_uni = ((F.col("ucnt") + F.lit(1)).cast("double")
+             / (F.col("utotal").cast("double") + v))
+    mix = F.lit(float(lam)) * p_bi + F.lit(float(1.0 - lam)) * p_uni
+    contrib = (F.col("tf")
+               * F.floor(F.lit(float(QUANT)) * F.log(mix)).cast("long"))
+    scored = (btf.join(blm, ["prev", "term"])
+                 .join(ctx, "prev")
+                 .join(ulm, "term")
+                 .crossJoin(utot))
+    return (scored.groupBy(id_col)
+                  .agg(F.sum("tf").alias("n_bigrams"),
+                       F.sum(contrib).alias("_s"))
+                  .select(id_col, "n_bigrams",
+                          F.round(-(F.col("_s").cast("double")
+                                    / (F.lit(float(QUANT))
+                                       * F.col("n_bigrams"))), 6)
+                           .alias("logppl")))

@@ -504,3 +504,52 @@ def test_source_drift_matches_python(spark):
     assert got == want
     # the divergent source must out-drift the self-similar pair
     assert got["bb"][1] != got["aa"][1]
+
+
+def test_bigram_logppl_matches_python(spark):
+    import math
+    import re
+    from collections import Counter
+    from logunifier_spark.operators.perplexity import bigram_logppl
+    texts = {0: "the cat sat on the mat", 1: "the cat sat the cat ran",
+             2: "qq zz qq", 3: "x 9"}
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    lam = 0.7
+
+    def words(t):
+        return re.split(r"[ \t\r\n\f\x0B]+", t.lower())
+
+    def valid(w):
+        return re.fullmatch(r"[a-z]{2,}", w) is not None
+
+    uni: Counter = Counter()
+    blm: Counter = Counter()
+    per_doc: dict = {}
+    for i, t in texts.items():
+        ws = words(t)
+        uni.update(w for w in ws if valid(w))
+        doc_pairs = [(a, b) for a, b in zip(ws, ws[1:])
+                     if valid(a) and valid(b)]
+        per_doc[i] = Counter(doc_pairs)
+        blm.update(doc_pairs)
+    T, V = sum(uni.values()), len(uni)
+    ctx = Counter()
+    for (p, _), c in blm.items():
+        ctx[p] += c
+    want = {}
+    for i, pairs in per_doc.items():
+        if not pairs:
+            continue
+        n = sum(pairs.values())
+        s = 0
+        for (p, t), tf in pairs.items():
+            mix = (lam * (blm[(p, t)] + 1) / (ctx[p] + V)
+                   + (1 - lam) * (uni[t] + 1) / (T + V))
+            s += tf * math.floor(1e6 * math.log(mix))
+        want[i] = (n, round(-s / (1e6 * n), 6))
+    got = {r["doc_id"]: (r["n_bigrams"], r["logppl"]) for r in
+           bigram_logppl(df).collect()}
+    assert got == want
+    assert 3 not in got  # no valid adjacent pair -> no row
+    # the common-phrase doc scores lower ppl than the rare-vocab doc
+    assert got[0][1] < got[2][1]
