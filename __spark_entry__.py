@@ -1674,6 +1674,18 @@ def q_doc_duplication(spark, sf_dir):
     return doc_duplication_stats(d, gram_len=8, min_docs=2)
 
 
+def q_assign_splits(spark, sf_dir):
+    """Deterministic split assignment (operators/sampling.py::
+    assign_splits): train/val/test decided per row by the portable
+    affine hash — stable across runs, engines, partitionings, and
+    corpus appends, which is what eval-contamination audits need. Pure
+    codegen projection; oracle is the same CASE over the same hash."""
+    _ship(spark)
+    from logunifier_spark.operators.sampling import assign_splits
+    d = _load(spark, sf_dir, "documents")
+    return assign_splits(d).select("doc_id", "split")
+
+
 def q_bigram_logppl(spark, sf_dir):
     """Interpolated-bigram LM perplexity (operators/perplexity.py::
     bigram_logppl): Jelinek-Mercer mixture of add-one bigram and
@@ -1983,6 +1995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "source_drift": q_source_drift,
         "bigram_logppl": q_bigram_logppl,
+        "assign_splits": q_assign_splits,
         "cross_doc_grams": q_cross_doc_grams,
         "doc_duplication": q_doc_duplication,
         "bm25_search": q_bm25_search,
@@ -3508,6 +3521,7 @@ def oracle_sql() -> dict[str, str]:
         "char_entropy": _do.char_entropy_sql(),
         "source_drift": _do.source_drift_sql(),
         "bigram_logppl": _do.bigram_logppl_sql(),
+        "assign_splits": _do.assign_splits_sql(),
         "cross_doc_grams": _do.cross_doc_grams_sql(),
         "doc_duplication": _do.doc_duplication_sql(),
         "bm25_search": _do.bm25_sql(BM25_QUERIES, top_k=10),

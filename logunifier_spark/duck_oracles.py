@@ -1238,3 +1238,27 @@ SELECT doc_id, n_bigrams,
                / (CAST({quant} AS DOUBLE) * n_bigrams)), 6) AS logppl
 FROM agg
 """
+
+
+def assign_splits_sql(fracs: dict[str, float] | None = None,
+                      salt: int = 0) -> str:
+    """(doc_id, split) of sampling.assign_splits over documents — the
+    same affine portable hash and cumulative interval boundaries."""
+    mod = 2_147_483_648
+    mult = 2_654_435_761
+    fracs = fracs or {"train": 0.9, "val": 0.05, "test": 0.05}
+    off = (salt * 0x9E3779B1) % mod
+    names = list(fracs)
+    cum = 0.0
+    whens = []
+    for name in names[:-1]:
+        cum += fracs[name]
+        whens.append(f"WHEN h < {int(cum * mod)} THEN '{name}'")
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         ((doc_id % {mod}) * {mult} + {off}) % {mod} AS h
+  FROM documents)
+SELECT doc_id, CASE {' '.join(whens)} ELSE '{names[-1]}' END AS split
+FROM h
+"""

@@ -273,3 +273,37 @@ def weighted_sample(df: DataFrame, n: int, weight_col: str,
     # the two-level survival argument (stats.grouped_top_k)
     return (grouped_top_k(d, [], "_k", k=n, tiebreak=[id_col], fan=fan)
             .drop("rank", "_k"))
+
+
+def assign_splits(df: DataFrame, fracs: dict[str, float] | None = None,
+                  id_col: str = "doc_id", salt: int = 0) -> DataFrame:
+    """Deterministic train/val/test (or any named) split assignment:
+    adds a `split` STRING column decided per row by the portable hash —
+    stable across runs, partitionings, engines, and cluster sizes (no
+    shuffle, no state, no RNG), so a document NEVER migrates between
+    splits when the corpus is re-read, appended to, or re-partitioned:
+    the properties an eval-contamination audit actually needs. Splits
+    are contiguous hash intervals: cumulative fraction boundaries over
+    [0, 2^31) in the given dict order (insertion-ordered; the LAST
+    split absorbs the rounding remainder so every row is assigned).
+    Fractions must sum to 1 (±1e-9). Same salt-mixing as sample_gate —
+    a different salt re-deals every split membership.
+
+    SQL mirror: CASE WHEN hash < b1 THEN s1 WHEN hash < b2 THEN s2 …
+    ELSE s_last END over ((id % 2^31) * 2654435761 + mix(salt)) % 2^31.
+    """
+    fracs = fracs or {"train": 0.9, "val": 0.05, "test": 0.05}
+    if not fracs or abs(sum(fracs.values()) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {fracs}")
+    off = (salt * 0x9E3779B1) % _MOD
+    h = _portable_hash(F.col(id_col), off)
+    names = list(fracs)
+    expr = F.lit(names[-1])
+    cum = 0.0
+    bounds: list[tuple[str, int]] = []
+    for name in names[:-1]:
+        cum += fracs[name]
+        bounds.append((name, int(cum * _MOD)))
+    for name, b in reversed(bounds):
+        expr = F.when(h < F.lit(b), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

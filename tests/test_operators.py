@@ -1409,3 +1409,30 @@ def test_minhash_dedup_collapses_clones(spark, tmp_path):
                     minhash_dedup(df, "text", "doc_id",
                                   collapse_exact=False).collect())
     assert direct == kept
+
+
+def test_assign_splits_deterministic_and_exhaustive(spark):
+    import pytest as _pytest
+    from logunifier_spark.operators.sampling import assign_splits
+    d = spark.range(20_000).withColumnRenamed("id", "doc_id")
+    out = assign_splits(d, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["count"]
+              for r in out.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 20_000          # every row assigned
+    assert abs(counts["train"] - 16_000) < 400     # ~binomial tolerance
+    # membership is a pure function of id: append half the corpus again
+    # under a different partitioning — originals keep their split
+    base = {r["doc_id"]: r["split"] for r in out.collect()}
+    again = {r["doc_id"]: r["split"] for r in
+             assign_splits(d.limit(10_000).repartition(7),
+                           {"train": 0.8, "val": 0.1, "test": 0.1})
+             .collect()}
+    assert all(base[i] == s for i, s in again.items())
+    # different salt re-deals
+    salted = {r["doc_id"]: r["split"] for r in
+              assign_splits(d, {"train": 0.8, "val": 0.1, "test": 0.1},
+                            salt=7).collect()}
+    assert salted != base
+    with _pytest.raises(ValueError, match="sum to 1"):
+        assign_splits(d, {"train": 0.5, "val": 0.1})
