@@ -1018,9 +1018,9 @@ lr AS (
   SELECT sb.bucket,
          CAST(floor(CAST({quant} AS DOUBLE)
                     * (ln(CAST(coalesce(t, 0) + 1 AS DOUBLE)
-                          / (CAST(ttotal AS DOUBLE) + {float(buckets)}))
+                          / (CAST(ttotal AS DOUBLE) + CAST({buckets} AS DOUBLE)))
                        - ln(CAST(s + 1 AS DOUBLE)
-                            / (CAST(stotal AS DOUBLE) + {float(buckets)}))))
+                            / (CAST(stotal AS DOUBLE) + CAST({buckets} AS DOUBLE)))))
               AS BIGINT) AS lr
   FROM sb LEFT JOIN tb USING (bucket) CROSS JOIN stot CROSS JOIN ttot),
 wagg AS (
@@ -1174,15 +1174,15 @@ agg AS (
   SELECT grp, gtotal,
          CAST(sum((g + 1) * CAST(floor(CAST({quant} AS DOUBLE)
              * (ln(CAST(g + 1 AS DOUBLE)
-                   / (CAST(gtotal AS DOUBLE) + {float(buckets)}))
+                   / (CAST(gtotal AS DOUBLE) + CAST({buckets} AS DOUBLE)))
                 - ln(CAST(c + 1 AS DOUBLE)
-                     / (CAST(ctotal AS DOUBLE) + {float(buckets)}))))
+                     / (CAST(ctotal AS DOUBLE) + CAST({buckets} AS DOUBLE)))))
            AS BIGINT)) AS BIGINT) AS s
   FROM cells GROUP BY 1, 2)
 SELECT grp AS {group_col}, gtotal AS n_bigrams,
        round(CAST(s AS DOUBLE)
              / (CAST({quant} AS DOUBLE)
-                * (CAST(gtotal AS DOUBLE) + {float(buckets)})), 6) AS drift
+                * (CAST(gtotal AS DOUBLE) + CAST({buckets} AS DOUBLE))), 6) AS drift
 FROM agg
 """
 

@@ -26,6 +26,8 @@ expression trees, which re-expand per downstream reference.
 
 from __future__ import annotations
 
+import itertools
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -269,6 +271,9 @@ _SIG_BROADCAST_INPUT_BYTES = 512 * 1024 * 1024
 _SIG_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
 
 
+_OBS_SEQ = itertools.count()
+
+
 class _CapStats:
     """Accessor for minhash_lsh_pairs' hot-bucket cap metrics. `.get`
     (after the first action on the returned frame) is a mapping with
@@ -277,8 +282,11 @@ class _CapStats:
     set is empty, Spark 4.1's AQE empty-relation propagation cancels the
     stage carrying the CollectMetrics node, and Observation.get crashes
     on a schemaless row (same bug class as write_sinks' zero-row write)
-    — the fallback recomputes the two scalars from the checkpointed
-    signatures: one small agg job, paid only on that rare all-hot path."""
+    — the fallback re-aggregates the bucket counts. That recompute
+    starts from the signatures' localCheckpoint (materialized by the
+    first action on the result), so it pays the band explode + count
+    aggregate again — NOT the shingle/minhash UDF chain — and only on
+    that rare all-hot path."""
 
     def __init__(self, obs, raw_counts: DataFrame, max_bucket: int):
         self._obs, self._counts, self._mb = obs, raw_counts, max_bucket
@@ -379,7 +387,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         from pyspark.sql import Observation
         raw_counts = (banded.groupBy("band", "bucket")
                             .agg(F.count("*").alias("_n")))
-        obs = Observation("minhash_hot_buckets")
+        # unique per call: Observation names are global to a plan, and a
+        # hard-coded name breaks any query composing two capped pair
+        # frames (DUPLICATED_METRICS_NAME on union/join — review r4)
+        obs = Observation(f"minhash_hot_buckets_{next(_OBS_SEQ)}")
         counts = raw_counts.observe(
             obs,
             F.sum((F.col("_n") > max_bucket).cast("long"))
@@ -606,7 +617,8 @@ def simhash64(text: Column, shingle_n: int = 4) -> Column:
 def simhash_pairs(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", max_hamming: int = 3,
                   max_bucket: int | None = 10_000,
-                  collapse_exact: bool = True) -> DataFrame:
+                  collapse_exact: bool = True,
+                  expand: bool = True) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming, using the
     4×15-bit block pigeonhole: any pair within distance 3 shares at least
     one exact 15-bit block — bucket-join per block, then verify.
@@ -618,6 +630,11 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     0). On a corpus with c clones per doc this cuts candidate work by
     c² and, under the bucket cap, makes populations count DISTINCT
     texts (a million clones can no longer evict their block bucket).
+    `expand=False` returns representative pairs only — the OUTPUT of a
+    full expansion is itself quadratic in clone-group size (a text with
+    a million copies is ~5·10^11 within-group rows), so corpora with
+    huge clone groups should collapse-then-count, same as
+    verified_neardup_pairs.
 
     `max_bucket` caps the per-(block, value) bucket population used for
     CANDIDATE GENERATION (the simhash analog of ngram_jaccard's df-cap):
@@ -661,7 +678,7 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
               .dropDuplicates(["id_a", "id_b"]))
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming")
     out = cand.select("id_a", "id_b", ham).where(F.col("hamming") <= max_hamming)
-    if members is not None:
+    if members is not None and expand:
         out = expand_rep_pairs(
             out, members,
             [F.lit(0).cast("int").alias("hamming")])
@@ -674,7 +691,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.8,
                         max_df: int | None = 100,
-                        collapse_exact: bool = True) -> DataFrame:
+                        collapse_exact: bool = True,
+                        expand: bool = True) -> DataFrame:
     """Exact character-n-gram Jaccard for pairs sharing at least one shingle.
     Shuffles (shingle, id); candidate pairs deduped before the exact
     intersection/union computation on the shingle arrays.
@@ -687,7 +705,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     the meaningful discriminativeness measure: on the sf1.0 soak corpus
     (every doc ×10 exact clones) the uncollapsed df crossed the cap for
     EVERY gram and the operator returned zero pairs; collapsed, df is
-    clone-invariant.
+    clone-invariant. `expand=False` returns representative pairs only
+    (full expansion is quadratic in clone-group size — see
+    verified_neardup_pairs).
 
     `max_df` (DEFAULT ON at 100) is the scale guard: grams appearing in
     more than max_df documents are dropped from CANDIDATE GENERATION only
@@ -721,7 +741,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = (inter / union).alias("jaccard")
     out = pairs.select("id_a", "id_b", jac).where(F.col("jaccard") >= threshold)
-    if members is not None:
+    if members is not None and expand:
         out = expand_rep_pairs(out, members,
                                [F.lit(1.0).alias("jaccard")])
     return out
@@ -914,6 +934,28 @@ def verified_neardup_pairs(df: DataFrame, text_col: str = "text",
 
 # ------------------------------------------------- cross-doc substrings ----
 
+def _window_fingerprints(docs: DataFrame, gram_len: int, text_col: str,
+                         id_col: str) -> DataFrame:
+    """(id_col, gram_hash) — one row per `gram_len`-token window,
+    fingerprinted with the 48-bit md5-prefix hash. THE shared stream
+    between cross_doc_grams and doc_duplication_stats (one tokenization,
+    one SQL mirror)."""
+    from logunifier_spark.operators.stats import kmv_hash
+    if gram_len < 2:
+        raise ValueError(f"gram_len must be >= 2, got {gram_len}")
+    ws = F.split(F.trim(F.lower(F.col(text_col))), ASCII_WS + "+")
+    return (docs.select(F.col(id_col), ws.alias("_ws"))
+                .where(F.size("_ws") >= gram_len)
+                .select(F.col(id_col), "_ws",
+                        F.explode(F.sequence(
+                            F.lit(1), F.size("_ws") - gram_len + 1))
+                         .alias("_i"))
+                .select(F.col(id_col),
+                        kmv_hash(F.array_join(
+                            F.slice(F.col("_ws"), F.col("_i"), gram_len),
+                            " ")).alias("gram_hash")))
+
+
 def cross_doc_grams(docs: DataFrame, gram_len: int = 8, min_docs: int = 2,
                     text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
@@ -934,20 +976,7 @@ def cross_doc_grams(docs: DataFrame, gram_len: int = 8, min_docs: int = 2,
     not distribute; fixed-length windows with gram_len at the dedup
     threshold are the standard scalable surrogate — any repeat of
     >= gram_len tokens is caught by one of its windows."""
-    from logunifier_spark.operators.stats import kmv_hash
-    if gram_len < 2:
-        raise ValueError(f"gram_len must be >= 2, got {gram_len}")
-    ws = F.split(F.trim(F.lower(F.col(text_col))), ASCII_WS + "+")
-    grams = (docs.select(F.col(id_col), ws.alias("_ws"))
-                 .where(F.size("_ws") >= gram_len)
-                 .select(F.col(id_col), "_ws",
-                         F.explode(F.sequence(
-                             F.lit(1), F.size("_ws") - gram_len + 1))
-                          .alias("_i"))
-                 .select(F.col(id_col),
-                         kmv_hash(F.array_join(
-                             F.slice(F.col("_ws"), F.col("_i"), gram_len),
-                             " ")).alias("gram_hash")))
+    grams = _window_fingerprints(docs, gram_len, text_col, id_col)
     return (grams.groupBy("gram_hash")
                  .agg(F.countDistinct(id_col).alias("n_docs"),
                       F.count("*").alias("n_occurrences"),
@@ -967,20 +996,7 @@ def doc_duplication_stats(docs: DataFrame, gram_len: int = 8,
     gram_len produce no row. One extra equi-join on the fingerprint
     against the (already aggregated, much smaller) duplicated-gram set;
     AQE broadcasts it when it fits."""
-    from logunifier_spark.operators.stats import kmv_hash
-    if gram_len < 2:
-        raise ValueError(f"gram_len must be >= 2, got {gram_len}")
-    ws = F.split(F.trim(F.lower(F.col(text_col))), ASCII_WS + "+")
-    grams = (docs.select(F.col(id_col), ws.alias("_ws"))
-                 .where(F.size("_ws") >= gram_len)
-                 .select(F.col(id_col), "_ws",
-                         F.explode(F.sequence(
-                             F.lit(1), F.size("_ws") - gram_len + 1))
-                          .alias("_i"))
-                 .select(F.col(id_col),
-                         kmv_hash(F.array_join(
-                             F.slice(F.col("_ws"), F.col("_i"), gram_len),
-                             " ")).alias("gram_hash")))
+    grams = _window_fingerprints(docs, gram_len, text_col, id_col)
     # referenced twice (dup-set aggregate + per-doc join) — one compute
     grams = grams.localCheckpoint(eager=False)
     dup = (grams.groupBy("gram_hash")

@@ -38,8 +38,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from logunifier_spark.operators.stats import kmv_hash
-from logunifier_spark.operators.textstats import ASCII_WS
-from logunifier_spark.operators.tfidf import TERM_RE
 
 QUANT = 10**6
 
@@ -53,18 +51,9 @@ def bigram_buckets(docs: DataFrame, text_col: str = "text",
     codegen end to end."""
     if buckets < 2:
         raise ValueError(f"buckets must be >= 2, got {buckets}")
-    ws = F.split(F.lower(F.col(text_col)), ASCII_WS + "+")
-    d = (docs.select(F.col(id_col), ws.alias("_ws"))
-             .where(F.size("_ws") >= 2)
-             .select(F.col(id_col), "_ws",
-                     F.explode(F.sequence(F.lit(1), F.size("_ws") - 1))
-                      .alias("_i"))
-             .select(F.col(id_col),
-                     F.element_at("_ws", F.col("_i")).alias("_l"),
-                     F.element_at("_ws", F.col("_i") + 1).alias("_r"))
-             .where(F.col("_l").rlike(TERM_RE)
-                    & F.col("_r").rlike(TERM_RE)))
-    gram = F.concat(F.col("_l"), F.lit(" "), F.col("_r"))
+    from logunifier_spark.operators.textstats import adjacent_word_pairs
+    d = adjacent_word_pairs(docs, text_col, id_col)
+    gram = F.concat(F.col("prev"), F.lit(" "), F.col("term"))
     return d.select(F.col(id_col),
                     F.pmod(kmv_hash(gram), F.lit(buckets)).alias("bucket"))
 

@@ -118,17 +118,9 @@ def bigram_logppl(docs: DataFrame, text_col: str = "text",
     the scoring join); the bigram LM, context, and unigram LM tables
     are vocab-scale (Heaps' law) equi-joins; totals ride in-plan as
     1-row crossJoins. No window, no sort, no Python."""
+    from logunifier_spark.operators.textstats import adjacent_word_pairs
     ws = F.split(F.lower(F.col(text_col)), ASCII_WS + "+")
-    pairs = (docs.select(F.col(id_col), ws.alias("_ws"))
-                 .where(F.size("_ws") >= 2)
-                 .select(F.col(id_col), "_ws",
-                         F.explode(F.sequence(F.lit(1), F.size("_ws") - 1))
-                          .alias("_i"))
-                 .select(F.col(id_col),
-                         F.element_at("_ws", F.col("_i")).alias("prev"),
-                         F.element_at("_ws", F.col("_i") + 1).alias("term"))
-                 .where(F.col("prev").rlike(TERM_RE)
-                        & F.col("term").rlike(TERM_RE)))
+    pairs = adjacent_word_pairs(docs, text_col, id_col)
     btf = (pairs.groupBy(id_col, "prev", "term")
                 .agg(F.count("*").alias("tf"))
                 .localCheckpoint(eager=False))

@@ -235,8 +235,11 @@ def compact_sinks(spark, base_path: str,
     data in `sink=<name>._compact_old`. That state is RECOVERABLE and
     this function self-heals it: on entry, any `._compact_old` whose
     sink directory is missing is renamed back (the data was complete
-    when it was set aside), and leftover `._compact_tmp` staging dirs
-    from a crashed write are deleted (they may be partial; the live sink
+    when it was set aside); one whose sink directory EXISTS is deleted
+    (the swap completed and only the backup cleanup was lost — leaving
+    it would double every read of base_path); and leftover
+    `._compact_tmp` staging dirs from a crashed write are deleted (they
+    may be partial; the live sink
     was never touched). The reference's file-sink ack model
     (streamcfg.go:96-120) gives the same old-or-new listing guarantee
     with the same non-atomic swap caveat, minus Iceberg's time travel.
@@ -255,6 +258,14 @@ def compact_sinks(spark, base_path: str,
                 base_path, name[: -len("._compact_old")])
             if not base_fs.exists(live):
                 base_fs.rename(st.getPath(), live)
+            else:
+                # live present -> the swap COMPLETED and only the
+                # backup delete was lost (crash between rename 2 and
+                # delete). The backup is the pre-compaction copy; left
+                # in place it would be enumerated as its own
+                # 'foo._compact_old' sink and double every read of
+                # base_path (review r4) — drop it.
+                base_fs.delete(st.getPath(), True)
     out: dict[str, int] = {}
     for sink, path in _list_sink_dirs(spark, base_path).items():
         jpath = jvm.org.apache.hadoop.fs.Path(path)

@@ -85,6 +85,12 @@ def group_quantiles(df: DataFrame, keys: list[str] | str, col: str,
          partition size ~n_group/coarse_bins, never the group — and a
          join on (bucket, local rank) picks the exact values.
 
+    The histogram path requires a NUMERIC column (fixed-width buckets);
+    other orderable types (strings, dates) transparently fall back to
+    the original type-agnostic sort-per-group window — correct, but one
+    task per group. Map temporal columns through unix_micros when their
+    groups are skewed.
+
     Single-valued groups (lo == hi, which includes n == 1) are answered
     from pass 1 directly and never touch pass 2/3. Degenerate case: one
     VALUE dominating a group keeps its whole population in one bucket
@@ -99,6 +105,15 @@ def group_quantiles(df: DataFrame, keys: list[str] | str, col: str,
             raise ValueError(f"percents must be ints in 1..100, got {p!r}")
     if coarse_bins < 2:
         raise ValueError(f"coarse_bins must be >= 2, got {coarse_bins}")
+    dt = df.schema[col].dataType.simpleString()
+    if dt not in {"tinyint", "smallint", "int", "bigint",
+                  "float", "double"} and not dt.startswith("decimal"):
+        # non-numeric orderable types (strings, dates, …) cannot be
+        # fixed-width-bucketed (the double cast would crash under ANSI
+        # — review r4); they keep the original type-agnostic
+        # sort-per-group window. Skew-safety is therefore a NUMERIC
+        # guarantee; map temporal columns through unix_micros to get it.
+        return _group_quantiles_sorted(df, keys, col, percents, out_prefix)
     d = df.where(F.col(col).isNotNull()).select(*keys,
                                                 F.col(col).alias("_gq_v"))
     # pass 1: per-group stats; tiny (one row per group) — cut the
@@ -158,6 +173,28 @@ def group_quantiles(df: DataFrame, keys: list[str] | str, col: str,
                 .join(pivoted, keys)
                 .select(*keys, "n", *pcols))
     return out.unionByName(flat)
+
+
+def _group_quantiles_sorted(df: DataFrame, keys: list[str], col: str,
+                            percents: tuple[int, ...],
+                            out_prefix: str) -> DataFrame:
+    """Type-agnostic fallback (the pre-round-4 implementation): one
+    ranking window per group — any orderable column type, but each
+    group sorts in ONE task. Same type-1 integer rank math; identical
+    results to the histogram path on numeric inputs."""
+    d = df.where(F.col(col).isNotNull()).select(*keys, col)
+    w_row = Window.partitionBy(*keys).orderBy(col)
+    w_all = Window.partitionBy(*keys)
+    d = (d.withColumn("_rn", F.row_number().over(w_row))
+          .withColumn("_n", F.count(col).over(w_all)))
+    aggs = [F.max("_n").alias("n")]
+    for p in percents:
+        # pos = ceil(n*p/100), integer-only (see module docstring)
+        a = F.col("_n") * F.lit(int(p)) + F.lit(99)
+        pos = (a - F.pmod(a, F.lit(100))) / F.lit(100)
+        aggs.append(F.max(F.when(F.col("_rn") == pos, F.col(col)))
+                    .alias(f"{out_prefix}{p}"))
+    return d.groupBy(*keys).agg(*aggs)
 
 
 KMV_HEX_CHARS = 12                 # 48-bit hash -> fits int64 exactly

@@ -220,3 +220,24 @@ def char_entropy(docs: DataFrame, text_col: str = "text",
          - F.col("_s").cast("double")
          / (F.lit(float(ENTROPY_QUANT)) * F.col("n_counted").cast("double")))
     return agg.select(id_col, "n_counted", F.round(h, 6).alias("entropy"))
+
+
+def adjacent_word_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """(id_col, prev, term) — one row per RAW-adjacent word pair where
+    BOTH words match TERM_RE: the corpus bigram identity shared by DSIR
+    bucketing and the bigram LM (one definition, one SQL mirror — four
+    hand-copied variants of this stream drifted apart once in review).
+    Pure codegen: split → explode(sequence) → element_at, no HOFs."""
+    from logunifier_spark.operators.tfidf import TERM_RE
+    ws = F.split(F.lower(F.col(text_col)), ASCII_WS + "+")
+    return (docs.select(F.col(id_col), ws.alias("_ws"))
+                .where(F.size("_ws") >= 2)
+                .select(F.col(id_col), "_ws",
+                        F.explode(F.sequence(F.lit(1), F.size("_ws") - 1))
+                         .alias("_i"))
+                .select(F.col(id_col),
+                        F.element_at("_ws", F.col("_i")).alias("prev"),
+                        F.element_at("_ws", F.col("_i") + 1).alias("term"))
+                .where(F.col("prev").rlike(TERM_RE)
+                       & F.col("term").rlike(TERM_RE)))

@@ -1436,3 +1436,37 @@ def test_assign_splits_deterministic_and_exhaustive(spark):
     assert salted != base
     with _pytest.raises(ValueError, match="sum to 1"):
         assign_splits(d, {"train": 0.5, "val": 0.1})
+
+
+def test_compact_sinks_drops_stale_backup_when_swap_completed(spark, tmp_path):
+    # crash AFTER rename 2 but before the backup delete: live sink holds
+    # the compacted data, ._compact_old holds the pre-compaction copy.
+    # The next run must DELETE the backup (not resurrect it) or every
+    # read of base_path double-counts the sink (review r4).
+    import os
+    import shutil
+    from logunifier_spark.operators.route import compact_sinks, write_sinks
+    base = str(tmp_path / "sinks")
+    df = spark.range(300).select(
+        F.lit("loki").alias("sink"),
+        (F.col("id") % 2).cast("string").alias("route_partition"),
+        F.concat(F.lit("m"), F.col("id")).alias("message"), F.col("id"))
+    write_sinks(df, base, mode="append")
+    want = sorted(r["message"] for r in spark.read.parquet(base).collect())
+    live = os.path.join(base, "sink=loki")
+    shutil.copytree(live, live + "._compact_old")    # completed-swap state
+    out = compact_sinks(spark, base, target_file_bytes=1 << 30)
+    assert set(out) == {"loki"}
+    got = sorted(r["message"] for r in spark.read.parquet(base).collect())
+    assert got == want                               # no double counting
+    assert not os.path.exists(live + "._compact_old")
+    shutil.rmtree(base)
+
+
+def test_minhash_cap_observation_composes(spark, docs):
+    # two capped pair frames in ONE plan: hard-coded Observation names
+    # collide with DUPLICATED_METRICS_NAME (review r4)
+    from logunifier_spark.operators.dedup import minhash_lsh_pairs
+    a = minhash_lsh_pairs(docs, threshold=0.9, max_bucket=100)
+    b = minhash_lsh_pairs(docs, threshold=0.5, max_bucket=100)
+    assert a.unionByName(b).count() >= 0

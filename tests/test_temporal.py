@@ -468,3 +468,19 @@ def test_session_paths_order_truncation_topk(spark):
            session_paths(df, "user_id", gap_s=3600.0,
                          tiebreak="event_id", k=10, max_len=3).collect()}
     assert out == {"a>b": (2, 1), "a>b>c": (1, 2), "x>y": (1, 3)}
+
+
+def test_group_quantiles_non_numeric_fallback(spark):
+    # strings can't be fixed-width-bucketed: the histogram path's double
+    # cast would crash under ANSI (review r4) — non-numeric columns use
+    # the type-agnostic sorted path with identical type-1 semantics
+    from logunifier_spark.operators.stats import group_quantiles
+    rows = [("a", v) for v in ("pear", "apple", "mango", "fig")] \
+        + [("b", v) for v in ("zz", "aa", "mm")] + [("b", None)]
+    df = spark.createDataFrame(rows, "key string, s string")
+    got = {r["key"]: r for r in
+           group_quantiles(df, "key", "s", percents=(50, 100)).collect()}
+    assert (got["a"]["n"], got["a"]["p50"], got["a"]["p100"]) \
+        == (4, "fig", "pear")
+    assert (got["b"]["n"], got["b"]["p50"], got["b"]["p100"]) \
+        == (3, "mm", "zz")
