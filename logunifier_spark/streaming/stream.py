@@ -52,14 +52,17 @@ def stream_unify(
     deduped = (stream
                .withWatermark("ts", dedup_watermark)
                .dropDuplicates(["conv_id", "turn_idx"]))
+    # resolve the enrich lookup ONCE: building it inside the batch
+    # closure re-created the frame (py4j plan construction + a fresh
+    # broadcast) on EVERY micro-batch — pure fixed cost at streaming's
+    # small batch sizes
+    if pattern_labels is None:
+        from logunifier_spark.operators.enrich import default_pattern_labels
+        pattern_labels = default_pattern_labels(stream.sparkSession)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from logunifier_spark.operators.enrich import default_pattern_labels
         from logunifier_spark.pipeline import unify
-        spark = batch_df.sparkSession
-        labels = pattern_labels if pattern_labels is not None \
-            else default_pattern_labels(spark)
-        u = unify(batch_df, pattern_labels=labels, dedup=False)
+        u = unify(batch_df, pattern_labels=pattern_labels, dedup=False)
         (u.drop("loki_labels")
           .write.mode("append")
           .partitionBy("sink")
