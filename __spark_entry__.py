@@ -1674,6 +1674,19 @@ def q_doc_duplication(spark, sf_dir):
     return doc_duplication_stats(d, gram_len=8, min_docs=2)
 
 
+def q_winnow_fps(spark, sf_dir):
+    """Winnowing fingerprint selection (operators/dedup.py::
+    winnow_fingerprints, Schleimer et al. 2003 / MOSS): the per-window
+    local-minimum fingerprint set — guaranteed detection of any shared
+    gram_len+window-1-token run at ~2/(window+1) density. One per-doc
+    window function; oracle re-derives the selection with a native SQL
+    window frame."""
+    _ship(spark)
+    from logunifier_spark.operators.dedup import winnow_fingerprints
+    d = _load(spark, sf_dir, "documents")
+    return winnow_fingerprints(d, gram_len=5, window=4)
+
+
 def q_assign_splits(spark, sf_dir):
     """Deterministic split assignment (operators/sampling.py::
     assign_splits): train/val/test decided per row by the portable
@@ -1996,6 +2009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_drift": q_source_drift,
         "bigram_logppl": q_bigram_logppl,
         "assign_splits": q_assign_splits,
+        "winnow_fps": q_winnow_fps,
         "cross_doc_grams": q_cross_doc_grams,
         "doc_duplication": q_doc_duplication,
         "bm25_search": q_bm25_search,
@@ -3522,6 +3536,7 @@ def oracle_sql() -> dict[str, str]:
         "source_drift": _do.source_drift_sql(),
         "bigram_logppl": _do.bigram_logppl_sql(),
         "assign_splits": _do.assign_splits_sql(),
+        "winnow_fps": _do.winnow_sql(gram_len=5, window=4),
         "cross_doc_grams": _do.cross_doc_grams_sql(),
         "doc_duplication": _do.doc_duplication_sql(),
         "bm25_search": _do.bm25_sql(BM25_QUERIES, top_k=10),

@@ -1262,3 +1262,39 @@ WITH h AS (
 SELECT doc_id, CASE {' '.join(whens)} ELSE '{names[-1]}' END AS split
 FROM h
 """
+
+
+def winnow_sql(gram_len: int = 5, window: int = 4) -> str:
+    """(doc_id, fp, pos) of dedup.winnow_fingerprints — same token
+    windows and 48-bit fingerprints as the cross-doc oracles, same
+    40-bit reduction + position packing, the sliding minimum expressed
+    with a native window frame (an independent formulation of the same
+    selection)."""
+    ws = r"'[ \t\r\n\f\x0B]+'"
+    return f"""
+WITH grams AS (
+  SELECT doc_id, i AS pos,
+         CAST(concat('0x', substring(md5(
+             array_to_string(w[i : i + {gram_len} - 1], ' ')), 1, 12))
+           AS BIGINT) AS h
+  FROM (SELECT doc_id,
+               string_split_regex(trim(lower(text)), {ws}) AS w
+        FROM documents) t,
+       LATERAL (SELECT unnest(range(1, len(w) - {gram_len} + 2)) AS i) ix
+  WHERE len(w) >= {gram_len}),
+keyed AS (
+  SELECT doc_id, pos,
+         (h % {1 << 40}) * {1 << 16} + (pos % {1 << 16}) AS key,
+         count(*) OVER (PARTITION BY doc_id) AS m
+  FROM grams),
+sel AS (
+  SELECT DISTINCT doc_id,
+         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW
+                        AND {window - 1} FOLLOWING) AS s
+  FROM keyed
+  QUALIFY pos <= m - {window} + 1)
+SELECT doc_id, CAST(s // {1 << 16} AS BIGINT) AS fp,
+       CAST(s % {1 << 16} AS INT) AS pos
+FROM sel
+"""

@@ -935,25 +935,27 @@ def verified_neardup_pairs(df: DataFrame, text_col: str = "text",
 # ------------------------------------------------- cross-doc substrings ----
 
 def _window_fingerprints(docs: DataFrame, gram_len: int, text_col: str,
-                         id_col: str) -> DataFrame:
-    """(id_col, gram_hash) — one row per `gram_len`-token window,
+                         id_col: str, with_pos: bool = False) -> DataFrame:
+    """(id_col, gram_hash[, pos]) — one row per `gram_len`-token window,
     fingerprinted with the 48-bit md5-prefix hash. THE shared stream
-    between cross_doc_grams and doc_duplication_stats (one tokenization,
-    one SQL mirror)."""
+    between cross_doc_grams, doc_duplication_stats, and
+    winnow_fingerprints (one tokenization, one SQL mirror); `pos` is
+    the 1-based window start, emitted only when winnowing needs it."""
     from logunifier_spark.operators.stats import kmv_hash
     if gram_len < 2:
         raise ValueError(f"gram_len must be >= 2, got {gram_len}")
     ws = F.split(F.trim(F.lower(F.col(text_col))), ASCII_WS + "+")
+    fp = kmv_hash(F.array_join(
+        F.slice(F.col("_ws"), F.col("_i"), gram_len), " ")).alias("gram_hash")
+    cols = [F.col(id_col), fp] + ([F.col("_i").alias("pos")]
+                                  if with_pos else [])
     return (docs.select(F.col(id_col), ws.alias("_ws"))
                 .where(F.size("_ws") >= gram_len)
                 .select(F.col(id_col), "_ws",
                         F.explode(F.sequence(
                             F.lit(1), F.size("_ws") - gram_len + 1))
                          .alias("_i"))
-                .select(F.col(id_col),
-                        kmv_hash(F.array_join(
-                            F.slice(F.col("_ws"), F.col("_i"), gram_len),
-                            " ")).alias("gram_hash")))
+                .select(*cols))
 
 
 def cross_doc_grams(docs: DataFrame, gram_len: int = 8, min_docs: int = 2,
@@ -1012,3 +1014,55 @@ def doc_duplication_stats(docs: DataFrame, gram_len: int = 8,
                   .select(id_col, "n_grams", "n_dup_grams",
                           F.expr("CAST((n_dup_grams * 1000000) DIV n_grams "
                                  "AS BIGINT)").alias("dup_ppm")))
+
+
+def winnow_fingerprints(docs: DataFrame, gram_len: int = 5,
+                        window: int = 4, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken
+    2003 — the MOSS algorithm): instead of keeping EVERY token-window
+    fingerprint (cross_doc_grams) or one global minimum per doc
+    (textstats.fingerprint), keep the minimum of every sliding window
+    of `window` consecutive gram hashes. The selected set is (a) dense
+    enough to GUARANTEE detection of any shared run of
+    gram_len + window - 1 tokens, (b) sparse — expected density
+    2/(window+1) of the gram stream — and (c) position-robust (local
+    minima survive edits elsewhere in the document). Returns one row
+    per selected fingerprint: (id_col, fp BIGINT, pos INT — the 1-based
+    gram position the winning hash sits at).
+
+    Determinism (engine-portable spec): the gram hash is reduced to 40
+    bits (kmv % 2^40) and packed with the position as
+    key = h·2^16 + (pos mod 2^16); the per-window minimum of `key`
+    breaks hash ties toward the LEFTMOST occurrence (the paper prefers
+    rightmost; leftmost is the same guarantee with simpler integer
+    packing, and the 2^16 position wrap merely rotates tie-breaks on
+    65k+-gram documents — both engines compute it identically).
+    Duplicate selections from overlapping windows dedupe via DISTINCT,
+    exactly as the paper records each fingerprint once.
+
+    Scale shape: the gram stream is the shared codegen projection; the
+    sliding minimum is ONE window function partitioned by (id_col) and
+    ordered by pos — per-DOCUMENT sort, bounded by document length
+    (the multiline-reassembly precedent), never corpus-scale. Docs with
+    fewer than `window` grams produce no row (no full window exists)."""
+    from pyspark.sql import Window
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    g = _window_fingerprints(docs, gram_len, text_col, id_col,
+                             with_pos=True)
+    h40 = F.pmod(F.col("gram_hash"), F.lit(1 << 40))
+    key = h40 * F.lit(1 << 16) + F.pmod(F.col("pos"), F.lit(1 << 16))
+    w_doc = Window.partitionBy(id_col)
+    w_slide = (Window.partitionBy(id_col).orderBy("pos")
+                     .rowsBetween(Window.currentRow, window - 1))
+    sel = (g.select(F.col(id_col), F.col("pos"), key.alias("_key"))
+            .withColumn("_m", F.count("*").over(w_doc))
+            .withColumn("_wmin", F.min("_key").over(w_slide))
+            .where(F.col("pos") <= F.col("_m") - window + 1)
+            .select(F.col(id_col), F.col("_wmin").alias("_sel"))
+            .distinct())
+    return sel.select(
+        F.col(id_col),
+        (F.col("_sel") / F.lit(1 << 16)).cast("long").alias("fp"),
+        F.pmod(F.col("_sel"), F.lit(1 << 16)).cast("int").alias("pos"))

@@ -1470,3 +1470,39 @@ def test_minhash_cap_observation_composes(spark, docs):
     a = minhash_lsh_pairs(docs, threshold=0.9, max_bucket=100)
     b = minhash_lsh_pairs(docs, threshold=0.5, max_bucket=100)
     assert a.unionByName(b).count() >= 0
+
+
+def test_winnow_fingerprints_match_python(spark):
+    import hashlib
+    import re
+    from logunifier_spark.operators.dedup import winnow_fingerprints
+    texts = {0: "one two three four five six seven eight nine ten",
+             1: "alpha beta gamma delta alpha beta gamma delta epsilon",
+             2: "too few"}
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    G, W = 3, 4
+
+    def select(t):
+        ws = re.split(r"[ \t\r\n\f\x0B]+", t.strip().lower())
+        if len(ws) < G:
+            return set()
+        hs = [int(hashlib.md5(" ".join(ws[i:i + G]).encode())
+                  .hexdigest()[:12], 16) for i in range(len(ws) - G + 1)]
+        keys = [(h % (1 << 40)) * (1 << 16) + ((i + 1) % (1 << 16))
+                for i, h in enumerate(hs)]
+        if len(keys) < W:
+            return set()
+        return {min(keys[i:i + W]) for i in range(len(keys) - W + 1)}
+
+    got = {i: set() for i in texts}
+    for r in winnow_fingerprints(df, gram_len=G, window=W).collect():
+        got[r["doc_id"]].add(r["fp"] * (1 << 16) + r["pos"])
+    for i, t in texts.items():
+        assert got[i] == select(t), i
+    # density guarantee: selected <= windows, and every (G+W-1)-token
+    # shared run between docs 0 and a copy would share a fingerprint —
+    # identical docs select identical sets
+    df2 = spark.createDataFrame([(9, texts[1])], "doc_id long, text string")
+    clone = {r["fp"] for r in
+             winnow_fingerprints(df2, gram_len=G, window=W).collect()}
+    assert clone == {k >> 16 for k in got[1]}
