@@ -295,7 +295,15 @@ class _CapStats:
     def get(self) -> dict:
         try:
             return dict(self._obs.get)
-        except Exception:  # noqa: BLE001 — Py4J assert, see docstring
+        except Exception as e:  # narrow: ONLY the Spark 4.1 schemaless-row
+            # assert (Py4JJavaError: PythonSQLUtils.toPyRow AssertionError).
+            # Any other failure of the first action (job abort, OOM,
+            # analysis error) must surface, not trigger a silent recompute
+            # that could mask it (ADVICE r4).
+            msg = str(e)
+            if not (type(e).__name__ == "Py4JJavaError"
+                    and "toPyRow" in msg and "AssertionError" in msg):
+                raise
             row = self._counts.agg(
                 F.sum((F.col("_n") > self._mb).cast("long"))
                  .alias("capped_buckets"),
@@ -1029,7 +1037,10 @@ def winnow_fingerprints(docs: DataFrame, gram_len: int = 5,
     2/(window+1) of the gram stream — and (c) position-robust (local
     minima survive edits elsewhere in the document). Returns one row
     per selected fingerprint: (id_col, fp BIGINT, pos INT — the 1-based
-    gram position the winning hash sits at).
+    gram position the winning hash sits at, MODULO 2^16: documents with
+    65536+ grams wrap the reported position — the fingerprint set and
+    its detection guarantee are unaffected, only the position label
+    wraps; carry a wider key if exact positions matter at that length).
 
     Determinism (engine-portable spec): the gram hash is reduced to 40
     bits (kmv % 2^40) and packed with the position as
@@ -1062,7 +1073,11 @@ def winnow_fingerprints(docs: DataFrame, gram_len: int = 5,
             .where(F.col("pos") <= F.col("_m") - window + 1)
             .select(F.col(id_col), F.col("_wmin").alias("_sel"))
             .distinct())
+    # exact integer unpack: _sel can reach h40*2^16 + pos ~ 2^56, beyond
+    # double's 53-bit mantissa — float division rounds the quotient across
+    # the 2^16 boundary for pos mod 2^16 >= ~65532 (ADVICE r4), so the
+    # decode must stay integral (shiftright == DIV 65536 for _sel >= 0)
     return sel.select(
         F.col(id_col),
-        (F.col("_sel") / F.lit(1 << 16)).cast("long").alias("fp"),
+        F.shiftright(F.col("_sel"), 16).alias("fp"),
         F.pmod(F.col("_sel"), F.lit(1 << 16)).cast("int").alias("pos"))

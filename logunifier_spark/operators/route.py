@@ -192,18 +192,38 @@ def write_sinks(df: DataFrame, base_path: str, mode: str = "overwrite",
        .save(base_path))
     try:
         written = set(obs.get["sinks"])
-    except Exception:
+    except Exception as e:
         # Spark 4.1 bug (minimal repro: observed write of an EMPTY
         # DataFrame): a zero-row write schedules no task that executes
         # the CollectMetrics node, Observation.getRow hands back a
         # schemaless row, and PythonSQLUtils.toPyRow asserts. The write
         # itself succeeded — recompute the sink set from df directly
         # (normally the empty set; one column-pruned job). Listing the
-        # output instead would misreport earlier appends as ours.
+        # output instead would misreport earlier appends as ours. Catch
+        # ONLY that assert; a real failure must surface (ADVICE r4).
+        msg = str(e)
+        if not (type(e).__name__ == "Py4JJavaError"
+                and "toPyRow" in msg and "AssertionError" in msg):
+            raise
         written = {r["sink"]
                    for r in df.select("sink").distinct().collect()}
     listed = _list_sink_dirs(df.sparkSession, base_path)
     return {s: p for s, p in sorted(listed.items()) if s in written}
+
+
+def _fs_rename(fs, src, dst) -> None:
+    """Hadoop FileSystem.rename reports failure by returning false, not
+    raising (ADVICE r4) — a swallowed false during the compact swap or its
+    crash recovery leaves sink data stranded in `._compact_old` while the
+    run reports success. Raise so a half-swapped base_path is never
+    treated as healthy."""
+    if not fs.rename(src, dst):
+        raise IOError(f"rename failed: {src} -> {dst}")
+
+
+def _fs_delete(fs, path) -> None:
+    if not fs.delete(path, True) and fs.exists(path):
+        raise IOError(f"delete failed: {path}")
 
 
 def compact_sinks(spark, base_path: str,
@@ -252,12 +272,12 @@ def compact_sinks(spark, base_path: str,
     for st in base_fs.listStatus(base_jpath):
         name = st.getPath().getName()
         if name.endswith("._compact_tmp"):
-            base_fs.delete(st.getPath(), True)
+            _fs_delete(base_fs, st.getPath())
         elif name.endswith("._compact_old"):
             live = jvm.org.apache.hadoop.fs.Path(
                 base_path, name[: -len("._compact_old")])
             if not base_fs.exists(live):
-                base_fs.rename(st.getPath(), live)
+                _fs_rename(base_fs, st.getPath(), live)
             else:
                 # live present -> the swap COMPLETED and only the
                 # backup delete was lost (crash between rename 2 and
@@ -265,7 +285,7 @@ def compact_sinks(spark, base_path: str,
                 # in place it would be enumerated as its own
                 # 'foo._compact_old' sink and double every read of
                 # base_path (review r4) — drop it.
-                base_fs.delete(st.getPath(), True)
+                _fs_delete(base_fs, st.getPath())
     out: dict[str, int] = {}
     for sink, path in _list_sink_dirs(spark, base_path).items():
         jpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -282,10 +302,10 @@ def compact_sinks(spark, base_path: str,
         writer.save(staging.toString())
         backup = jvm.org.apache.hadoop.fs.Path(path + "._compact_old")
         if fs.exists(backup):
-            fs.delete(backup, True)
-        fs.rename(jpath, backup)
-        fs.rename(staging, jpath)
-        fs.delete(backup, True)
+            _fs_delete(fs, backup)
+        _fs_rename(fs, jpath, backup)
+        _fs_rename(fs, staging, jpath)
+        _fs_delete(fs, backup)
         n_after = sum(1 for st in fs.listStatus(jpath)
                       if not st.isDirectory()
                       and not st.getPath().getName().startswith("_"))

@@ -1506,3 +1506,27 @@ def test_winnow_fingerprints_match_python(spark):
     clone = {r["fp"] for r in
              winnow_fingerprints(df2, gram_len=G, window=W).collect()}
     assert clone == {k >> 16 for k in got[1]}
+
+
+def test_winnow_fingerprints_long_doc_exact_decode(spark):
+    # ADVICE r4 regression: a 65,600-gram document reaches pos mod 2^16
+    # >= 65532, where the old float-division decode of _sel rounded fp
+    # across the 2^16 boundary (off by one). Brute-force python is the
+    # ground truth; every fp must ALSO be a real 40-bit gram hash.
+    import hashlib
+    from logunifier_spark.operators.dedup import winnow_fingerprints
+    G, W = 3, 4
+    n_tokens = 65_600
+    words = [f"w{(i * 2654435761) % 9973}" for i in range(n_tokens)]
+    text = " ".join(words)
+    hs = [int(hashlib.md5(" ".join(words[i:i + G]).encode())
+              .hexdigest()[:12], 16) for i in range(n_tokens - G + 1)]
+    keys = [(h % (1 << 40)) * (1 << 16) + ((i + 1) % (1 << 16))
+            for i, h in enumerate(hs)]
+    want = {min(keys[i:i + W]) for i in range(len(keys) - W + 1)}
+    df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    rows = winnow_fingerprints(df, gram_len=G, window=W).collect()
+    got = {r["fp"] * (1 << 16) + r["pos"] for r in rows}
+    assert got == want
+    h40 = {h % (1 << 40) for h in hs}
+    assert all(r["fp"] in h40 for r in rows)
