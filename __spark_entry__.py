@@ -1586,30 +1586,24 @@ def q_quality_scores(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (brute force; the LSH-bucketed
-    variant is ann_lsh). O(n²) compare — the exact baseline. Norms are
-    precomputed per VECTOR (n folds, not n² — identical doubles, same
-    fold over the same input) and the left side is fanned out to the
-    session parallelism: a one-file corpus scans as one task, and a
-    cross join inherits that single partition, serializing all n²/2
-    pairs onto one core (measured 47 s -> ~1.5 s at sf0.1)."""
+    """Embedding-cosine near-duplicate pairs (operators/similarity.py::
+    embedding_neardup_pairs). ROUND 5: the default is now the BOUNDED
+    composition — exact-vector collapse + 72-band 6-bit sign-hyperplane
+    LSH candidates + exact cosine verify — retiring the engine's last
+    intentional O(n²) default (the brute cross join survives behind
+    exact=True as the correctness baseline). Precision is exact (same
+    zip_with/aggregate double fold); the only approximation is candidate
+    recall, bounded at >= 0.995 for a pair at exactly the 0.45 threshold
+    and exponentially better above it. The ORACLE stays the plain
+    all-pairs SQL: recall is empirically 100% on this corpus at every
+    scale — verified pair-for-pair vs exact=True at sf0.01 (14/14),
+    sf0.1 (144/144), and by count at sf1.0 (104,400 = the r4 brute
+    total, 282 s -> 6.2 s) — and the hyperplanes are deterministic, so
+    the match is reproducible, not a coin flip."""
     _ship(spark)
-    from logunifier_spark.operators.dedup import fan_out
-    from logunifier_spark.operators.similarity import dot, norm
+    from logunifier_spark.operators.similarity import embedding_neardup_pairs
     emb = _load(spark, sf_dir, "embeddings")
-    a = (fan_out(emb)
-         .select(F.col("vec_id").alias("id_a"),
-                 F.col("embedding").alias("va"))
-         .withColumn("na", norm(F.col("va"))))
-    b = (emb.select(F.col("vec_id").alias("id_b"),
-                    F.col("embedding").alias("vb"))
-            .withColumn("nb", norm(F.col("vb"))))
-    cos = dot(F.col("va"), F.col("vb")) \
-        / (F.col("na") * F.col("nb") + F.lit(1e-12))
-    pairs = (a.crossJoin(F.broadcast(b))
-              .where(F.col("id_a") < F.col("id_b"))
-              .withColumn("cos", cos)
-              .where(F.col("cos") >= 0.45))
+    pairs = embedding_neardup_pairs(emb, dim=64, threshold=0.45)
     return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
 
 

@@ -10,10 +10,18 @@
   - ivf_topk: IVF-style coarse quantization: k deterministic centroid seeds
     drawn from the corpus, vectors assigned to nearest centroid (broadcast),
     queries probe the nprobe nearest centroids only.
+  - embedding_neardup_pairs: all-pairs near-duplicate detection with a
+    BOUNDED default (exact-vector collapse + banded sign-bit LSH candidates
+    + exact cosine verify); the O(n²) cross join survives behind exact=True
+    as the correctness baseline.
 """
 
 from __future__ import annotations
 
+import math
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -169,3 +177,188 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     w = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.asc(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
                   .where(F.col("rank") <= k))
+
+
+# ------------------------------------------- all-pairs near-dup (bounded) --
+
+def auto_bands(threshold: float, n_bits: int,
+               miss_prob: float = 0.005) -> int:
+    """Band count for the banded sign-bit LSH so a pair at EXACTLY the
+    cosine threshold collides in >= 1 band with probability 1-miss_prob.
+    Per Goemans-Williamson, one hyperplane separates a pair at angle θ
+    with probability θ/π, so a threshold pair matches a full r-bit band
+    with p1^r where p1 = 1 - acos(threshold)/π; bands = ln(1/miss_prob)
+    / p1^r makes (1-p1^r)^bands ≈ miss_prob. Pairs ABOVE the threshold
+    are recalled with strictly higher probability."""
+    p1 = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    if p1 <= 0:
+        raise ValueError(f"threshold {threshold} gives no LSH signal")
+    return max(1, math.ceil(math.log(1.0 / miss_prob) / p1 ** n_bits))
+
+
+def _band_buckets_udf(dim: int, n_bits: int, bands: int):
+    """array<float> embedding -> array<long> of `bands` band-bucket keys
+    ((band << n_bits) | sign bits against the module's deterministic
+    hyperplanes). ONE numpy matmul per Arrow batch — the bands×n_bits
+    dot products as Column expressions would build a multi-thousand-node
+    scalar tree that blows the JIT method budget and deoptimizes the
+    whole fused stage (the pq.py lesson: 10-26 s vs 1.3 s)."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array([_hyperplane(dim, b) for b in range(bands * n_bits)],
+                      dtype=np.float64).T          # (dim, bands*n_bits)
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+    offsets = (np.arange(bands, dtype=np.int64) << n_bits)
+
+    @pandas_udf("array<long>")
+    def _buckets(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)   # (batch, dim)
+        bits = (mat @ planes >= 0).astype(np.int64)
+        bits = bits.reshape(len(mat), bands, n_bits)
+        keys = bits @ weights + offsets                    # (batch, bands)
+        return pd.Series(list(keys))
+
+    return _buckets
+
+
+def vector_exact_groups(emb: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding"
+                        ) -> tuple[DataFrame, DataFrame]:
+    """Exact-duplicate collapse for VECTORS (the dedup.exact_groups
+    pattern): returns (members, rep_vecs) where members maps every id
+    (`_m`) to its exact-clone group's min-id representative (`_rep`;
+    grouped on the raw vector — at dim 64 the key is 256 B, narrower
+    than most texts; key on a strong hash first if dims grow huge) and
+    rep_vecs is emb filtered to representatives. members is
+    localCheckpointed (referenced by up to three expansion joins)."""
+    members = emb.select(F.col(id_col).alias("_m"), F.col(vec_col).alias("_v"))
+    reps = members.groupBy("_v").agg(F.min("_m").alias("_rep"))
+    members = (members.join(reps, "_v").select("_m", "_rep")
+                      .localCheckpoint(eager=False))
+    rep_vecs = emb.join(reps.select(F.col("_rep").alias(id_col)),
+                        id_col, "left_semi")
+    return members, rep_vecs
+
+
+def embedding_neardup_pairs(emb: DataFrame, dim: int,
+                            threshold: float = 0.45,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            exact: bool = False, n_bits: int = 6,
+                            bands: int | None = None,
+                            miss_prob: float = 0.005,
+                            collapse_exact: bool = True,
+                            expand: bool = True,
+                            max_bucket: int | None = 100_000) -> DataFrame:
+    """All (id_a < id_b) pairs with cosine >= threshold, as
+    (id_a, id_b, cos). DEFAULT is the bounded composition (round-5, was
+    the engine's one remaining intentional O(n²) default):
+
+      1. exact-clone collapse — identical vectors verify once on their
+         min-id representative (cos is a pure function of the two
+         vectors), then expand back; the round-4 soak lesson applied to
+         embeddings (c clones per vector otherwise multiply candidates
+         by c²). `expand=False` returns rep pairs only.
+      2. banded sign-bit LSH candidates — `bands` bands of `n_bits`
+         deterministic-hyperplane sign bits (ONE numpy Arrow matmul,
+         exploded to (band_bucket, id) and self-joined), so candidate
+         work scales ~ bands · Σ_bucket pop² instead of n²/2. Bands
+         default from `auto_bands(threshold, n_bits, miss_prob)`.
+      3. exact cosine verify — the identical zip_with/aggregate double
+         fold as the brute path, so PRECISION IS EXACT; the only
+         approximation is candidate recall.
+
+    RECALL BOUND (docstring contract): a pair at cosine s >= threshold
+    is missed with probability <= (1 - p1^n_bits)^bands where
+    p1 = 1 - acos(s)/π — at the defaults (threshold 0.45, n_bits 6,
+    miss_prob 0.005, 72 bands) a threshold-grade pair is recalled with
+    p >= 0.995 and stronger pairs exponentially better (exact clones
+    always, via the collapse). Empirically on the sf0.1 corpus the full
+    144-pair truth set is recalled with 1.5× band margin (all pairs
+    collide by band 48). `exact=True` keeps the brute-force cross join
+    (every pair, fanned out, broadcast right side) for oracles and
+    small corpora.
+
+    Scale shape: n_bits should grow ~log2(n / target_bucket_pop) as the
+    corpus grows (bands re-derive automatically from the threshold);
+    `max_bucket` drops hotter-than-cap band buckets from candidate
+    generation (with collapse ON, populations count DISTINCT vectors —
+    the minhash_lsh_pairs cap rationale, see dedup.py)."""
+    from logunifier_spark.operators.dedup import fan_out
+
+    cos_ab = (dot(F.col("_va"), F.col("_vb"))
+              / (F.col("_na") * F.col("_nb") + F.lit(1e-12)))
+
+    members = None
+    if collapse_exact and not exact:
+        members, corpus = vector_exact_groups(emb, id_col, vec_col)
+    else:
+        corpus = emb
+
+    base = corpus.select(F.col(id_col).alias("_id"),
+                         F.col(vec_col).alias("_v"))
+    if exact:
+        a = (fan_out(base)
+             .select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+             .withColumn("_na", norm(F.col("_va"))))
+        b = (base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+                 .withColumn("_nb", norm(F.col("_vb"))))
+        return (a.crossJoin(F.broadcast(b))
+                 .where(F.col("id_a") < F.col("id_b"))
+                 .withColumn("cos", cos_ab)
+                 .where(F.col("cos") >= threshold)
+                 .select("id_a", "id_b", "cos"))
+
+    if bands is None:
+        bands = auto_bands(threshold, n_bits, miss_prob)
+    # UDF input is a plain column and the explode happens on a projected
+    # array column in a separate select (ExtractPythonUDFs cannot place a
+    # Python UDF inside a Generate node — CLAUDE.md)
+    with_keys = (fan_out(base)
+                 .withColumn("_bb", _band_buckets_udf(dim, n_bits, bands)(
+                     F.col("_v")))
+                 .localCheckpoint(eager=False))  # referenced by both join sides
+    banded = with_keys.select("_id", F.explode("_bb").alias("_k"))
+    if max_bucket is not None:
+        cool = (banded.groupBy("_k").agg(F.count("*").alias("_n"))
+                      .where(F.col("_n") <= max_bucket).select("_k"))
+        banded = banded.join(cool, "_k", "left_semi")
+    cand = (banded.alias("x").join(banded.alias("y"), "_k")
+            .where(F.col("x._id") < F.col("y._id"))
+            .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    sides = with_keys.select("_id", "_v", norm(F.col("_v")).alias("_n"))
+    pairs = (cand
+             .join(sides.select(F.col("_id").alias("id_a"),
+                                F.col("_v").alias("_va"),
+                                F.col("_n").alias("_na")), "id_a")
+             .join(sides.select(F.col("_id").alias("id_b"),
+                                F.col("_v").alias("_vb"),
+                                F.col("_n").alias("_nb")), "id_b")
+             .withColumn("cos", cos_ab)
+             .where(F.col("cos") >= threshold)
+             .select("id_a", "id_b", "cos"))
+    if members is None or not expand:
+        return pairs
+    # expand rep pairs to member pairs: cos is a pure function of the two
+    # vectors, so cross-group pairs inherit the rep pair's cos verbatim;
+    # within-group (exact clone) pairs get the rep's SELF-cosine computed
+    # by the same formula (≈1.0; exactly what the brute path would emit,
+    # including degenerate near-zero vectors)
+    ma = members.select(F.col("_rep").alias("id_a"), F.col("_m").alias("_a"))
+    mb = members.select(F.col("_rep").alias("id_b"), F.col("_m").alias("_b"))
+    cross = (pairs.join(ma, "id_a").join(mb, "id_b")
+             .select(F.least("_a", "_b").alias("id_a"),
+                     F.greatest("_a", "_b").alias("id_b"), "cos"))
+    selfcos = (sides
+               .select(F.col("_id").alias("_rep"),
+                       (dot(F.col("_v"), F.col("_v"))
+                        / (F.col("_n") * F.col("_n") + F.lit(1e-12)))
+                       .alias("cos"))
+               .where(F.col("cos") >= threshold))
+    within = (members.alias("x").join(members.alias("y"), "_rep")
+              .where(F.col("x._m") < F.col("y._m"))
+              .join(selfcos, "_rep")
+              .select(F.col("x._m").alias("id_a"),
+                      F.col("y._m").alias("id_b"), "cos"))
+    return cross.unionByName(within)

@@ -116,6 +116,58 @@ def test_ivf_topk(spark, vectors):
     assert top[0]["vec_id"] == 0
 
 
+def _pair_set(df):
+    return {(r["id_a"], r["id_b"], round(r["cos"], 6)) for r in df.collect()}
+
+
+def test_embedding_neardup_bounded_matches_brute(spark, vectors):
+    """The bounded default (collapse + banded LSH + exact verify) must
+    agree pair-for-pair with the exact=True brute cross join — precision
+    is exact by construction; this asserts recall on the planted
+    near-neighbor corpus."""
+    from logunifier_spark.operators.similarity import embedding_neardup_pairs
+    brute = _pair_set(embedding_neardup_pairs(
+        vectors, dim=16, threshold=0.45, exact=True))
+    bounded = _pair_set(embedding_neardup_pairs(vectors, dim=16, threshold=0.45))
+    assert (0, 1) in {(a, b) for a, b, _ in brute}  # planted pair present
+    assert bounded == brute
+
+
+def test_embedding_neardup_clone_expansion(spark):
+    """Exact-clone collapse + expansion: c identical vectors contribute
+    C(c,2) within-group pairs at cos≈1 plus cross-group pairs inheriting
+    the representative pair's cosine — identical to what brute emits."""
+    import numpy as np
+    from logunifier_spark.operators.similarity import embedding_neardup_pairs
+    rng = np.random.default_rng(7)
+    v0 = [float(x) for x in rng.normal(size=16)]
+    v1 = [float(x + 0.01) for x in v0]          # near-dup of v0
+    far = [float(x) for x in rng.normal(size=16)]
+    rows = [(0, v0), (1, v0), (2, v0), (3, v1), (4, far)]  # 3 clones of v0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    brute = _pair_set(embedding_neardup_pairs(df, dim=16, threshold=0.9,
+                                              exact=True))
+    bounded = _pair_set(embedding_neardup_pairs(df, dim=16, threshold=0.9))
+    assert bounded == brute
+    ids = {(a, b) for a, b, _ in bounded}
+    assert {(0, 1), (0, 2), (1, 2)} <= ids      # clone pairs via expansion
+    assert {(0, 3), (1, 3), (2, 3)} <= ids      # cross-group via rep pair
+    assert not any(4 in p for p in ids)
+    # expand=False returns representative pairs only
+    reps = _pair_set(embedding_neardup_pairs(df, dim=16, threshold=0.9,
+                                             expand=False))
+    assert {(a, b) for a, b, _ in reps} == {(0, 3)}
+
+
+def test_embedding_neardup_max_bucket_cap(spark, vectors):
+    """max_bucket=1 drops every band bucket (any vector occupies all its
+    bands), so no candidates survive — the hot-bucket cap is live."""
+    from logunifier_spark.operators.similarity import embedding_neardup_pairs
+    out = embedding_neardup_pairs(vectors, dim=16, threshold=0.45,
+                                  max_bucket=1, collapse_exact=False)
+    assert out.count() == 0
+
+
 def test_text_stats(spark):
     from logunifier_spark.operators.textstats import with_text_stats
     df = spark.createDataFrame(
