@@ -28,8 +28,10 @@ deterministic lowest-portable-hash seeding.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def quantize(vec: Column, scale: int = 1000) -> Column:
@@ -56,6 +58,46 @@ def _nearest(qv: Column, cents: list[list[int]]) -> Column:
                  F.lit(cid).cast("long").alias("cluster"))
         for cid, cv in enumerate(cents)
     ]))
+
+
+#: past this many centroids the Column struct-fold battery's generated
+#: code outgrows the JIT method budget and the whole fused stage runs
+#: deoptimized (the pq.py lesson: 10-26 s vs 1.3 s at sf0.1) — switch to
+#: one numpy Arrow kernel per batch, bit-identical integer math.
+COLUMN_BATTERY_MAX_K = 16
+
+
+def assign_np_udf(cents: list[list[int]], scale: int, with_dist: bool = False):
+    """array<float> embedding -> nearest-centroid id (or struct with the
+    int64 squared distance), one numpy batch per Arrow chunk. Bit-identical
+    to `_nearest` over `quantize`: same float64 quantization (pq._quant_np),
+    exact int64 squared-L2, argmin ties to the smaller cid. The UDF takes
+    the RAW vector column (a quantize() HOF as UDF arg breaks
+    ExtractPythonUDFs — CLAUDE.md) and quantizes inside."""
+    # function-level import: pq imports quantize from this module
+    from logunifier_spark.operators.pq import _quant_np, _sub_assign
+
+    dim = len(cents[0])
+
+    if with_dist:
+        @pandas_udf("struct<dist:long, cluster:long>")
+        def _assign_d(v: pd.Series) -> pd.DataFrame:
+            if len(v) == 0:
+                return pd.DataFrame({"dist": [], "cluster": []},
+                                    dtype="int64")
+            ids, dmin = _sub_assign(_quant_np(v, scale), cents, 0, dim)
+            return pd.DataFrame({"dist": dmin, "cluster": ids})
+
+        return _assign_d
+
+    @pandas_udf("long")
+    def _assign(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        ids, _ = _sub_assign(_quant_np(v, scale), cents, 0, dim)
+        return pd.Series(ids)
+
+    return _assign
 
 
 def seed_centroids(corpus: DataFrame, k: int, id_col: str = "vec_id",
@@ -99,11 +141,17 @@ def kmeans_centroids(corpus: DataFrame, k: int = 8, iters: int = 2,
     # session-parallelism partitions. Assignment is row-local and the
     # update sums are integers, so the result is partitioning-invariant.
     from logunifier_spark.operators.dedup import fan_out
-    q = fan_out(corpus).select(quantize(F.col(vec_col), scale).alias("_q"))
+    q = fan_out(corpus).select(F.col(vec_col),
+                               quantize(F.col(vec_col), scale).alias("_q"))
     cents = seed_centroids(corpus, k, id_col, vec_col, scale)
     for _ in range(iters):
-        assigned = q.select(
-            "_q", _nearest(F.col("_q"), cents)["cluster"].alias("cluster"))
+        if k > COLUMN_BATTERY_MAX_K:
+            assigned = q.select(
+                "_q", assign_np_udf(cents, scale)(F.col(vec_col))
+                .alias("cluster"))
+        else:
+            assigned = q.select(
+                "_q", _nearest(F.col("_q"), cents)["cluster"].alias("cluster"))
         upd = (assigned
                .select("cluster", F.posexplode("_q").alias("pos", "v"))
                .groupBy("cluster", "pos")
@@ -128,6 +176,14 @@ def kmeans_fixed_point(corpus: DataFrame, k: int = 8, iters: int = 2,
     (id, cluster, dist) with the FINAL assignment and its squared
     distance, all BIGINT."""
     cents = kmeans_centroids(corpus, k, iters, scale, id_col, vec_col)
+    if k > COLUMN_BATTERY_MAX_K:
+        near_df = corpus.select(
+            F.col(id_col),
+            assign_np_udf(cents, scale, with_dist=True)(F.col(vec_col))
+            .alias("_nc"))
+        return near_df.select(F.col(id_col),
+                              F.col("_nc.cluster").alias("cluster"),
+                              F.col("_nc.dist").alias("dist"))
     q = corpus.select(F.col(id_col),
                       quantize(F.col(vec_col), scale).alias("_q"))
     near = _nearest(F.col("_q"), cents)

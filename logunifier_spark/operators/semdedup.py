@@ -41,40 +41,101 @@ family can see.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from logunifier_spark.operators.kmeans import (
+    COLUMN_BATTERY_MAX_K,
     _nearest,
+    assign_np_udf,
     kmeans_centroids,
     quantize,
 )
 from logunifier_spark.operators.similarity import dot, norm
 
+#: the paper's target mean cluster population — k defaults to
+#: ceil(n / PAPER_TARGET) so per-cluster pair work stays bounded as the
+#: corpus grows (Abbas et al. use 110k clusters for 5B docs, i.e. clusters
+#: of O(10^4); 4096 keeps the within-cluster quadratic term ~10^7 pairs).
+PAPER_TARGET = 4096
+
+
+def auto_k(n_rows: int, target: int = PAPER_TARGET) -> int:
+    """Scale-aware cluster count: k = max(8, ceil(n/target)). Callers who
+    don't size k themselves get a pairing stage whose AVERAGE cluster
+    holds <= `target` docs — the join-key cardinality (and thus the
+    pairing parallelism) grows with the corpus instead of each task's
+    quadratic work."""
+    return max(8, math.ceil(n_rows / max(target, 1)))
+
 
 def semdedup_pairs(emb: DataFrame, id_col: str = "vec_id",
-                   vec_col: str = "embedding", k: int = 8, iters: int = 2,
-                   scale: int = 1000, threshold: float = 0.7,
-                   max_cluster: int | None = None) -> DataFrame:
+                   vec_col: str = "embedding", k: int | None = None,
+                   iters: int = 2, scale: int = 1000, threshold: float = 0.7,
+                   max_cluster: int | None = None,
+                   collapse_exact: bool = True,
+                   expand: bool = True) -> DataFrame:
     """Within-cluster near-duplicate pairs: (cluster, id_a, id_b, cos)
     with cos >= threshold, cos rounded to 4 places (same float discipline
     as embedding_neardup — dot/norm in ordered double-precision folds).
 
     A pair is reported only if BOTH ends land in the same k-means
     cluster — the deliberate approximation that buys the paper its
-    scalability; raise k for finer recall control, not the threshold."""
+    scalability; raise k for finer recall control, not the threshold.
+
+    ROUND 5 scale defaults:
+      - k=None sizes itself via `auto_k` (max(8, ceil(n/4096)), counted
+        AFTER the collapse) — callers who don't read the paper get the
+        bounded plan; pass k explicitly to pin it (the entry pins k=8 so
+        its oracle SQL is a fixed string).
+      - collapse_exact=True runs the pairing pass on one representative
+        per distinct VECTOR and expands pairs back afterwards (the r4
+        soak lesson: c exact clones otherwise multiply within-cluster
+        pair work by c² — the sf1.0 corpus is 20k rows but only 2k
+        distinct vectors). Centroids still train on the FULL corpus, so
+        cluster assignment — a pure function of the vector — is
+        unchanged and clones inherit their representative's cluster;
+        expanded output is identical to the uncollapsed run (within-
+        group pairs get the rep's self-cosine from the same expression).
+        With the collapse ON, `max_cluster` counts DISTINCT vectors per
+        cluster (the minhash hot-bucket cap rationale); `expand=False`
+        returns representative pairs only.
+      - cluster assignment switches from the Column struct-fold battery
+        to a numpy Arrow kernel once k > 16: the battery's generated
+        code grows linearly with k and deoptimizes the fused stage (the
+        pq.py JIT-budget lesson); both paths are integer-exact and
+        bit-identical (tested)."""
+    members = None
+    corpus = emb
+    if collapse_exact:
+        from logunifier_spark.operators.similarity import vector_exact_groups
+        members, corpus = vector_exact_groups(emb, id_col, vec_col)
+    if k is None:
+        k = auto_k(corpus.count())
     cents = kmeans_centroids(emb, k, iters, scale, id_col, vec_col)
     # pre-project the quantized vector ONCE — inlining quantize() into
     # _nearest would re-evaluate the transform per centroid distance.
     # The norm is likewise per ROW here, not per pair: the interpreted
     # aggregate fold is the pairing stage's unit cost, and norm-per-pair
     # would triple it for identical doubles (same fold, same input).
-    assigned = (emb
-                .select(F.col(id_col), F.col(vec_col).alias("_v"),
-                        quantize(F.col(vec_col), scale).alias("_q"))
-                .select(id_col, "_v", norm(F.col("_v")).alias("_nrm"),
-                        _nearest(F.col("_q"), cents)["cluster"]
-                        .alias("cluster")))
+    if k > COLUMN_BATTERY_MAX_K:
+        # numpy kernel takes the RAW plain column (a quantize() HOF as
+        # UDF arg breaks ExtractPythonUDFs — CLAUDE.md)
+        assigned = (corpus
+                    .select(F.col(id_col), F.col(vec_col).alias("_v"))
+                    .withColumn("cluster",
+                                assign_np_udf(cents, scale)(F.col("_v")))
+                    .select(id_col, "_v", norm(F.col("_v")).alias("_nrm"),
+                            "cluster"))
+    else:
+        assigned = (corpus
+                    .select(F.col(id_col), F.col(vec_col).alias("_v"),
+                            quantize(F.col(vec_col), scale).alias("_q"))
+                    .select(id_col, "_v", norm(F.col("_v")).alias("_nrm"),
+                            _nearest(F.col("_q"), cents)["cluster"]
+                            .alias("cluster")))
     if max_cluster is not None:
         small = (assigned.groupBy("cluster")
                          .agg(F.count("*").alias("_n"))
@@ -88,13 +149,41 @@ def semdedup_pairs(emb: DataFrame, id_col: str = "vec_id",
     a, b = assigned.alias("a"), assigned.alias("b")
     cos = dot(F.col("a._v"), F.col("b._v")) \
         / (F.col("a._nrm") * F.col("b._nrm") + F.lit(1e-12))
-    return (a.join(b, on=F.col("a.cluster") == F.col("b.cluster"))
-             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-             .where(cos >= threshold)
-             .select(F.col("a.cluster").alias("cluster"),
-                     F.col(f"a.{id_col}").alias("id_a"),
-                     F.col(f"b.{id_col}").alias("id_b"),
-                     F.round(cos, 4).alias("cos")))
+    pairs = (a.join(b, on=F.col("a.cluster") == F.col("b.cluster"))
+              .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+              .where(cos >= threshold)
+              .select(F.col("a.cluster").alias("cluster"),
+                      F.col(f"a.{id_col}").alias("id_a"),
+                      F.col(f"b.{id_col}").alias("id_b"),
+                      F.round(cos, 4).alias("cos")))
+    if members is None or not expand:
+        return pairs
+    # expansion (mirrors similarity.embedding_neardup_pairs): cross-group
+    # member pairs inherit the rep pair's cluster and (already-rounded)
+    # cosine verbatim — cos is a pure function of the two vectors, and
+    # identical vectors share the rep's; within-group (exact clone) pairs
+    # get the rep's SELF-cosine from the same expression, gated on the
+    # same unrounded threshold, with the rep's (possibly cap-filtered)
+    # cluster.
+    ma = members.select(F.col("_rep").alias("id_a"), F.col("_m").alias("_a"))
+    mb = members.select(F.col("_rep").alias("id_b"), F.col("_m").alias("_b"))
+    cross = (pairs.join(ma, "id_a").join(mb, "id_b")
+             .select("cluster",
+                     F.least("_a", "_b").alias("id_a"),
+                     F.greatest("_a", "_b").alias("id_b"), "cos"))
+    scos = dot(F.col("_v"), F.col("_v")) \
+        / (F.col("_nrm") * F.col("_nrm") + F.lit(1e-12))
+    selfcos = (assigned
+               .select(F.col(id_col).alias("_rep"), "cluster",
+                       scos.alias("_c"))
+               .where(F.col("_c") >= threshold)
+               .select("_rep", "cluster", F.round("_c", 4).alias("cos")))
+    within = (members.alias("x").join(members.alias("y"), "_rep")
+              .where(F.col("x._m") < F.col("y._m"))
+              .join(selfcos, "_rep")
+              .select("cluster", F.col("x._m").alias("id_a"),
+                      F.col("y._m").alias("id_b"), "cos"))
+    return cross.unionByName(within)
 
 
 def semdedup(emb: DataFrame, id_col: str = "vec_id",

@@ -50,7 +50,7 @@ def _numpy_kmeans(rows, k, iters, scale=1000):
             for i, a, dd in zip(ids, assign, d[np.arange(len(ids)), assign])}
 
 
-@pytest.mark.parametrize("k,iters", [(3, 1), (5, 3)])
+@pytest.mark.parametrize("k,iters", [(3, 1), (5, 3), (20, 2)])
 def test_kmeans_matches_numpy(spark, k, iters):
     rows = _synth()
     df = spark.createDataFrame(rows, SCHEMA)
@@ -67,6 +67,27 @@ def test_kmeans_partitioning_invariant(spark):
         spark.createDataFrame(rows, SCHEMA).repartition(13), k=4,
         iters=2).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_numpy_assignment_bit_identical_to_column_battery(spark):
+    # the k > COLUMN_BATTERY_MAX_K switch must not change a single
+    # assignment: same quantization, same int64 L2, same smaller-cid ties
+    from logunifier_spark.operators.kmeans import (_nearest, assign_np_udf,
+                                                   quantize, seed_centroids)
+    rows = _synth(n=60)
+    df = spark.createDataFrame(rows, SCHEMA)
+    cents = seed_centroids(df, k=20)
+    col = df.select(
+        "vec_id",
+        _nearest(quantize(F.col("embedding")), cents).alias("_nc"),
+    ).selectExpr("vec_id", "_nc.cluster AS cluster", "_nc.dist AS dist")
+    np_ = df.select(
+        "vec_id",
+        assign_np_udf(cents, 1000, with_dist=True)(F.col("embedding"))
+        .alias("_nc"),
+    ).selectExpr("vec_id", "_nc.cluster AS cluster", "_nc.dist AS dist")
+    assert sorted(map(tuple, col.collect())) == sorted(map(tuple,
+                                                           np_.collect()))
 
 
 def test_kmeans_needs_k_rows(spark):
@@ -156,6 +177,61 @@ def test_semdedup_max_cluster_prunes_hot_clusters(spark):
     want = _python_semdedup(rows, k=3, iters=2, threshold=0.999,
                             max_cluster=10)
     assert want == set()
+
+
+def test_semdedup_numpy_path_matches_python(spark):
+    # k=20 > COLUMN_BATTERY_MAX_K exercises the numpy assignment kernel
+    # end-to-end through the pairing pass
+    from logunifier_spark.operators.semdedup import semdedup_pairs
+    rows = _synth(n=150)
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {(int(r["cluster"]), int(r["id_a"]), int(r["id_b"]),
+            float(r["cos"]))
+           for r in semdedup_pairs(df, k=20, iters=2,
+                                   threshold=0.999).collect()}
+    assert got == _python_semdedup(rows, k=20, iters=2, threshold=0.999)
+
+
+def test_semdedup_collapse_exact_parity(spark):
+    # exact clones: collapse-first pairing must expand back to the exact
+    # same pair set the uncollapsed run produces (incl. clone-clone pairs
+    # at the rep's self-cosine and clone-cross pairs at the rep cosine)
+    from logunifier_spark.operators.semdedup import semdedup_pairs
+    base = _synth(n=40)
+    rows = base + [(1000 + i, v) for i, v in base[:10] for _ in (0,)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    kw = dict(k=3, iters=2, threshold=0.999)
+    fast = {tuple(r) for r in
+            semdedup_pairs(df, collapse_exact=True, **kw).collect()}
+    slow = {tuple(r) for r in
+            semdedup_pairs(df, collapse_exact=False, **kw).collect()}
+    assert fast == slow
+    # the clone pairs must actually be present (self-cosine 1.0)
+    assert any(a + 1000 == b for _, a, b, _c in fast)
+
+
+def test_semdedup_auto_k_bounds_mean_cluster():
+    # scale-aware default: mean cluster population stays <= the paper
+    # target at every corpus size, and never dips below the k=8 floor
+    from logunifier_spark.operators.semdedup import PAPER_TARGET, auto_k
+    for n in (1, 100, 4096, 100_000, 5_000_000_000):
+        k = auto_k(n)
+        assert k >= 8
+        assert n / k <= PAPER_TARGET
+    assert auto_k(100_000) == 25
+
+
+def test_semdedup_auto_k_end_to_end(spark):
+    # k=None resolves to the auto_k of the COLLAPSED corpus (distinct
+    # vectors), here max(8, ceil(40/4096)) = 8 — result equals pinned k=8
+    from logunifier_spark.operators.semdedup import semdedup_pairs
+    rows = _synth(n=40)
+    df = spark.createDataFrame(rows, SCHEMA)
+    auto = {tuple(r) for r in
+            semdedup_pairs(df, k=None, iters=2, threshold=0.999).collect()}
+    pinned = {tuple(r) for r in
+              semdedup_pairs(df, k=8, iters=2, threshold=0.999).collect()}
+    assert auto == pinned
 
 
 # ------------------------------------------------------------- pagerank ----
