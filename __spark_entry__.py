@@ -1597,9 +1597,11 @@ def q_embedding_neardup(spark, sf_dir):
     and exponentially better above it. The ORACLE stays the plain
     all-pairs SQL: recall is empirically 100% on this corpus at every
     scale — verified pair-for-pair vs exact=True at sf0.01 (14/14),
-    sf0.1 (144/144), and by count at sf1.0 (104,400 = the r4 brute
-    total, 282 s -> 6.2 s) — and the hyperplanes are deterministic, so
-    the match is reproducible, not a coin flip."""
+    sf0.1 (144/144), by count at sf1.0 (104,400 = the r4 brute total,
+    282 s -> 13.1 s at local[8]), and by the r5 sampled soak oracle
+    (2,040 anchor-touching pairs value-equal at sf1.0) — and the
+    hyperplanes are deterministic, so the match is reproducible, not a
+    coin flip."""
     _ship(spark)
     from logunifier_spark.operators.similarity import embedding_neardup_pairs
     emb = _load(spark, sf_dir, "embeddings")
@@ -1780,7 +1782,13 @@ def q_semdedup_pairs(spark, sf_dir):
     the embedding space, cosine near-dup pairs are found WITHIN clusters
     only — the paper's recipe for bounding the all-pairs compare at web
     scale. Oracle: the unrolled-Lloyd CTE generator + the same ordered
-    double-precision cosine fold (duck_oracles.semdedup_pairs_sql)."""
+    double-precision cosine fold (duck_oracles.semdedup_pairs_sql).
+
+    k is PINNED at 8 here so the oracle SQL is a fixed string across
+    scale factors; the operator's own default is scale-aware
+    (auto_k = max(8, ceil(n_distinct/4096))) and the r5 exact-clone
+    collapse makes even the pinned-k soak bounded (sf1.0: 291 -> 12 s,
+    identical 95,500 pairs; sampled soak oracle green)."""
     _ship(spark)
     from logunifier_spark.operators.semdedup import semdedup_pairs
     e = _load(spark, sf_dir, "embeddings")
@@ -2401,21 +2409,7 @@ def oracle_sql() -> dict[str, str]:
                          6) AS quality
             FROM f
         """,
-        "embedding_neardup": """
-            WITH pairs AS (
-              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                     list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                                             x -> CAST(x[1] AS DOUBLE) * x[2]))
-                     / (sqrt(list_sum(list_transform(a.embedding,
-                                                     x -> CAST(x AS DOUBLE) * x)))
-                        * sqrt(list_sum(list_transform(b.embedding,
-                                                       x -> CAST(x AS DOUBLE) * x)))
-                        + 1e-12) AS cos
-              FROM embeddings a CROSS JOIN embeddings b
-              WHERE a.vec_id < b.vec_id
-            )
-            SELECT id_a, id_b, round(cos, 4) AS cos FROM pairs WHERE cos >= 0.45
-        """,
+        "embedding_neardup": _do.embedding_neardup_sql(threshold=0.45),
         "stable_order": f"""
             SELECT 'conv' || (event_id % 97) AS conv_id,
                    CAST(event_id AS INT) AS turn_idx,
@@ -3377,51 +3371,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id, count(*) AS dup_count
             FROM documents GROUP BY text
         """,
-        "ngram_jaccard": """
-            WITH xreps AS (
-              -- exact-duplicate collapse mirror of dedup.exact_groups
-              -- (collapse_exact=True default): the chain runs on one
-              -- representative per distinct text; df counts distinct texts
-              SELECT text, min(doc_id) AS rep FROM documents
-              WHERE length(text) >= 20 GROUP BY text),
-            xmembers AS (
-              SELECT d.doc_id AS m, r.rep FROM documents d
-              JOIN xreps r USING (text) WHERE length(d.text) >= 20),
-            sh AS (
-              SELECT doc_id,
-                     list_distinct([substr(t, i, 3)
-                                    for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS g
-              FROM (SELECT rep AS doc_id,
-                           regexp_replace(lower(text), '[ \t\r\n\f\x0B]+', ' ', 'g') AS t
-                    FROM xreps)
-            ),
-            ex AS (SELECT doc_id, unnest(g) AS gram FROM sh),
-            -- df-pruning mirror of ngram_jaccard_pairs(max_df=100): grams in
-            -- more than 100 DISTINCT TEXTS are dropped from CANDIDATE
-            -- GENERATION only
-            rare AS (SELECT gram FROM ex GROUP BY gram HAVING count(*) <= 100),
-            exr AS (SELECT doc_id, gram FROM ex JOIN rare USING (gram)),
-            cand AS (
-              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM exr a JOIN exr b USING (gram)
-              WHERE a.doc_id < b.doc_id
-            ),
-            vp AS (
-              SELECT id_a, id_b,
-                     round(CAST(len(list_intersect(sa.g, sb.g)) AS DOUBLE)
-                           / len(list_distinct(list_concat(sa.g, sb.g))), 4) AS jac
-              FROM cand
-              JOIN sh sa ON sa.doc_id = id_a
-              JOIN sh sb ON sb.doc_id = id_b
-              WHERE CAST(len(list_intersect(sa.g, sb.g)) AS DOUBLE)
-                    / len(list_distinct(list_concat(sa.g, sb.g))) >= 0.8)
-            SELECT least(ma.m, mb.m) AS id_a, greatest(ma.m, mb.m) AS id_b, jac
-            FROM vp JOIN xmembers ma ON ma.rep = vp.id_a
-                    JOIN xmembers mb ON mb.rep = vp.id_b
-            UNION ALL
-            SELECT x.m AS id_a, y.m AS id_b, round(1.0, 4) AS jac
-            FROM xmembers x JOIN xmembers y ON x.rep = y.rep AND x.m < y.m
-        """,
+        "ngram_jaccard": _do.ngram_jaccard_sql(min_len=20, shingle_n=3, max_df=100, threshold=0.8),
         "ann_bruteforce": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
             scored AS (

@@ -61,26 +61,51 @@ xmembers AS (
     return ctes, "(SELECT rep AS doc_id, text FROM xreps)"
 
 
-def _expand_sql(pair_rel: str, score_cols: str, unit_scores: str) -> str:
+def _expand_sql(pair_rel: str, score_cols: str, unit_scores: str,
+                anchored: bool = False) -> str:
     """Expansion mirror of dedup.expand_rep_pairs: rep pairs -> member
     pairs (scores inherited; canonical id_a < id_b) + within-group
-    clone pairs at the unit scores."""
+    clone pairs at the unit scores. `anchored` keeps only member pairs
+    touching the soak `anchors(aid)` relation (see _anchor_doc below)."""
+    touch = ("\nWHERE ma.m IN (SELECT aid FROM anchors) "
+             "OR mb.m IN (SELECT aid FROM anchors)") if anchored else ""
+    touch2 = ("\n  AND (x.m IN (SELECT aid FROM anchors) "
+              "OR y.m IN (SELECT aid FROM anchors))") if anchored else ""
     return f"""
 SELECT least(ma.m, mb.m) AS id_a, greatest(ma.m, mb.m) AS id_b, {score_cols}
 FROM {pair_rel} p
 JOIN xmembers ma ON ma.rep = p.id_a
-JOIN xmembers mb ON mb.rep = p.id_b
+JOIN xmembers mb ON mb.rep = p.id_b{touch}
 UNION ALL
 SELECT x.m AS id_a, y.m AS id_b, {unit_scores}
-FROM xmembers x JOIN xmembers y ON x.rep = y.rep AND x.m < y.m
+FROM xmembers x JOIN xmembers y ON x.rep = y.rep AND x.m < y.m{touch2}
 """
+
+
+#: reps of exact-duplicate groups containing at least one anchor — the
+#: rep-level image of the soak anchor set (a member pair touches an anchor
+#: iff its rep pair has an anchor's rep on one side). Requires the
+#: _collapse_sql CTEs in scope plus an `anchors(aid)` relation.
+AREP_CTE = """arep AS (
+  SELECT DISTINCT x.rep AS aid FROM xmembers x
+  JOIN anchors an ON x.m = an.aid)"""
 
 
 def _minhash_pairs_ctes(min_len: int, num_hashes: int, bands: int,
                         shingle_n: int, max_bucket: int | None,
-                        table: str = "documents") -> str:
+                        table: str = "documents",
+                        anchor_rel: str | None = None) -> str:
     """The shared CTE chain docs→…→pairs of the minhash pipeline (used by
-    the keep-set AND the connected-components oracles)."""
+    the keep-set AND the connected-components oracles).
+
+    `anchor_rel` (a relation with one BIGINT column `aid`) switches the
+    candidate join to the SAMPLED-LINEAR form: one side is restricted to
+    anchor docs BEFORE the join (anchors x bucket-members work instead of
+    all-pairs-per-bucket), the pair is canonicalized with least/greatest
+    (every score downstream is symmetric), and DISTINCT collapses the
+    double orientation of anchor-anchor pairs. Signature/band/bucket-cap
+    CTEs stay GLOBAL — only pair enumeration is sampled, so each reported
+    pair is computed by the exact full-oracle spec."""
     rows_per_band = num_hashes // bands
     sig_exprs = ",\n           ".join(
         f"list_min(list_transform(g, x -> (x*{2 * i + 1} "
@@ -100,6 +125,20 @@ pruned AS (SELECT b.* FROM bands b JOIN cool USING (band, key)),"""
     else:
         bucket_cap = ""
         cand_src = "bands"
+    if anchor_rel is not None:
+        cand = f"""cand AS (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+                  greatest(a.doc_id, b.doc_id) AS id_b
+  FROM {cand_src} a JOIN {cand_src} b USING (band, key)
+  WHERE a.doc_id IN (SELECT aid FROM {anchor_rel})
+    AND a.doc_id <> b.doc_id
+)"""
+    else:
+        cand = f"""cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM {cand_src} a JOIN {cand_src} b USING (band, key)
+  WHERE a.doc_id < b.doc_id
+)"""
     return f"""{_codepoints_cte(min_len, shingle_n, table=table)},
 grams AS (
   SELECT doc_id, list_distinct([
@@ -117,11 +156,7 @@ bands AS (
   SELECT doc_id, band, {band_key} AS key
   FROM sigs CROSS JOIN range(0, {bands}) br(band)
 ),{bucket_cap}
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM {cand_src} a JOIN {cand_src} b USING (band, key)
-  WHERE a.doc_id < b.doc_id
-),
+{cand},
 pairs AS (
   SELECT id_a, id_b,
          len(list_filter(range(1, {num_hashes + 1}),
@@ -135,16 +170,32 @@ pairs AS (
 def minhash_dedup_sql(min_len: int = 20, num_hashes: int = 64,
                       bands: int = 16, shingle_n: int = 5,
                       threshold: float = 0.7,
-                      max_bucket: int | None = None) -> str:
+                      max_bucket: int | None = None,
+                      anchored: bool = False) -> str:
     """Keep-set of minhash_dedup: exact-duplicate collapse (mirroring
     collapse_exact=True — the chain runs on one representative per
     distinct text; non-rep clones are dropped by construction), then
     signature → banded LSH candidates (optionally hot-bucket-capped,
     mirroring minhash_lsh_pairs.max_bucket) → signature-agreement
-    verify → drop the higher id of each pair."""
+    verify → drop the higher id of each pair.
+
+    `anchored`: keep-set RESTRICTED to the soak `anchors(aid)` relation —
+    an anchor survives iff it is its text group's rep AND never the
+    higher id of a >=threshold pair; both facts are decided by pairs
+    touching the anchor, so the anchored candidate join is linear."""
     collapse, rep_table = _collapse_sql(min_len)
-    prelude = _minhash_pairs_ctes(min_len, num_hashes, bands, shingle_n,
-                                  max_bucket, table=rep_table)
+    prelude = _minhash_pairs_ctes(
+        min_len, num_hashes, bands, shingle_n, max_bucket, table=rep_table,
+        anchor_rel="arep" if anchored else None)
+    if anchored:
+        return f"""
+WITH {collapse},
+{AREP_CTE},
+{prelude}
+SELECT aid AS doc_id FROM anchors
+WHERE aid IN (SELECT doc_id FROM docs)
+  AND aid NOT IN (SELECT DISTINCT id_b FROM pairs WHERE sim >= {threshold})
+"""
     return f"""
 WITH {collapse},
 {prelude}
@@ -182,12 +233,37 @@ FROM reach GROUP BY s
 """
 
 
+def minhash_edges_anchored_sql(min_len: int = 20, num_hashes: int = 64,
+                               bands: int = 16, shingle_n: int = 5,
+                               threshold: float = 0.7,
+                               max_bucket: int | None = None) -> str:
+    """(id_a, id_b) verified minhash edges TOUCHING the soak `anchors(aid)`
+    relation — the linear sampled oracle for dedup_components: component
+    labels are a global (transitive) property no linear oracle can
+    re-derive, but every anchored EDGE pins two facts the labeling must
+    satisfy (same component on both ends; an anchor appears in the node
+    set iff it has at least one such edge). Same chain as
+    minhash_components_sql (no exact-collapse, matching the operator
+    composition in the entry), candidate join anchored one-sided."""
+    prelude = _minhash_pairs_ctes(min_len, num_hashes, bands, shingle_n,
+                                  max_bucket, anchor_rel="anchors")
+    return f"""
+WITH {prelude}
+SELECT id_a, id_b FROM pairs WHERE sim >= {threshold}
+"""
+
+
 def simhash_pairs_sql(min_len: int = 20, shingle_n: int = 4,
                       max_hamming: int = 3, max_bucket: int = 10_000,
-                      sim_bits: int = 60, block_bits: int = 15) -> str:
+                      sim_bits: int = 60, block_bits: int = 15,
+                      anchored: bool = False) -> str:
     """(id_a, id_b, hamming) of simhash_pairs: 60-bit portable simhash
     (two Horner bases, combined-key gram identity, per-bit majority vote),
-    4x15-bit block pigeonhole with the hot-bucket cap, Hamming verify."""
+    4x15-bit block pigeonhole with the hot-bucket cap, Hamming verify.
+    `anchored`: sampled-linear form — block join restricted one-sided to
+    reps of anchor groups, output filtered to anchor-touching member
+    pairs (hamming is symmetric, so least/greatest canonicalization plus
+    a re-join to `sh` preserves the full-oracle spec pair-for-pair)."""
     half = sim_bits // 2
     n_blocks = sim_bits // block_bits
     mask = (1 << block_bits) - 1
@@ -197,8 +273,29 @@ def simhash_pairs_sql(min_len: int = 20, shingle_n: int = 4,
         f"THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
         for i in range(sim_bits))
     collapse, rep_table = _collapse_sql(min_len)
+    if anchored:
+        cand = f"""cand0 AS (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+                  greatest(a.doc_id, b.doc_id) AS id_b
+  FROM pruned a JOIN pruned b USING (blk, val)
+  WHERE a.doc_id IN (SELECT aid FROM arep) AND a.doc_id <> b.doc_id
+),
+cand AS (
+  SELECT id_a, id_b, sa.sh AS sh_a, sb.sh AS sh_b
+  FROM cand0 JOIN sh sa ON sa.doc_id = cand0.id_a
+             JOIN sh sb ON sb.doc_id = cand0.id_b
+)"""
+        arep = f",\n{AREP_CTE}"
+    else:
+        cand = """cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.sh AS sh_a, b.sh AS sh_b
+  FROM pruned a JOIN pruned b USING (blk, val)
+  WHERE a.doc_id < b.doc_id
+)"""
+        arep = ""
     return f"""
-WITH {collapse},
+WITH {collapse}{arep},
 {_codepoints_cte(min_len, shingle_n, table=rep_table)},
 grams AS (
   SELECT doc_id, list_distinct([
@@ -223,16 +320,74 @@ cool AS (
 pruned AS (
   SELECT b.doc_id, b.sh, b.blk, b.val FROM blocks b JOIN cool USING (blk, val)
 ),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                  a.sh AS sh_a, b.sh AS sh_b
-  FROM pruned a JOIN pruned b USING (blk, val)
-  WHERE a.doc_id < b.doc_id
-),
+{cand},
 vp AS (
   SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
   FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming})
-{_expand_sql('vp', 'hamming', 'CAST(0 AS BIGINT) AS hamming')}
+{_expand_sql('vp', 'hamming', 'CAST(0 AS BIGINT) AS hamming',
+             anchored=anchored)}
+"""
+
+
+def ngram_jaccard_sql(min_len: int = 20, shingle_n: int = 3,
+                      max_df: int = 100, threshold: float = 0.8,
+                      anchored: bool = False) -> str:
+    """(id_a, id_b, jac) of dedup.ngram_jaccard_pairs (character n-grams,
+    df-pruned candidate generation, exact Jaccard verify) — moved here
+    from the entry's inline string so the soak's `anchored` variant and
+    the sf0.01 oracle share one spec. `anchored`: the gram-key candidate
+    join is restricted one-sided to reps of anchor groups; Jaccard is
+    symmetric, so least/greatest canonicalization is exact."""
+    if anchored:
+        arep = f",\n{AREP_CTE}"
+        cand = """cand AS (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+                  greatest(a.doc_id, b.doc_id) AS id_b
+  FROM exr a JOIN exr b USING (gram)
+  WHERE a.doc_id IN (SELECT aid FROM arep) AND a.doc_id <> b.doc_id
+)"""
+    else:
+        arep = ""
+        cand = """cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM exr a JOIN exr b USING (gram)
+  WHERE a.doc_id < b.doc_id
+)"""
+    return f"""
+WITH xreps AS (
+  -- exact-duplicate collapse mirror of dedup.exact_groups
+  -- (collapse_exact=True default): the chain runs on one
+  -- representative per distinct text; df counts distinct texts
+  SELECT text, min(doc_id) AS rep FROM documents
+  WHERE length(text) >= {min_len} GROUP BY text),
+xmembers AS (
+  SELECT d.doc_id AS m, r.rep FROM documents d
+  JOIN xreps r USING (text) WHERE length(d.text) >= {min_len}){arep},
+sh AS (
+  SELECT doc_id,
+         list_distinct([substr(t, i, {shingle_n})
+                        for i in range(1, greatest(len(t) - {shingle_n - 1}, 1) + 1)]) AS g
+  FROM (SELECT rep AS doc_id,
+               regexp_replace(lower(text), '[ \t\r\n\f\x0B]+', ' ', 'g') AS t
+        FROM xreps)
+),
+ex AS (SELECT doc_id, unnest(g) AS gram FROM sh),
+-- df-pruning mirror of ngram_jaccard_pairs(max_df={max_df}): grams in
+-- more than {max_df} DISTINCT TEXTS are dropped from CANDIDATE
+-- GENERATION only
+rare AS (SELECT gram FROM ex GROUP BY gram HAVING count(*) <= {max_df}),
+exr AS (SELECT doc_id, gram FROM ex JOIN rare USING (gram)),
+{cand},
+vp AS (
+  SELECT id_a, id_b,
+         round(CAST(len(list_intersect(sa.g, sb.g)) AS DOUBLE)
+               / len(list_distinct(list_concat(sa.g, sb.g))), 4) AS jac
+  FROM cand
+  JOIN sh sa ON sa.doc_id = id_a
+  JOIN sh sb ON sb.doc_id = id_b
+  WHERE CAST(len(list_intersect(sa.g, sb.g)) AS DOUBLE)
+        / len(list_distinct(list_concat(sa.g, sb.g))) >= {threshold})
+{_expand_sql('vp', 'jac', 'round(1.0, 4) AS jac', anchored=anchored)}
 """
 
 
@@ -440,6 +595,53 @@ SELECT media_id, kind, decode_ok, CAST(f0 AS DOUBLE) AS f0 FROM (VALUES
 """
 
 
+def embedding_neardup_sql(threshold: float = 0.45,
+                          anchored: bool = False) -> str:
+    """(id_a, id_b, cos) of similarity.embedding_neardup_pairs — the
+    all-pairs exact-cosine oracle, moved here from the entry's inline
+    string. `anchored`: one side of the pair join restricted to
+    `anchors(aid)` (anchors x corpus cosine evaluations instead of n²);
+    the ordered double fold is orientation-invariant (per-element float
+    products commute, summation order is element order), so
+    least/greatest + DISTINCT reproduces the full spec on
+    anchor-touching pairs."""
+    if anchored:
+        # norms hoisted to one CTE (a pure per-vector function — identical
+        # doubles to the inline form, evaluated once instead of per pair)
+        return f"""
+WITH nv AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE) * x))) AS nrm
+  FROM embeddings),
+pairs AS (
+  SELECT DISTINCT least(a.vec_id, b.vec_id) AS id_a,
+                  greatest(a.vec_id, b.vec_id) AS id_b,
+         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                 x -> CAST(x[1] AS DOUBLE) * x[2]))
+         / (a.nrm * b.nrm + 1e-12) AS cos
+  FROM nv a JOIN nv b ON a.vec_id <> b.vec_id
+   AND a.vec_id IN (SELECT aid FROM anchors)
+)
+SELECT id_a, id_b, round(cos, 4) AS cos FROM pairs WHERE cos >= {threshold}
+"""
+    return f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                 x -> CAST(x[1] AS DOUBLE) * x[2]))
+         / (sqrt(list_sum(list_transform(a.embedding,
+                                         x -> CAST(x AS DOUBLE) * x)))
+            * sqrt(list_sum(list_transform(b.embedding,
+                                           x -> CAST(x AS DOUBLE) * x)))
+            + 1e-12) AS cos
+  FROM embeddings a CROSS JOIN embeddings b
+  WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cos, 4) AS cos FROM pairs WHERE cos >= {threshold}
+"""
+
+
 # ------------------------------------------------------------- SemDeDup ----
 
 def _kmeans_ctes(k: int = 8, iters: int = 2, scale: int = 1000,
@@ -498,20 +700,34 @@ def _kmeans_ctes(k: int = 8, iters: int = 2, scale: int = 1000,
 
 
 def semdedup_pairs_sql(k: int = 8, iters: int = 2, scale: int = 1000,
-                       threshold: float = 0.7) -> str:
+                       threshold: float = 0.7,
+                       anchored: bool = False) -> str:
     """(cluster, id_a, id_b, cos) of semdedup.semdedup_pairs: k-means
     cluster assignment (unrolled, integer-exact) + within-cluster cosine
     pairs. Cosine is the same ordered double-precision fold as the
-    embedding_neardup oracle (`_sql_dot`)."""
+    embedding_neardup oracle (`_sql_dot`). `anchored`: the within-cluster
+    join (the quadratic term) is restricted one-sided to `anchors(aid)` —
+    kmeans training stays GLOBAL and exact; cluster and cosine are
+    symmetric in the pair, so least/greatest + DISTINCT is the full
+    spec on anchor-touching pairs."""
     cos = _sql_cosine("a.embedding", "b.embedding")
+    if anchored:
+        join = ("ON a.cluster = b.cluster AND a.vec_id <> b.vec_id "
+                "AND a.vec_id IN (SELECT aid FROM anchors)")
+        sel = ("SELECT DISTINCT a.cluster, "
+               "least(a.vec_id, b.vec_id) AS id_a, "
+               "greatest(a.vec_id, b.vec_id) AS id_b,")
+    else:
+        join = "ON a.cluster = b.cluster AND a.vec_id < b.vec_id"
+        sel = "SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,"
     return f"""
 WITH {_kmeans_ctes(k, iters, scale)},
 e AS (
   SELECT em.vec_id, em.embedding, ka.cluster
   FROM embeddings em JOIN kassign ka USING (vec_id))
-SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+{sel}
        round({cos}, 4) AS cos
-FROM e a JOIN e b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+FROM e a JOIN e b {join}
 WHERE {cos} >= CAST({threshold} AS DOUBLE)
 """
 
@@ -951,17 +1167,21 @@ def verified_pairs_sql(min_len: int = 20, num_hashes: int = 64,
                        bands: int = 16, shingle_n: int = 5,
                        est_threshold: float = 0.35,
                        exact_threshold: float = 0.5,
-                       max_bucket: int | None = 10_000) -> str:
+                       max_bucket: int | None = 10_000,
+                       anchored: bool = False) -> str:
     """(id_a, id_b, est_sim, jaccard) of dedup.verified_neardup_pairs:
     the shared minhash CTE chain generates candidates at the loose
     estimated threshold; TRUE Jaccard over the same portable gram sets
     (the `grams` CTE) verifies. int/int division is double in both
-    engines."""
+    engines. `anchored`: sampled-linear candidate join + anchor-touching
+    expansion (both scores symmetric)."""
     collapse, rep_table = _collapse_sql(min_len)
+    arep = f",\n{AREP_CTE}" if anchored else ""
     return f"""
-WITH {collapse},
+WITH {collapse}{arep},
 {_minhash_pairs_ctes(min_len, num_hashes, bands, shingle_n,
-                     max_bucket, table=rep_table)},
+                     max_bucket, table=rep_table,
+                     anchor_rel="arep" if anchored else None)},
 cand2 AS (
   SELECT id_a, id_b, sim FROM pairs
   WHERE sim >= CAST({est_threshold} AS DOUBLE)),
@@ -977,7 +1197,8 @@ vp AS (
   FROM v
   WHERE inter / (na + nb - inter) >= CAST({exact_threshold} AS DOUBLE))
 {_expand_sql('vp', 'est_sim, jaccard',
-             'round(1.0, 4) AS est_sim, round(1.0, 4) AS jaccard')}
+             'round(1.0, 4) AS est_sim, round(1.0, 4) AS jaccard',
+             anchored=anchored)}
 """
 
 

@@ -3,7 +3,21 @@ __spark_entry__.queries() entry AND its oracle_sql() on the same sf dir,
 compare row-count + column names + order-insensitive values.
 
 Usage: python tools/check_oracles.py [sf_dir] [query ...]
-"""
+       python tools/check_oracles.py --soak [sf_dir] [query ...]
+
+--soak: SAMPLED-LINEAR value verification of the pair-family queries
+whose full DuckDB oracles re-derive banded candidates quadratically
+(infeasible above sf0.01). ~200 anchor ids are picked deterministically
+(lowest portable hash); each family's oracle re-runs with its candidate
+join restricted one-sided to anchors (cost: anchors x corpus), and the
+Spark operator's FULL output — executed end-to-end first for the soak
+timing — is filtered to anchor-touching rows and value-compared.
+dedup_components gets a consistency check instead (component labels are
+transitive/global): every anchored verified edge must join two nodes
+Spark labeled identically, and an anchor is in Spark's node set iff it
+has an anchored edge. fuzzy_match's oracle is already linear (fixed name
+universe), so it runs the plain full compare. Default soak sf_dir:
+testdata_sf1 (the round-4 adversarial 10x corpus)."""
 
 from __future__ import annotations
 
@@ -86,6 +100,172 @@ def _type_drift(scols, sdtypes, dcols, dtypes):
     return drift
 
 
+# ------------------------------------------------------------- soak mode ----
+
+#: portable-hash anchor order (sampling._portable_hash spec)
+_ANCHOR_ORDER = "((%s %% 2147483648) * 2654435761) %% 2147483648"
+
+N_ANCHORS = 200
+
+
+def _anchor_ids(con, table: str, id_col: str, where: str = "TRUE",
+                n: int = N_ANCHORS) -> list[int]:
+    rows = con.sql(
+        f"SELECT {id_col} FROM {table} WHERE {where} "
+        f"ORDER BY {_ANCHOR_ORDER % id_col}, {id_col} LIMIT {n}").fetchall()
+    return [int(r[0]) for r in rows]
+
+
+def _set_anchors(con, ids: list[int]) -> None:
+    con.execute("CREATE OR REPLACE TEMP TABLE anchors(aid BIGINT)")
+    con.executemany("INSERT INTO anchors VALUES (?)", [(i,) for i in ids])
+
+
+def soak_main() -> int:
+    import time
+
+    from pyspark.sql import functions as F
+
+    from logunifier_spark import duck_oracles as do
+    from logunifier_spark.session import get_spark
+
+    args = [a for a in sys.argv[1:] if a != "--soak"]
+    sf_dir = args[0] if args else str(
+        Path(__file__).resolve().parents[1] / "testdata_sf1")
+    only = set(args[1:])
+
+    spark = get_spark(app_name="soak-oracle-check", master="local[32]")
+    con = duckdb.connect()
+    for t in entrymod.TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    doc_anchors = _anchor_ids(con, "documents", "doc_id",
+                              "length(text) >= 20")
+    vec_anchors = _anchor_ids(con, "embeddings", "vec_id")
+    queries = entrymod.queries()
+
+    # (query, anchor ids, anchored-oracle SQL builder); params mirror the
+    # entry pins — the full sf0.01 oracle for each query uses the same
+    # generator with anchored=False, so spec drift is impossible.
+    pair_specs = {
+        "minhash_dedup": (doc_anchors, lambda: do.minhash_dedup_sql(
+            max_bucket=500, anchored=True)),
+        "verified_neardups": (doc_anchors, lambda: do.verified_pairs_sql(
+            min_len=20, est_threshold=0.35, exact_threshold=0.5,
+            max_bucket=500, anchored=True)),
+        "simhash_pairs": (doc_anchors,
+                          lambda: do.simhash_pairs_sql(anchored=True)),
+        "ngram_jaccard": (doc_anchors, lambda: do.ngram_jaccard_sql(
+            min_len=20, shingle_n=3, max_df=100, threshold=0.8,
+            anchored=True)),
+        "embedding_neardup": (vec_anchors, lambda: do.embedding_neardup_sql(
+            threshold=0.45, anchored=True)),
+        "semdedup_pairs": (vec_anchors, lambda: do.semdedup_pairs_sql(
+            k=8, iters=2, threshold=0.45, anchored=True)),
+    }
+
+    failures, report = [], []
+
+    def _run_spark(name):
+        """Full end-to-end execution first (the soak timing), then the
+        anchored slice for the value compare."""
+        t0 = time.perf_counter()
+        sdf = queries[name](spark, sf_dir)
+        n_full = sdf.count()
+        return sdf, n_full, time.perf_counter() - t0
+
+    for name, (anchors, sql_fn) in pair_specs.items():
+        if only and name not in only:
+            continue
+        sdf, n_full, spark_s = _run_spark(name)
+        aset = set(anchors)
+        if name == "minhash_dedup":
+            flt = F.col("doc_id").isin(anchors)
+        else:
+            flt = F.col("id_a").isin(anchors) | F.col("id_b").isin(anchors)
+        sub = sdf.where(flt)
+        srows = [tuple(r) for r in sub.collect()]
+        t1 = time.perf_counter()
+        _set_anchors(con, anchors)
+        res = con.sql(sql_fn())
+        dcols, dtypes, drows = list(res.columns), list(res.types), res.fetchall()
+        duck_s = time.perf_counter() - t1
+        drift = _type_drift(sub.columns, sub.dtypes, dcols, dtypes)
+        ok = (not drift and sorted(sub.columns) == sorted(dcols)
+              and _canon(srows, sub.columns) == _canon(drows, dcols))
+        mark = "✓" if ok else "✗"
+        line = (f"{mark} {name}: {len(srows)}/{n_full} anchored/full rows, "
+                f"spark {spark_s:.1f}s, anchored oracle {duck_s:.1f}s")
+        print(line)
+        report.append(line)
+        if not ok:
+            failures.append(name)
+            if drift:
+                print(f"    type drift: {drift}")
+            else:
+                a = _canon(srows, sub.columns)
+                b = _canon(drows, dcols)
+                print(f"    rows {len(a)} vs {len(b)}")
+                for x, y in [(x, y) for x, y in zip(a, b) if x != y][:5]:
+                    print(f"    spark={x}\n    duck ={y}")
+                for extra in (set(map(tuple, a)) - set(map(tuple, b)),
+                              set(map(tuple, b)) - set(map(tuple, a))):
+                    for r in list(extra)[:3]:
+                        print(f"    only-one-side: {r}")
+
+    # dedup_components: anchored-edge consistency against the full labeling
+    if not only or "dedup_components" in only:
+        sdf, n_full, spark_s = _run_spark("dedup_components")
+        comp = {int(r["node"]): int(r["component"]) for r in sdf.collect()}
+        t1 = time.perf_counter()
+        _set_anchors(con, doc_anchors)
+        edges = con.sql(do.minhash_edges_anchored_sql(
+            max_bucket=500)).fetchall()
+        duck_s = time.perf_counter() - t1
+        bad = [(a, b) for a, b in edges
+               if comp.get(int(a)) is None or comp.get(int(a)) != comp.get(int(b))]
+        touched = {int(x) for e in edges for x in e} & set(doc_anchors)
+        in_out = set(doc_anchors) & comp.keys()
+        minlab = [n for n, c in comp.items() if c > n]
+        ok = not bad and touched == in_out and not minlab
+        mark = "✓" if ok else "✗"
+        line = (f"{mark} dedup_components: {len(edges)} anchored edges "
+                f"consistent over {n_full} labels, spark {spark_s:.1f}s, "
+                f"anchored oracle {duck_s:.1f}s [consistency check]")
+        print(line)
+        report.append(line)
+        if not ok:
+            failures.append("dedup_components")
+            print(f"    mismatched edges: {bad[:5]}")
+            print(f"    anchors w/ edges {len(touched)} vs in output {len(in_out)}")
+            if minlab:
+                print(f"    component > node at: {minlab[:5]}")
+
+    # fuzzy_match: the full oracle is linear (fixed name universe) —
+    # plain full value compare at soak scale
+    if not only or "fuzzy_match" in only:
+        sdf, n_full, spark_s = _run_spark("fuzzy_match")
+        srows = [tuple(r) for r in sdf.collect()]
+        t1 = time.perf_counter()
+        res = con.sql(entrymod.oracle_sql()["fuzzy_match"])
+        dcols, dtypes, drows = list(res.columns), list(res.types), res.fetchall()
+        duck_s = time.perf_counter() - t1
+        ok = (not _type_drift(sdf.columns, sdf.dtypes, dcols, dtypes)
+              and sorted(sdf.columns) == sorted(dcols)
+              and _canon(srows, sdf.columns) == _canon(drows, dcols))
+        mark = "✓" if ok else "✗"
+        line = (f"{mark} fuzzy_match: {n_full} rows FULL value compare, "
+                f"spark {spark_s:.1f}s, full oracle {duck_s:.1f}s")
+        print(line)
+        report.append(line)
+        if not ok:
+            failures.append("fuzzy_match")
+
+    print(f"\n{'SOAK ALL OK' if not failures else 'SOAK FAILURES: ' + ', '.join(failures)}")
+    spark.stop()
+    return 1 if failures else 0
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -156,4 +336,4 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    raise SystemExit(soak_main() if "--soak" in sys.argv else main())
