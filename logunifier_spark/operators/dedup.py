@@ -471,21 +471,35 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          max_iter: int = 50,
                          strict: bool = True) -> DataFrame:
     """Exact connected components of a duplicate-pair graph via min-label
-    propagation: every node repeatedly takes the minimum label among
-    itself and its neighbors, converging in ≤ graph-diameter iterations
-    (near-dup clusters are shallow — template families converge in 2-4).
-    Returns (node, component) where component = min node id in the
-    component.
+    propagation WITH POINTER DOUBLING: every node takes the minimum label
+    among itself and its neighbors (propagate), then shortcuts to its
+    label's label (jump). Returns (node, component) where component = min
+    node id in the component.
+
+    Round-5 convergence fix: plain propagation converges in
+    graph-diameter rounds — shallow for template families (2-4), but a
+    pathological clone CHAIN of length n (each doc a near-dup of the
+    next) needs n rounds, i.e. 10^4 Spark jobs for a 10^4 chain. The
+    jump step makes the distance-to-min a label has traveled DOUBLE per
+    round (k -> 2k+1 on a path), so convergence is <= ~log2(n) rounds —
+    the same logarithmic bound the alternating large-star/small-star
+    algorithm (Kiveris et al. 2014) achieves, obtained here as one extra
+    self-join of the label table per round instead of rewriting the
+    edge set each round (labels stay monotonically decreasing and
+    always reference a node of the same component, so the fixpoint —
+    label constant across every edge — is the exact component min,
+    unchanged; measured: a 10^4-node path converges in 14 rounds).
 
     Scale design: each iteration is one shuffle join of the (narrow,
-    2-long) edge list against the label table plus one hash aggregate —
-    never materializing the transitive closure (which is quadratic on
-    dense clusters; the DuckDB oracle does exactly that, which is fine at
-    oracle scale and impossible at 10^12). Lineage is cut per iteration
-    with an eager localCheckpoint — without it each loop doubles the plan
-    and the job re-executes all prior iterations. The convergence probe
-    (isEmpty on changed labels) is one narrow job per iteration —
-    inherent to any driver-terminated iterative algorithm."""
+    2-long) edge list against the label table, one hash aggregate, and
+    one label⋈label self-join — never materializing the transitive
+    closure (which is quadratic on dense clusters; the DuckDB oracle
+    does exactly that, which is fine at oracle scale and impossible at
+    10^12). Lineage is cut per iteration with an eager localCheckpoint —
+    without it each loop doubles the plan and the job re-executes all
+    prior iterations. The convergence probe (isEmpty on changed labels)
+    is one narrow job per iteration — inherent to any driver-terminated
+    iterative algorithm."""
     edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
                   .unionByName(pairs.select(F.col(id_b).alias("src"),
                                             F.col(id_a).alias("dst")))
@@ -498,14 +512,26 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                                            F.col("component").alias("_nl")),
                              "dst")
                        .groupBy("src").agg(F.min("_nl").alias("_nb")))
-        new_labels = (labels.join(nb_min,
-                                  labels["node"] == nb_min["src"], "left")
-                            .select("node",
-                                    F.least(F.col("component"),
-                                            F.coalesce(F.col("_nb"),
-                                                       F.col("component")))
-                                     .alias("component"))
-                            .localCheckpoint(eager=True))
+        prop = (labels.join(nb_min,
+                            labels["node"] == nb_min["src"], "left")
+                      .select("node",
+                              F.least(F.col("component"),
+                                      F.coalesce(F.col("_nb"),
+                                                 F.col("component")))
+                               .alias("component")))
+        # pointer doubling: component values are always node ids present
+        # in the label table (init: self; propagate: min of such ids;
+        # jump: one of such ids), so the left join always matches — the
+        # coalesce guards the invariant, not an expected miss
+        new_labels = (prop.join(prop.select(F.col("node").alias("_c"),
+                                            F.col("component").alias("_cc")),
+                                prop["component"] == F.col("_c"), "left")
+                          .select("node",
+                                  F.least(F.col("component"),
+                                          F.coalesce(F.col("_cc"),
+                                                     F.col("component")))
+                                   .alias("component"))
+                          .localCheckpoint(eager=True))
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "node")
                    .where(F.col("n.component") != F.col("o.component")))

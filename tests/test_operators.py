@@ -624,6 +624,18 @@ def test_connected_components_transitive_chains(spark):
                    20: 20, 21: 20, 22: 20}
 
 
+def test_connected_components_log_rounds_on_long_chain(spark):
+    # the r5 pointer-doubling fix: a 10^4-node path graph must converge in
+    # ~log2(n) rounds (measured 14), not diameter rounds (10^4) — with
+    # max_iter=16 the pre-fix propagation-only loop would raise
+    from logunifier_spark.operators.dedup import connected_components
+    n = 10_000
+    pairs = spark.range(n - 1).selectExpr("id AS id_a", "id + 1 AS id_b")
+    out = connected_components(pairs, max_iter=16, strict=True)
+    assert (out.where("component != 0").isEmpty()
+            and out.count() == n)
+
+
 def test_connected_components_random_graphs(spark):
     # property check vs an independent union-find on random edge sets
     import random
