@@ -194,6 +194,87 @@ def run_scaling(n: int, n4: int) -> dict:
     }
 
 
+def run_stream_sweep() -> dict:
+    """Batch-size sweep (round-5 verdict ask #5): stream_unify over the
+    same 512k-turn / 64-file corpus as run_streaming at several
+    maxFilesPerTrigger values, reporting busy throughput and batch
+    latency per size, plus what streaming.suggest_max_files derives from
+    the SMALLEST size's progress history for a range of latency budgets —
+    the sweep is the ground truth the helper's fixed+rate model is
+    checked against."""
+    import glob
+    import shutil
+    import tempfile
+
+    n_turns = int(os.environ.get("STREAM_TURNS", "512000"))
+    # 63 files (not 64): no sweep size divides it, so every run ends in a
+    # partial batch — the second distinct batch size that identifies the
+    # fixed+rate fit in suggest_max_files (16 equal batches leave the
+    # slope unidentifiable and the helper falls back to proportional)
+    n_files = int(os.environ.get("STREAM_FILES", "63"))
+    sizes = [int(s) for s in os.environ.get(
+        "SWEEP_SIZES", "4,8,16,32,64").split(",")]
+    spark = _spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    from logunifier_spark.fixtures import synth_transcripts
+    from logunifier_spark.streaming.stream import (
+        read_transcript_stream,
+        stream_unify,
+        suggest_max_files,
+    )
+
+    root = tempfile.mkdtemp(prefix="stream_sweep_")
+    in_dir = os.path.join(root, "in")
+    synth_transcripts(spark, n_turns).repartitionByRange(n_files, "ts") \
+        .write.mode("overwrite").parquet(in_dir)
+    base_mtime = time.time() - 86_400
+    for i, part in enumerate(sorted(glob.glob(os.path.join(in_dir,
+                                                           "part-*")))):
+        os.utime(part, (base_mtime + 2 * i, base_mtime + 2 * i))
+    # warm the python workers + unify plan once (not measured)
+    q0 = stream_unify(read_transcript_stream(spark, in_dir, 64),
+                      os.path.join(root, "warm_out"),
+                      os.path.join(root, "warm_ckpt"))
+    q0.awaitTermination()
+
+    out: dict = {"metric": "stream_batch_size_sweep", "turns": n_turns,
+                 "files": n_files, "cpus": CPUS, "sizes": {}}
+    progress_by_size = {}
+    for mfpt in sizes:
+        sink = os.path.join(root, f"out_{mfpt}")
+        ckpt = os.path.join(root, f"ckpt_{mfpt}")
+        q = stream_unify(read_transcript_stream(spark, in_dir, mfpt),
+                         sink, ckpt)       # availableNow: no trigger idle
+        q.awaitTermination()
+        progresses = [p for p in q.recentProgress
+                      if int(p["numInputRows"]) > 0]
+        lat = [int(p["durationMs"]["triggerExecution"]) for p in progresses]
+        busy_s = sum(lat) / 1000.0
+        progress_by_size[mfpt] = [
+            {"numInputRows": int(p["numInputRows"]),
+             "durationMs": {"triggerExecution":
+                            int(p["durationMs"]["triggerExecution"])}}
+            for p in progresses]
+        out["sizes"][mfpt] = {
+            "batches": len(progresses),
+            "rows_per_sec_busy": round(n_turns / busy_s, 1),
+            "batch_latency_ms_avg": round(sum(lat) / len(lat), 1),
+            "batch_latency_ms_max": max(lat),
+        }
+    # the helper's view: fit on the smallest-size history, suggest for a
+    # range of budgets; the sweep rows above say what each suggestion
+    # would actually deliver
+    fit_size = sizes[0]
+    out["suggest_from_size"] = fit_size
+    out["suggestions"] = {
+        f"{t}s": suggest_max_files(progress_by_size[fit_size], t,
+                                   current_max_files=fit_size)
+        for t in (2, 5, 10, 20)}
+    spark.stop()
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def run_streaming() -> dict:
     """Measured Structured Streaming evidence (round-3 verdict ask #5):
     stream_unify over a file source at two trigger intervals, plus the
@@ -336,6 +417,8 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling(n, n4)))
     elif len(sys.argv) > 1 and sys.argv[1] == "--streaming":
         print(json.dumps(run_streaming()))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--stream-sweep":
+        print(json.dumps(run_stream_sweep()))
     elif len(sys.argv) > 1 and sys.argv[1] == "--headline-once":
         # internal: one pinned measurement (see run_scaling); prints seconds
         cpus, turns, trials = (int(x) for x in sys.argv[2:5])

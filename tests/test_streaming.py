@@ -231,3 +231,33 @@ def test_suggest_watermark_delay_covers_observed_lag(spark):
     inorder = df.where("arr = 1")
     assert suggest_watermark_delay(inorder, "key", arrival="arr") \
         == "60 seconds"
+
+
+def test_suggest_max_files_fits_fixed_plus_rate_model():
+    # synthetic progress: fixed 2000 ms + 0.05 ms/row, 8 files of 8000
+    # rows per full batch plus a trailing partial batch (the second
+    # distinct size that identifies the slope)
+    from logunifier_spark.streaming.stream import suggest_max_files
+
+    def prog(rows):
+        return {"numInputRows": rows,
+                "durationMs": {"triggerExecution": int(2000 + 0.05 * rows)}}
+
+    hist = [prog(64_000)] * 7 + [prog(16_000), prog(0)]
+    # budget 10 s: rows_target = (10000-2000)/0.05 = 160k rows = 20 files
+    assert suggest_max_files(hist, 10.0, current_max_files=8) == 20
+    # tight budget that only covers the fixed cost -> floor
+    assert suggest_max_files(hist, 1.0, current_max_files=8) == 1
+    # huge budget hits the cap
+    assert suggest_max_files(hist, 10_000.0, current_max_files=8,
+                             cap=256) == 256
+    # single batch size: proportional fallback (median 5200 ms for 64k
+    # rows -> 12.3 files/s budget at 10 s ~ 15 files, conservative)
+    one = [prog(64_000)] * 5
+    got = suggest_max_files(one, 10.0, current_max_files=8)
+    assert got == int((64_000 * 10_000 / 5200) // 8_000)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        suggest_max_files([prog(0)], 10.0, current_max_files=8)
+    with _pytest.raises(ValueError):
+        suggest_max_files(hist, 10.0, current_max_files=0)
