@@ -1597,11 +1597,15 @@ def q_embedding_neardup(spark, sf_dir):
     and exponentially better above it. The ORACLE stays the plain
     all-pairs SQL: recall is empirically 100% on this corpus at every
     scale — verified pair-for-pair vs exact=True at sf0.01 (14/14),
-    sf0.1 (144/144), by count at sf1.0 (104,400 = the r4 brute total,
-    282 s -> 13.1 s at local[8]), and by the r5 sampled soak oracle
-    (2,040 anchor-touching pairs value-equal at sf1.0) — and the
-    hyperplanes are deterministic, so the match is reproducible, not a
-    coin flip."""
+    sf0.1 (144/144), by count at sf1.0 (104,400 = the r4 brute total),
+    and by the r5 sampled soak oracle (2,040 anchor-touching pairs
+    value-equal at sf1.0) — and the hyperplanes are deterministic, so
+    the match is reproducible, not a coin flip. A size-adaptive gate
+    (exact_max_reps=4096) runs the pairing exactly (brute among
+    collapsed reps) while the distinct count allows: sf1.0 warm
+    local[8] is 4.3 s adaptive vs 7.9 s banded vs 282 s for the r4
+    uncollapsed brute — the banded path takes over only where
+    approximation is actually needed."""
     _ship(spark)
     from logunifier_spark.operators.similarity import embedding_neardup_pairs
     emb = _load(spark, sf_dir, "embeddings")

@@ -229,14 +229,18 @@ def vector_exact_groups(emb: DataFrame, id_col: str = "vec_id",
     (`_m`) to its exact-clone group's min-id representative (`_rep`;
     grouped on the raw vector — at dim 64 the key is 256 B, narrower
     than most texts; key on a strong hash first if dims grow huge) and
-    rep_vecs is emb filtered to representatives. members is
-    localCheckpointed (referenced by up to three expansion joins)."""
+    rep_vecs is emb filtered to representatives. BOTH frames are
+    localCheckpointed: members feeds up to three expansion joins, and
+    rep_vecs feeds the size-gate count plus the pairing pass — without
+    the cut the groupBy collapse re-executes once per consumer
+    (measured ~3× at sf0.1)."""
     members = emb.select(F.col(id_col).alias("_m"), F.col(vec_col).alias("_v"))
     reps = members.groupBy("_v").agg(F.min("_m").alias("_rep"))
     members = (members.join(reps, "_v").select("_m", "_rep")
                       .localCheckpoint(eager=False))
-    rep_vecs = emb.join(reps.select(F.col("_rep").alias(id_col)),
-                        id_col, "left_semi")
+    rep_vecs = (emb.join(reps.select(F.col("_rep").alias(id_col)),
+                         id_col, "left_semi")
+                   .localCheckpoint(eager=False))
     return members, rep_vecs
 
 
@@ -249,7 +253,8 @@ def embedding_neardup_pairs(emb: DataFrame, dim: int,
                             miss_prob: float = 0.005,
                             collapse_exact: bool = True,
                             expand: bool = True,
-                            max_bucket: int | None = 100_000) -> DataFrame:
+                            max_bucket: int | None = 100_000,
+                            exact_max_reps: int = 4096) -> DataFrame:
     """All (id_a < id_b) pairs with cosine >= threshold, as
     (id_a, id_b, cos). DEFAULT is the bounded composition (round-5, was
     the engine's one remaining intentional O(n²) default):
@@ -283,7 +288,18 @@ def embedding_neardup_pairs(emb: DataFrame, dim: int,
     corpus grows (bands re-derive automatically from the threshold);
     `max_bucket` drops hotter-than-cap band buckets from candidate
     generation (with collapse ON, populations count DISTINCT vectors —
-    the minhash_lsh_pairs cap rationale, see dedup.py)."""
+    the minhash_lsh_pairs cap rationale, see dedup.py).
+
+    SIZE-ADAPTIVE exactness: when the collapsed corpus holds <=
+    `exact_max_reps` distinct vectors (default 4096 → <= ~8.4M pair
+    evaluations), the rep pairing runs the EXACT broadcast cross join
+    instead of the banded chain — at that size brute force is both
+    faster (the band explode + bucket joins cost ~10 exchanges of fixed
+    overhead; measured 3.8 s banded vs 1.2 s brute at 2k vectors,
+    sf0.1) and exact, so the recall bound only ever applies where
+    approximation is actually needed. The rep count is one narrow
+    aggregate at plan-construction time (same pattern as unify()'s
+    dedup probe — benches time construction + execution together)."""
     from logunifier_spark.operators.dedup import fan_out
 
     cos_ab = (dot(F.col("_va"), F.col("_vb"))
@@ -292,8 +308,16 @@ def embedding_neardup_pairs(emb: DataFrame, dim: int,
     members = None
     if collapse_exact and not exact:
         members, corpus = vector_exact_groups(emb, id_col, vec_col)
+        # clone-free corpus: every id is its own rep, so the expansion
+        # joins are three identity stages of pure overhead — skip them
+        # (the rep count is needed by the size gate below anyway; the
+        # second count is one narrow aggregate)
+        n_reps = corpus.count()
+        if n_reps == emb.count():
+            members = None
     else:
         corpus = emb
+        n_reps = None
 
     base = corpus.select(F.col(id_col).alias("_id"),
                          F.col(vec_col).alias("_v"))
@@ -309,35 +333,52 @@ def embedding_neardup_pairs(emb: DataFrame, dim: int,
                  .where(F.col("cos") >= threshold)
                  .select("id_a", "id_b", "cos"))
 
-    if bands is None:
-        bands = auto_bands(threshold, n_bits, miss_prob)
-    # UDF input is a plain column and the explode happens on a projected
-    # array column in a separate select (ExtractPythonUDFs cannot place a
-    # Python UDF inside a Generate node — CLAUDE.md)
-    with_keys = (fan_out(base)
-                 .withColumn("_bb", _band_buckets_udf(dim, n_bits, bands)(
-                     F.col("_v")))
-                 .localCheckpoint(eager=False))  # referenced by both join sides
-    banded = with_keys.select("_id", F.explode("_bb").alias("_k"))
-    if max_bucket is not None:
-        cool = (banded.groupBy("_k").agg(F.count("*").alias("_n"))
-                      .where(F.col("_n") <= max_bucket).select("_k"))
-        banded = banded.join(cool, "_k", "left_semi")
-    cand = (banded.alias("x").join(banded.alias("y"), "_k")
-            .where(F.col("x._id") < F.col("y._id"))
-            .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
-            .dropDuplicates(["id_a", "id_b"]))
-    sides = with_keys.select("_id", "_v", norm(F.col("_v")).alias("_n"))
-    pairs = (cand
-             .join(sides.select(F.col("_id").alias("id_a"),
-                                F.col("_v").alias("_va"),
-                                F.col("_n").alias("_na")), "id_a")
-             .join(sides.select(F.col("_id").alias("id_b"),
-                                F.col("_v").alias("_vb"),
-                                F.col("_n").alias("_nb")), "id_b")
-             .withColumn("cos", cos_ab)
-             .where(F.col("cos") >= threshold)
-             .select("id_a", "id_b", "cos"))
+    if n_reps is None:
+        n_reps = corpus.count()
+    if n_reps <= exact_max_reps:
+        a = (fan_out(base)
+             .select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+             .withColumn("_na", norm(F.col("_va"))))
+        b = (base.select(F.col("_id").alias("id_b"),
+                         F.col("_v").alias("_vb"))
+                 .withColumn("_nb", norm(F.col("_vb"))))
+        pairs = (a.crossJoin(F.broadcast(b))
+                  .where(F.col("id_a") < F.col("id_b"))
+                  .withColumn("cos", cos_ab)
+                  .where(F.col("cos") >= threshold)
+                  .select("id_a", "id_b", "cos"))
+        sides = base.select("_id", "_v", norm(F.col("_v")).alias("_n"))
+    else:
+        if bands is None:
+            bands = auto_bands(threshold, n_bits, miss_prob)
+        # UDF input is a plain column and the explode happens on a projected
+        # array column in a separate select (ExtractPythonUDFs cannot place a
+        # Python UDF inside a Generate node — CLAUDE.md)
+        with_keys = (fan_out(base)
+                     .withColumn("_bb", _band_buckets_udf(dim, n_bits, bands)(
+                         F.col("_v")))
+                     .localCheckpoint(eager=False))  # both join sides
+        banded = with_keys.select("_id", F.explode("_bb").alias("_k"))
+        if max_bucket is not None:
+            cool = (banded.groupBy("_k").agg(F.count("*").alias("_n"))
+                          .where(F.col("_n") <= max_bucket).select("_k"))
+            banded = banded.join(cool, "_k", "left_semi")
+        cand = (banded.alias("x").join(banded.alias("y"), "_k")
+                .where(F.col("x._id") < F.col("y._id"))
+                .select(F.col("x._id").alias("id_a"),
+                        F.col("y._id").alias("id_b"))
+                .dropDuplicates(["id_a", "id_b"]))
+        sides = with_keys.select("_id", "_v", norm(F.col("_v")).alias("_n"))
+        pairs = (cand
+                 .join(sides.select(F.col("_id").alias("id_a"),
+                                    F.col("_v").alias("_va"),
+                                    F.col("_n").alias("_na")), "id_a")
+                 .join(sides.select(F.col("_id").alias("id_b"),
+                                    F.col("_v").alias("_vb"),
+                                    F.col("_n").alias("_nb")), "id_b")
+                 .withColumn("cos", cos_ab)
+                 .where(F.col("cos") >= threshold)
+                 .select("id_a", "id_b", "cos"))
     if members is None or not expand:
         return pairs
     # expand rep pairs to member pairs: cos is a pure function of the two

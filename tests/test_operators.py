@@ -128,9 +128,17 @@ def test_embedding_neardup_bounded_matches_brute(spark, vectors):
     from logunifier_spark.operators.similarity import embedding_neardup_pairs
     brute = _pair_set(embedding_neardup_pairs(
         vectors, dim=16, threshold=0.45, exact=True))
-    bounded = _pair_set(embedding_neardup_pairs(vectors, dim=16, threshold=0.45))
+    # exact_max_reps=0 pins the BANDED path (the r5 size-adaptive gate
+    # would otherwise route this small corpus to brute-among-reps)
+    bounded = _pair_set(embedding_neardup_pairs(vectors, dim=16,
+                                                threshold=0.45,
+                                                exact_max_reps=0))
     assert (0, 1) in {(a, b) for a, b, _ in brute}  # planted pair present
     assert bounded == brute
+    # the auto gate (defaults): brute-among-reps at this size, same set
+    auto = _pair_set(embedding_neardup_pairs(vectors, dim=16,
+                                             threshold=0.45))
+    assert auto == brute
 
 
 def test_embedding_neardup_clone_expansion(spark):
@@ -147,8 +155,12 @@ def test_embedding_neardup_clone_expansion(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     brute = _pair_set(embedding_neardup_pairs(df, dim=16, threshold=0.9,
                                               exact=True))
-    bounded = _pair_set(embedding_neardup_pairs(df, dim=16, threshold=0.9))
+    bounded = _pair_set(embedding_neardup_pairs(df, dim=16, threshold=0.9,
+                                                exact_max_reps=0))
     assert bounded == brute
+    # auto gate: brute-among-reps at this size, identical expansion
+    assert _pair_set(embedding_neardup_pairs(df, dim=16,
+                                             threshold=0.9)) == brute
     ids = {(a, b) for a, b, _ in bounded}
     assert {(0, 1), (0, 2), (1, 2)} <= ids      # clone pairs via expansion
     assert {(0, 3), (1, 3), (2, 3)} <= ids      # cross-group via rep pair
@@ -164,7 +176,8 @@ def test_embedding_neardup_max_bucket_cap(spark, vectors):
     bands), so no candidates survive — the hot-bucket cap is live."""
     from logunifier_spark.operators.similarity import embedding_neardup_pairs
     out = embedding_neardup_pairs(vectors, dim=16, threshold=0.45,
-                                  max_bucket=1, collapse_exact=False)
+                                  max_bucket=1, collapse_exact=False,
+                                  exact_max_reps=0)
     assert out.count() == 0
 
 
