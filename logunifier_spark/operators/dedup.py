@@ -512,13 +512,17 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                                            F.col("component").alias("_nl")),
                              "dst")
                        .groupBy("src").agg(F.min("_nl").alias("_nb")))
+        # the jump self-joins prop against itself on DIFFERENT keys
+        # (component vs node), so without a lineage cut the propagate
+        # subtree (edge join + aggregate) would execute twice per round
         prop = (labels.join(nb_min,
                             labels["node"] == nb_min["src"], "left")
                       .select("node",
                               F.least(F.col("component"),
                                       F.coalesce(F.col("_nb"),
                                                  F.col("component")))
-                               .alias("component")))
+                               .alias("component"))
+                      .localCheckpoint(eager=False))
         # pointer doubling: component values are always node ids present
         # in the label table (init: self; propagate: min of such ids;
         # jump: one of such ids), so the left join always matches — the

@@ -177,7 +177,10 @@ def kmeans_fixed_point(corpus: DataFrame, k: int = 8, iters: int = 2,
     distance, all BIGINT."""
     cents = kmeans_centroids(corpus, k, iters, scale, id_col, vec_col)
     if k > COLUMN_BATTERY_MAX_K:
-        near_df = corpus.select(
+        # fan_out: the Arrow UDF stage otherwise serializes onto one task
+        # for a one-file corpus (same rationale as the training passes)
+        from logunifier_spark.operators.dedup import fan_out
+        near_df = fan_out(corpus).select(
             F.col(id_col),
             assign_np_udf(cents, scale, with_dist=True)(F.col(vec_col))
             .alias("_nc"))

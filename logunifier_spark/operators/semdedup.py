@@ -158,19 +158,14 @@ def semdedup_pairs(emb: DataFrame, id_col: str = "vec_id",
                       F.round(cos, 4).alias("cos")))
     if members is None or not expand:
         return pairs
-    # expansion (mirrors similarity.embedding_neardup_pairs): cross-group
-    # member pairs inherit the rep pair's cluster and (already-rounded)
-    # cosine verbatim — cos is a pure function of the two vectors, and
-    # identical vectors share the rep's; within-group (exact clone) pairs
+    # expansion via the ONE shared Spark spec (similarity.
+    # expand_rep_pairs_vec, mirrored in SQL by duck_oracles._expand_sql):
+    # cross-group member pairs inherit the rep pair's cluster and
+    # (already-rounded) cosine verbatim; within-group (exact clone) pairs
     # get the rep's SELF-cosine from the same expression, gated on the
     # same unrounded threshold, with the rep's (possibly cap-filtered)
     # cluster.
-    ma = members.select(F.col("_rep").alias("id_a"), F.col("_m").alias("_a"))
-    mb = members.select(F.col("_rep").alias("id_b"), F.col("_m").alias("_b"))
-    cross = (pairs.join(ma, "id_a").join(mb, "id_b")
-             .select("cluster",
-                     F.least("_a", "_b").alias("id_a"),
-                     F.greatest("_a", "_b").alias("id_b"), "cos"))
+    from logunifier_spark.operators.similarity import expand_rep_pairs_vec
     scos = dot(F.col("_v"), F.col("_v")) \
         / (F.col("_nrm") * F.col("_nrm") + F.lit(1e-12))
     selfcos = (assigned
@@ -178,12 +173,8 @@ def semdedup_pairs(emb: DataFrame, id_col: str = "vec_id",
                        scos.alias("_c"))
                .where(F.col("_c") >= threshold)
                .select("_rep", "cluster", F.round("_c", 4).alias("cos")))
-    within = (members.alias("x").join(members.alias("y"), "_rep")
-              .where(F.col("x._m") < F.col("y._m"))
-              .join(selfcos, "_rep")
-              .select("cluster", F.col("x._m").alias("id_a"),
-                      F.col("y._m").alias("id_b"), "cos"))
-    return cross.unionByName(within)
+    return expand_rep_pairs_vec(pairs, members, selfcos,
+                                extra=("cluster",))
 
 
 def semdedup(emb: DataFrame, id_col: str = "vec_id",

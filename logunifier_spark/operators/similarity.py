@@ -244,6 +244,36 @@ def vector_exact_groups(emb: DataFrame, id_col: str = "vec_id",
     return members, rep_vecs
 
 
+def expand_rep_pairs_vec(pairs: DataFrame, members: DataFrame,
+                         selfcos: DataFrame,
+                         extra: tuple[str, ...] = ()) -> DataFrame:
+    """Rep-level near-dup pairs -> member-level pairs, the vector twin of
+    dedup.expand_rep_pairs (ONE Spark spec shared by embedding_neardup
+    and semdedup, mirrored in SQL by duck_oracles._expand_sql):
+
+      - `pairs` (*extra, id_a, id_b, cos): rep pairs; cross-group member
+        pairs inherit the rep pair's cos (and `extra` columns) verbatim —
+        cos is a pure function of the two vectors and identical vectors
+        share the rep's;
+      - `members` (_m, _rep): the exact-clone groups;
+      - `selfcos` (_rep, *extra, cos): the rep's SELF-cosine, already
+        computed by the same expression and gated on the same threshold —
+        within-group (exact clone) pairs take it verbatim (≈1.0;
+        degenerate near-zero vectors fall below the gate and drop,
+        exactly as the brute path would emit)."""
+    ma = members.select(F.col("_rep").alias("id_a"), F.col("_m").alias("_a"))
+    mb = members.select(F.col("_rep").alias("id_b"), F.col("_m").alias("_b"))
+    cross = (pairs.join(ma, "id_a").join(mb, "id_b")
+             .select(*extra, F.least("_a", "_b").alias("id_a"),
+                     F.greatest("_a", "_b").alias("id_b"), "cos"))
+    within = (members.alias("x").join(members.alias("y"), "_rep")
+              .where(F.col("x._m") < F.col("y._m"))
+              .join(selfcos, "_rep")
+              .select(*extra, F.col("x._m").alias("id_a"),
+                      F.col("y._m").alias("id_b"), "cos"))
+    return cross.unionByName(within)
+
+
 def embedding_neardup_pairs(emb: DataFrame, dim: int,
                             threshold: float = 0.45,
                             id_col: str = "vec_id",
@@ -305,27 +335,15 @@ def embedding_neardup_pairs(emb: DataFrame, dim: int,
     cos_ab = (dot(F.col("_va"), F.col("_vb"))
               / (F.col("_na") * F.col("_nb") + F.lit(1e-12)))
 
-    members = None
-    if collapse_exact and not exact:
-        members, corpus = vector_exact_groups(emb, id_col, vec_col)
-        # clone-free corpus: every id is its own rep, so the expansion
-        # joins are three identity stages of pure overhead — skip them
-        # (the rep count is needed by the size gate below anyway; the
-        # second count is one narrow aggregate)
-        n_reps = corpus.count()
-        if n_reps == emb.count():
-            members = None
-    else:
-        corpus = emb
-        n_reps = None
-
-    base = corpus.select(F.col(id_col).alias("_id"),
-                         F.col(vec_col).alias("_v"))
-    if exact:
+    def _brute_pairs(base):
+        """Exact all-pairs among `base` (_id, _v): fan the left side out,
+        broadcast the right — the ONE brute spec shared by exact=True and
+        the size-gate path (a tweak to the epsilon/hint lands in both)."""
         a = (fan_out(base)
              .select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
              .withColumn("_na", norm(F.col("_va"))))
-        b = (base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+        b = (base.select(F.col("_id").alias("id_b"),
+                         F.col("_v").alias("_vb"))
                  .withColumn("_nb", norm(F.col("_vb"))))
         return (a.crossJoin(F.broadcast(b))
                  .where(F.col("id_a") < F.col("id_b"))
@@ -333,20 +351,31 @@ def embedding_neardup_pairs(emb: DataFrame, dim: int,
                  .where(F.col("cos") >= threshold)
                  .select("id_a", "id_b", "cos"))
 
+    members = None
+    if collapse_exact and not exact:
+        members, corpus = vector_exact_groups(emb, id_col, vec_col)
+        # one aggregate answers both questions (rows vs distinct reps):
+        # clone-free corpora skip the expansion joins AND the rep
+        # semi-join entirely (corpus = the raw input)
+        row = members.agg(F.count("*").alias("_n"),
+                          F.countDistinct("_rep").alias("_r")).first()
+        n_reps = int(row["_r"])
+        if n_reps == int(row["_n"]):
+            members = None
+            corpus = emb
+    else:
+        corpus = emb
+        n_reps = None
+
+    base = corpus.select(F.col(id_col).alias("_id"),
+                         F.col(vec_col).alias("_v"))
+    if exact:
+        return _brute_pairs(base)
+
     if n_reps is None:
         n_reps = corpus.count()
     if n_reps <= exact_max_reps:
-        a = (fan_out(base)
-             .select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
-             .withColumn("_na", norm(F.col("_va"))))
-        b = (base.select(F.col("_id").alias("id_b"),
-                         F.col("_v").alias("_vb"))
-                 .withColumn("_nb", norm(F.col("_vb"))))
-        pairs = (a.crossJoin(F.broadcast(b))
-                  .where(F.col("id_a") < F.col("id_b"))
-                  .withColumn("cos", cos_ab)
-                  .where(F.col("cos") >= threshold)
-                  .select("id_a", "id_b", "cos"))
+        pairs = _brute_pairs(base)
         sides = base.select("_id", "_v", norm(F.col("_v")).alias("_n"))
     else:
         if bands is None:
@@ -381,25 +410,10 @@ def embedding_neardup_pairs(emb: DataFrame, dim: int,
                  .select("id_a", "id_b", "cos"))
     if members is None or not expand:
         return pairs
-    # expand rep pairs to member pairs: cos is a pure function of the two
-    # vectors, so cross-group pairs inherit the rep pair's cos verbatim;
-    # within-group (exact clone) pairs get the rep's SELF-cosine computed
-    # by the same formula (≈1.0; exactly what the brute path would emit,
-    # including degenerate near-zero vectors)
-    ma = members.select(F.col("_rep").alias("id_a"), F.col("_m").alias("_a"))
-    mb = members.select(F.col("_rep").alias("id_b"), F.col("_m").alias("_b"))
-    cross = (pairs.join(ma, "id_a").join(mb, "id_b")
-             .select(F.least("_a", "_b").alias("id_a"),
-                     F.greatest("_a", "_b").alias("id_b"), "cos"))
     selfcos = (sides
                .select(F.col("_id").alias("_rep"),
                        (dot(F.col("_v"), F.col("_v"))
                         / (F.col("_n") * F.col("_n") + F.lit(1e-12)))
                        .alias("cos"))
                .where(F.col("cos") >= threshold))
-    within = (members.alias("x").join(members.alias("y"), "_rep")
-              .where(F.col("x._m") < F.col("y._m"))
-              .join(selfcos, "_rep")
-              .select(F.col("x._m").alias("id_a"),
-                      F.col("y._m").alias("id_b"), "cos"))
-    return cross.unionByName(within)
+    return expand_rep_pairs_vec(pairs, members, selfcos)

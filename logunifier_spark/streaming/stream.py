@@ -133,7 +133,8 @@ def dead_letter_count(query) -> int:
 
 def suggest_max_files(query_or_progress, target_latency_s: float,
                       current_max_files: int,
-                      min_files: int = 1, cap: int = 1024) -> int:
+                      min_files: int = 1, cap: int = 1024,
+                      rows_per_file: float | None = None) -> int:
     """Data-driven `maxFilesPerTrigger` for `read_transcript_stream`: fit
     the per-batch cost model  duration_ms = fixed + rate * rows  to the
     query's own progress history and return the largest file count whose
@@ -149,14 +150,19 @@ def suggest_max_files(query_or_progress, target_latency_s: float,
 
     Accepts a live/terminated StreamingQuery handle or a plain list of
     progress dicts (as from `query.recentProgress`). Batches with zero
-    input rows are ignored. Rows-per-file is estimated from the largest
-    observed batch (= `current_max_files` full files; trailing partial
-    batches only add fit points). With fewer than two distinct batch
-    sizes the slope is unidentifiable and the helper falls back to
-    proportional scaling of the median observed latency — conservative,
-    because ignoring the fixed intercept over-predicts large-batch cost.
-    Like `suggest_watermark_delay`: call at deploy/config time; the
-    result is a reader option, not a per-batch knob."""
+    input rows are ignored. Rows-per-file defaults to the largest
+    observed batch / `current_max_files` — which ASSUMES the history
+    contains at least one FULL batch (a backlog that never reached
+    `current_max_files` files, or a progress ring buffer that only
+    retained trailing partials, under-estimates rows_per_file and
+    over-suggests by the same factor); when the per-file row count is
+    known (fixed shard sizes), pass `rows_per_file` explicitly to
+    remove the assumption. With fewer than two distinct batch sizes the
+    slope is unidentifiable and the helper falls back to proportional
+    scaling of the median observed latency — conservative, because
+    ignoring the fixed intercept over-predicts large-batch cost. Like
+    `suggest_watermark_delay`: call at deploy/config time; the result
+    is a reader option, not a per-batch knob."""
     progress = getattr(query_or_progress, "recentProgress", query_or_progress)
     pts = []
     for p in progress:
@@ -168,7 +174,10 @@ def suggest_max_files(query_or_progress, target_latency_s: float,
     if current_max_files < 1:
         raise ValueError(f"current_max_files must be >= 1, "
                          f"got {current_max_files}")
-    rows_per_file = max(r for r, _ in pts) / current_max_files
+    if rows_per_file is None:
+        rows_per_file = max(r for r, _ in pts) / current_max_files
+    elif rows_per_file <= 0:
+        raise ValueError(f"rows_per_file must be > 0, got {rows_per_file}")
     target_ms = target_latency_s * 1000.0
     distinct_rows = {r for r, _ in pts}
     if len(distinct_rows) >= 2:
