@@ -1302,6 +1302,61 @@ def q_ann_lsh(spark, sf_dir):
     return lsh_topk(emb, q, dim=64, k=5, n_bits=10).select("qid", "vec_id", "rank")
 
 
+def q_ann_recall(spark, sf_dir):
+    """Index-quality evaluation (operators/similarity.py::ann_recall):
+    recall@k of the hyperplane-LSH index against exact brute-force
+    ground truth over a 25-query sample — the measure-don't-guess
+    number every ANN deployment needs before trusting the fast path.
+    Both top-k frames are |queries|*k rows, so everything after the
+    scans is broadcast-sized."""
+    _ship(spark)
+    from logunifier_spark.operators.similarity import ann_recall
+    emb = _load(spark, sf_dir, "embeddings")
+    q = (emb.where(F.col("vec_id") < 25)
+            .select(F.col("vec_id").alias("qid"), "embedding"))
+    return ann_recall(emb, q, dim=64, k=10, n_bits=10)
+
+
+def q_rp_project(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection (operators/projection.py::
+    rp_project): deterministic Achlioptas ±1 sketch of each embedding,
+    16 components in long format — the standard shrink-before-index
+    step at billion-vector scale. Row-local numpy Arrow kernel, zero
+    shuffles; exact fixed-point per-term floors make the sums
+    order-free and engine-portable."""
+    _ship(spark)
+    from logunifier_spark.operators.projection import rp_project
+    emb = _load(spark, sf_dir, "embeddings")
+    return rp_project(emb, dim=64, r=16)
+
+
+def q_vocab_zipf(spark, sf_dir):
+    """Corpus Zipf rank-frequency table (operators/textstats.py::
+    vocab_zipf): rank, frequency, exact-integer zipf constant
+    (rank*freq) and cumulative coverage ppm for the top vocabulary —
+    the corpus-health curve that spots boilerplate floods and dedup
+    failures. Only corpus-sized shuffle is the map-side-combined token
+    count; ranking runs over the vocabulary (types, Heaps-bounded)."""
+    _ship(spark)
+    from logunifier_spark.operators.textstats import vocab_zipf
+    d = _load(spark, sf_dir, "documents")
+    return vocab_zipf(d, top_k=4096)
+
+
+def q_source_overlap(spark, sf_dir):
+    """Pairwise source-overlap matrix (operators/dedup.py::
+    source_overlap): Jaccard (ppm, exact integers) of each source
+    pair's distinct 8-token-window fingerprint sets — the mixture-
+    design signal for weighting sources into a training blend. One
+    fingerprint-keyed self-join over per-source DISTINCT sets;
+    `max_sources` caps near-universal boilerplate grams at web scale
+    (unused here: 20 sources)."""
+    _ship(spark)
+    from logunifier_spark.operators.dedup import source_overlap
+    d = _load(spark, sf_dir, "documents")
+    return source_overlap(d, gram_len=8)
+
+
 def q_token_counts(spark, sf_dir):
     _ship(spark)
     from logunifier_spark.operators.textstats import bpe_ish_token_count, token_count
@@ -2001,6 +2056,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
+        "ann_recall": q_ann_recall,
+        "rp_project": q_rp_project,
+        "vocab_zipf": q_vocab_zipf,
+        "source_overlap": q_source_overlap,
         "token_counts": q_token_counts,
         "language_histogram": q_language_histogram,
         "fingerprint_dupes": q_fingerprint_dupes,
@@ -3433,6 +3492,11 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _do.simhash_pairs_sql(),
         "fingerprint_dupes": _do.fingerprint_dupes_sql(),
         "ann_lsh": _do.ann_lsh_sql(dim=64, k=5, n_bits=10),
+        "ann_recall": _do.ann_recall_sql(dim=64, k=10, n_bits=10,
+                                         n_queries=25),
+        "rp_project": _do.rp_project_sql(dim=64, r=16, scale_bits=20),
+        "vocab_zipf": _do.vocab_zipf_sql(top_k=4096),
+        "source_overlap": _do.source_overlap_sql(gram_len=8),
         "ann_ivf": _do.ann_ivf_sql(k=5, n_centroids=16, nprobe=4),
         "semdedup_pairs": _do.semdedup_pairs_sql(k=8, iters=2,
                                                  threshold=0.45),

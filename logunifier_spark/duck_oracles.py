@@ -446,18 +446,17 @@ def _plane_literal(dim: int, bit: int) -> str:
     return "[" + ", ".join(repr(v) for v in _oracle_hyperplane(dim, bit)) + "]"
 
 
-def ann_lsh_sql(dim: int = 64, k: int = 5, n_bits: int = 10,
-                n_queries: int = 5) -> str:
-    """(qid, vec_id, rank) of lsh_topk: hyperplane sign buckets (the SAME
-    deterministic plane constants, embedded as literals), 1-bit multiprobe,
-    cosine rank within the candidate set."""
+def _lsh_topk_ctes(dim: int, k: int, n_bits: int, n_queries: int) -> str:
+    """CTE chain ending in lsh_top(qid, vec_id, rank) — the lsh_topk
+    spec, shared by the ann_lsh gate oracle and the ann_recall
+    evaluation oracle (one transcription of the bucket/probe/rank
+    logic, not two that can drift)."""
     bucket_terms = "\n         + ".join(
         f"(CASE WHEN {_sql_dot('embedding', _plane_literal(dim, b))} >= 0 "
         f"THEN {1 << b} ELSE 0 END)"
         for b in range(n_bits))
     probes = ", ".join(["b0"] + [f"xor(b0, {1 << i})" for i in range(n_bits)])
-    return f"""
-WITH cb AS (
+    return f"""cb AS (
   SELECT vec_id, embedding,
          {bucket_terms} AS bucket
   FROM embeddings
@@ -473,12 +472,62 @@ scored AS (
   SELECT DISTINCT qid, cb.vec_id,
          {_sql_cosine('cb.embedding', 'qv')} AS score
   FROM probes JOIN cb USING (bucket)
+),
+lsh_top AS (
+  SELECT qid, vec_id, rank FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, vec_id ASC) AS rank
+    FROM scored) WHERE rank <= {k}
+)"""
+
+
+def ann_lsh_sql(dim: int = 64, k: int = 5, n_bits: int = 10,
+                n_queries: int = 5) -> str:
+    """(qid, vec_id, rank) of lsh_topk: hyperplane sign buckets (the SAME
+    deterministic plane constants, embedded as literals), 1-bit multiprobe,
+    cosine rank within the candidate set."""
+    return f"""
+WITH {_lsh_topk_ctes(dim, k, n_bits, n_queries)}
+SELECT qid, vec_id, rank FROM lsh_top
+"""
+
+
+def ann_recall_sql(dim: int = 64, k: int = 10, n_bits: int = 10,
+                   n_queries: int = 25) -> str:
+    """(qid, hits, k, recall_ppm) of similarity.ann_recall: the LSH
+    top-k (same CTE chain as the ann_lsh oracle) intersected with exact
+    brute-force top-k ground truth per query; denominator is k even
+    when the candidate set under-fills (an index that can't fill k
+    slots has low recall). Integer // division mirrors Spark DIV."""
+    return f"""
+WITH {_lsh_topk_ctes(dim, k, n_bits, n_queries)},
+exact_scored AS (
+  SELECT q.vec_id AS qid, e.vec_id,
+         {_sql_cosine('e.embedding', 'q.embedding')} AS score
+  FROM embeddings e
+  CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id < {n_queries}) q
+),
+exact_top AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, vec_id ASC) AS rank
+    FROM exact_scored) WHERE rank <= {k}
+),
+hits AS (
+  SELECT a.qid, CAST(count(*) AS BIGINT) AS hits
+  FROM lsh_top a JOIN exact_top e
+    ON a.qid = e.qid AND a.vec_id = e.vec_id
+  GROUP BY 1
 )
-SELECT qid, vec_id, rank FROM (
-  SELECT qid, vec_id,
-         row_number() OVER (PARTITION BY qid
-                            ORDER BY score DESC, vec_id ASC) AS rank
-  FROM scored) WHERE rank <= {k}
+SELECT q.qid, coalesce(h.hits, CAST(0 AS BIGINT)) AS hits,
+       CAST({k} AS BIGINT) AS k,
+       CAST((coalesce(h.hits, 0) * 1000000) // {k} AS BIGINT) AS recall_ppm
+FROM (SELECT DISTINCT vec_id AS qid FROM embeddings
+      WHERE vec_id < {n_queries}) q
+LEFT JOIN hits h USING (qid)
 """
 
 
@@ -1518,4 +1567,110 @@ sel AS (
 SELECT doc_id, CAST(s // {1 << 16} AS BIGINT) AS fp,
        CAST(s % {1 << 16} AS INT) AS pos
 FROM sel
+"""
+
+
+# ------------------------------------------------ JL random projection ----
+
+def rp_project_sql(dim: int = 64, r: int = 16, scale_bits: int = 20) -> str:
+    """(vec_id, comp, val_fp, val) of projection.rp_project — the
+    Achlioptas ±1 sign regenerated from the hash spec per (comp, index)
+    pair, each term floor-quantized to exact int64 BEFORE the sum
+    (order-free), val divided back out by the power of two (exact).
+    SUM over BIGINT is HUGEINT in DuckDB — cast back (CLAUDE.md)."""
+    scale = 1 << scale_bits
+    sign = ("(CASE WHEN ((((c.j * {d} + i.i) % 2147483648) * 2654435761"
+            " + 12345) % 2147483648 >> 15) & 1 = 1"
+            " THEN 1 ELSE -1 END)").format(d=dim)
+    return f"""
+WITH comp AS (SELECT unnest(range(0, {r})) AS j),
+ix AS (SELECT unnest(range(0, {dim})) AS i),
+terms AS (
+  SELECT e.vec_id, c.j AS comp,
+         CAST(floor(CAST(e.embedding[i.i + 1] AS DOUBLE)
+                    * {sign} * {scale}.0) AS BIGINT) AS t
+  FROM embeddings e CROSS JOIN comp c CROSS JOIN ix i
+)
+SELECT vec_id, CAST(comp AS BIGINT) AS comp,
+       CAST(sum(t) AS BIGINT) AS val_fp,
+       CAST(sum(t) AS BIGINT) / {scale}.0 AS val
+FROM terms GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------- zipf rank-freq ----
+
+def vocab_zipf_sql(top_k: int = 4096) -> str:
+    """(token, rank, freq, zipf_c, cum_ppm) of textstats.vocab_zipf —
+    same trim/lower whitespace split, (freq DESC, token ASC) total
+    order, exact-integer zipf constant and integer-// coverage."""
+    ws = r"'[ \t\r\n\f\x0B]+'"
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), {ws})) AS token
+  FROM documents WHERE text IS NOT NULL
+),
+freq AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS freq
+  FROM toks WHERE token <> '' GROUP BY 1
+),
+ranked AS (
+  SELECT token, freq,
+         CAST(row_number() OVER (ORDER BY freq DESC, token ASC)
+              AS BIGINT) AS rank,
+         CAST(sum(freq) OVER (ORDER BY freq DESC, token ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(sum(freq) OVER () AS BIGINT) AS tot
+  FROM freq
+)
+SELECT token, rank, freq, CAST(rank * freq AS BIGINT) AS zipf_c,
+       CAST((cum * 1000000) // tot AS BIGINT) AS cum_ppm
+FROM ranked WHERE rank <= {top_k}
+"""
+
+
+# -------------------------------------------------- cross-source overlap ---
+
+def source_overlap_sql(gram_len: int = 8,
+                       max_sources: int | None = None) -> str:
+    """(source_a, source_b, inter_grams, union_grams, jaccard_ppm) of
+    dedup.source_overlap — same gram window/fingerprint spec as the
+    cross-doc oracles but keyed by source, distinct per-source sets,
+    fingerprint-keyed pair join, exact-integer Jaccard ppm."""
+    ws = r"'[ \t\r\n\f\x0B]+'"
+    cap = ""
+    if max_sources is not None:
+        cap = f"""
+capped AS (SELECT gram_hash FROM grams GROUP BY 1
+           HAVING count(*) <= {max_sources}),
+grams2 AS (SELECT g.* FROM grams g JOIN capped USING (gram_hash)),"""
+    rel = "grams2" if max_sources is not None else "grams"
+    return f"""
+WITH grams AS MATERIALIZED (
+  SELECT DISTINCT source AS _src,
+         CAST(concat('0x', substring(md5(
+             array_to_string(w[i : i + {gram_len} - 1], ' ')), 1, 12))
+           AS BIGINT) AS gram_hash
+  FROM (SELECT source,
+               string_split_regex(trim(lower(text)), {ws}) AS w
+        FROM documents) t,
+       LATERAL (SELECT unnest(range(1, len(w) - {gram_len} + 2)) AS i) ix
+  WHERE len(w) >= {gram_len}),{cap}
+sizes AS (SELECT _src, CAST(count(*) AS BIGINT) AS _n
+          FROM {rel} GROUP BY 1),
+inter AS (
+  SELECT a._src AS source_a, b._src AS source_b,
+         CAST(count(*) AS BIGINT) AS inter_grams
+  FROM {rel} a JOIN {rel} b
+    ON a.gram_hash = b.gram_hash AND a._src < b._src
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, inter_grams,
+       sa._n + sb._n - inter_grams AS union_grams,
+       CAST((inter_grams * 1000000) // (sa._n + sb._n - inter_grams)
+            AS BIGINT) AS jaccard_ppm
+FROM inter
+JOIN sizes sa ON sa._src = inter.source_a
+JOIN sizes sb ON sb._src = inter.source_b
 """

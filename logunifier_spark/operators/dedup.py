@@ -1111,3 +1111,62 @@ def winnow_fingerprints(docs: DataFrame, gram_len: int = 5,
         F.col(id_col),
         F.shiftright(F.col("_sel"), 16).alias("fp"),
         F.pmod(F.col("_sel"), F.lit(1 << 16)).cast("int").alias("pos"))
+
+
+# ------------------------------------------------- cross-source overlap ----
+
+def source_overlap(docs: DataFrame, gram_len: int = 8,
+                   group_col: str = "source", text_col: str = "text",
+                   max_sources: int | None = None) -> DataFrame:
+    """Pairwise corpus-overlap matrix between sources — the mixture-
+    design companion to per-doc dedup: before weighting sources into a
+    training mix (and before paying for cross-source dedup), measure
+    how much content they already share. Returns one row per source
+    pair with any overlap: (source_a, source_b, inter_grams,
+    union_grams, jaccard_ppm) — the Jaccard similarity of the two
+    sources' DISTINCT `gram_len`-token window fingerprint sets, in ppm
+    (integer DIV; counts are exact, no float risk). source_a <
+    source_b lexicographically; zero-overlap pairs are omitted.
+
+    Scale shape: the gram stream is the shared _window_fingerprints
+    codegen idiom keyed by SOURCE (sources number in the tens-to-
+    hundreds, so per-source distinct sets are the only corpus-sized
+    aggregates, both map-side combined). The pair counts come from a
+    fingerprint-keyed self-join of the distinct (source, fp) frame —
+    one shuffle by fp; a fingerprint present in s sources contributes
+    s·(s-1)/2 rows, so near-universal boilerplate grams are the skew
+    risk: `max_sources` drops fingerprints seen in more sources than
+    that (standard max-df cap; they carry no mixture signal — a gram
+    in EVERY source moves all Jaccards equally). The cap is applied to
+    the intersection AND union sides consistently, keeping jaccard_ppm
+    a true Jaccard of the capped sets."""
+    grams = (_window_fingerprints(docs, gram_len, text_col, group_col)
+             .select(F.col(group_col).alias("_src"), "gram_hash")
+             .distinct())
+    if max_sources is not None:
+        keep = (grams.groupBy("gram_hash")
+                     .agg(F.count("*").alias("_ns"))
+                     .where(F.col("_ns") <= max_sources)
+                     .select("gram_hash"))
+        grams = grams.join(keep, "gram_hash", "left_semi")
+    grams = grams.localCheckpoint(eager=False)  # 3 consumers, one compute
+    sizes = grams.groupBy("_src").agg(F.count("*").alias("_n"))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (a.join(b, (F.col("a.gram_hash") == F.col("b.gram_hash"))
+                    & (F.col("a._src") < F.col("b._src")))
+              .groupBy(F.col("a._src").alias("source_a"),
+                       F.col("b._src").alias("source_b"))
+              .agg(F.count("*").alias("inter_grams")))
+    sa = sizes.select(F.col("_src").alias("source_a"),
+                      F.col("_n").alias("_na"))
+    sb = sizes.select(F.col("_src").alias("source_b"),
+                      F.col("_n").alias("_nb"))
+    # sizes is |sources| rows — broadcast regardless of corpus size
+    return (inter.join(F.broadcast(sa), "source_a")
+                 .join(F.broadcast(sb), "source_b")
+                 .select("source_a", "source_b", "inter_grams",
+                         (F.col("_na") + F.col("_nb")
+                          - F.col("inter_grams")).alias("union_grams"),
+                         F.expr("CAST((inter_grams * 1000000) DIV "
+                                "(_na + _nb - inter_grams) AS BIGINT)")
+                          .alias("jaccard_ppm")))

@@ -179,6 +179,43 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                   .where(F.col("rank") <= k))
 
 
+# ------------------------------------------------------- index evaluation --
+
+def ann_recall(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
+               n_bits: int = 12, id_col: str = "vec_id",
+               vec_col: str = "embedding",
+               qid_col: str = "qid") -> DataFrame:
+    """Recall@k of the hyperplane-LSH index against exact brute-force
+    ground truth, per query: (qid, hits, k, recall_ppm). THE
+    measure-don't-guess companion to lsh_topk — an ANN index whose
+    recall was never measured is a guess, and at corpus scale the only
+    affordable ground truth is exact top-k over a SMALL query sample
+    (here: the caller's `queries` frame), which is linear
+    (|queries| x corpus) and embarrassingly parallel.
+
+    hits counts approximate top-k members that appear in the exact
+    top-k (the standard recall@k numerator); the denominator is k even
+    when the LSH candidate set returned fewer rows — an index that
+    can't fill k slots HAS low recall. recall_ppm is integer DIV
+    (Spark/DuckDB double rounding differs, CLAUDE.md). Scale shape:
+    both top-k frames are |queries| x k rows, so the semi-join and the
+    per-query aggregate are broadcast-sized no matter the corpus."""
+    exact = brute_force_topk(corpus, queries, k, id_col, vec_col, qid_col)
+    approx = lsh_topk(corpus, queries, dim, k, n_bits, id_col, vec_col,
+                      qid_col)
+    hits = (approx.join(F.broadcast(exact.select(qid_col, id_col)),
+                        [qid_col, id_col], "left_semi")
+                  .groupBy(qid_col)
+                  .agg(F.count("*").alias("hits")))
+    return (queries.select(qid_col).distinct()
+                   .join(hits, qid_col, "left")
+                   .na.fill({"hits": 0})
+                   .select(qid_col, F.col("hits").cast("long").alias("hits"),
+                           F.lit(k).cast("long").alias("k"),
+                           F.expr(f"CAST((hits * 1000000) DIV {k} AS BIGINT)")
+                            .alias("recall_ppm")))
+
+
 # ------------------------------------------- all-pairs near-dup (bounded) --
 
 def auto_bands(threshold: float, n_bits: int,

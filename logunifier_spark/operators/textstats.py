@@ -5,7 +5,7 @@ they compose with any scan at 100 TB without extra shuffles."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Canonical tokenization whitespace: an EXPLICIT ASCII class, identical
@@ -241,3 +241,46 @@ def adjacent_word_pairs(docs: DataFrame, text_col: str = "text",
                         F.element_at("_ws", F.col("_i") + 1).alias("term"))
                 .where(F.col("prev").rlike(TERM_RE)
                        & F.col("term").rlike(TERM_RE)))
+
+
+def vocab_zipf(docs: DataFrame, text_col: str = "text",
+               top_k: int = 4096) -> DataFrame:
+    """Corpus vocabulary rank-frequency table — the Zipf health check
+    every corpus report should carry (a natural corpus has freq·rank
+    roughly constant; a scrape full of templated boilerplate or
+    near-empty docs bends the curve visibly at both ends): (token,
+    rank, freq, zipf_c, cum_ppm) for the `top_k` most frequent tokens,
+    where zipf_c = rank·freq (the Zipf "constant" — EXACT integers, no
+    cross-engine float risk) and cum_ppm is the cumulative corpus
+    coverage of ranks 1..r in ppm (integer DIV of exact counts; the
+    "how few types cover 90% of tokens" curve that sizes vocabularies
+    and spots dedup failures). Ties rank by (freq DESC, token ASC) —
+    total order, engine-portable.
+
+    Scale shape: the token stream is the split+explode codegen idiom;
+    the ONLY corpus-sized shuffle is the map-side-combined token count,
+    which reduces to one row per vocabulary TYPE. Ranking is an
+    unpartitioned window, deliberately: it runs over the vocabulary
+    (types, not tokens — bounded in the low millions by Heaps' law at
+    any corpus size), the same single-task trade tfidf's document
+    frequency table makes. The cumulative sum must see every type
+    anyway (rank r's coverage includes all higher ranks), so the cap
+    to top_k is applied AFTER it."""
+    toks = (docs.where(F.col(text_col).isNotNull())
+                .select(F.explode(
+                    F.split(F.trim(F.lower(F.col(text_col))),
+                            ASCII_WS + "+")).alias("token"))
+                .where(F.col("token") != ""))
+    freq = toks.groupBy("token").agg(F.count("*").alias("freq"))
+    # vocabulary-sized (types, not tokens) — bounded; see docstring
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    ranked = (freq.withColumn("rank", F.row_number().over(w).cast("long"))
+                  .withColumn("_cum", F.sum("freq").over(
+                      w.rowsBetween(Window.unboundedPreceding, 0)))
+                  .withColumn("_tot", F.sum("freq").over(
+                      Window.partitionBy())))
+    return (ranked.where(F.col("rank") <= top_k)
+                  .select("token", "rank", "freq",
+                          (F.col("rank") * F.col("freq")).alias("zipf_c"),
+                          F.expr("CAST((_cum * 1000000) DIV _tot AS BIGINT)")
+                           .alias("cum_ppm")))
