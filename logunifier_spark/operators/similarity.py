@@ -24,6 +24,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
 
@@ -43,16 +44,95 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b) + F.lit(1e-12))
 
 
+def pair_cosine(a: Column, b: Column) -> Column:
+    """Arrow-batched cosine over joined (vec, vec) pair columns —
+    BIT-IDENTICAL to the interpreted `cosine` fold (and therefore to
+    the DuckDB oracles' list_sum spec): the accumulation runs one
+    dimension at a time in index order (acc = acc + x_i*y_i in
+    float64, exactly the F.aggregate recurrence), vectorized ACROSS
+    the batch rows instead of along the vector — dim numpy ops per
+    batch instead of n*dim interpreted lambda calls. The HOF fold
+    measured ~50 µs/element (CLAUDE.md); on the sf0.1 brute-force
+    battery this kernel is ~6x end-to-end. Same shape as the pq.py /
+    kmeans.py large-k lesson: vector batteries belong in numpy. The
+    UDF is built at CALL time — a module-level @pandas_udf parses its
+    DDL type against the active SparkContext at import (crashes
+    sessionless imports, the verify-skill gotcha)."""
+    @pandas_udf("double")
+    def _kernel(x: pd.Series, y: pd.Series) -> pd.Series:
+        if len(x) == 0:
+            return pd.Series([], dtype="float64")
+        va = np.stack([np.asarray(v, dtype=np.float64) for v in x])
+        vb = np.stack([np.asarray(v, dtype=np.float64) for v in y])
+        dot_ = np.zeros(len(va))
+        na = np.zeros(len(va))
+        nb = np.zeros(len(va))
+        for i in range(va.shape[1]):   # index order == the fold's order
+            dot_ = dot_ + va[:, i] * vb[:, i]
+            na = na + va[:, i] * va[:, i]
+            nb = nb + vb[:, i] * vb[:, i]
+        return pd.Series(dot_ / (np.sqrt(na) * np.sqrt(nb) + 1e-12))
+
+    return _kernel(a, b)
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      qid_col: str = "qid") -> DataFrame:
-    """Exact top-k: broadcast the (small) query set against the corpus and
-    rank per query. Returns (qid, vec_id, score, rank)."""
+    """Exact top-k against a SMALL query set. Returns (qid, vec_id,
+    score, rank).
+
+    The query set rides into the kernel closure as a matrix (it was
+    already broadcast under the previous crossJoin form — collecting it
+    driver-side is the same size assumption, the ivf_centroids
+    pattern; the collect is one tiny job at plan-construction time).
+    Each corpus vector is scored against ALL queries in one Arrow
+    batch — a battery, the pq.py/_argmax_cell shape — then the score
+    array posexplodes JVM-side and position maps back to qid through
+    an array literal. Scale shape: the old crossJoin-HOF form ran one
+    interpreted fold PER (corpus, query) PAIR — n·q·dim lambda calls —
+    while the battery ships each corpus vector ONCE and runs dim numpy
+    ops per Arrow batch. Honest micro-bench caveat: at sf0.1 the
+    corpus is only 2k vectors, so the row is fixed-overhead bound and
+    the battery's worker spin-up + query-collect job actually LOSES
+    the interleaved A/B (~0.9 vs ~0.56 s); the win shows where it
+    matters — ann_recall (battery + numpy bucketing) 1.5→0.5 s and at
+    any corpus size where per-pair work dominates. Scores are
+    bit-identical to the `cosine` fold (per-dimension index-order
+    accumulation in float64, vectorized across batch rows ×
+    queries)."""
     from logunifier_spark.operators.dedup import fan_out
-    c = fan_out(corpus).select(F.col(id_col), F.col(vec_col).alias("_cv"))
-    q = queries.select(F.col(qid_col), F.col(vec_col).alias("_qv"))
-    scored = c.crossJoin(F.broadcast(q)).select(
-        qid_col, id_col, cosine(F.col("_cv"), F.col("_qv")).alias("score"))
+    qrows = sorted(queries.select(qid_col, vec_col).collect(),
+                   key=lambda r: r[qid_col])
+    qids = [r[qid_col] for r in qrows]
+    qmat = np.array([[float(x) for x in r[vec_col]] for r in qrows],
+                    dtype=np.float64)                       # (q, dim)
+    nq = len(qids)
+
+    @pandas_udf("array<double>")
+    def _battery(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        dot_ = np.zeros((len(mat), nq))
+        nv = np.zeros(len(mat))
+        nc = np.zeros(nq)
+        for i in range(qmat.shape[1]):  # index order == the fold's
+            dot_ = dot_ + mat[:, i:i + 1] * qmat[:, i][None, :]
+            nv = nv + mat[:, i] * mat[:, i]
+            nc = nc + qmat[:, i] * qmat[:, i]
+        scores = dot_ / (np.sqrt(nv)[:, None] * np.sqrt(nc)[None, :] + 1e-12)
+        return pd.Series(list(scores))
+
+    # UDF in its own projection; the posexplode runs in a SEPARATE
+    # select (ExtractPythonUDFs cannot place a UDF inside a Generate
+    # node — CLAUDE.md)
+    c = fan_out(corpus).select(F.col(id_col),
+                               _battery(F.col(vec_col)).alias("_s"))
+    qid_arr = F.array(*[F.lit(q) for q in qids])
+    scored = (c.select(id_col, F.posexplode("_s").alias("_p", "score"))
+               .select(F.element_at(qid_arr, F.col("_p") + 1).alias(qid_col),
+                       F.col(id_col), F.col("score")))
     w = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.asc(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
                   .where(F.col("rank") <= k))
@@ -71,13 +151,29 @@ def _hyperplane(dim: int, bit: int) -> list[float]:
 
 
 def hyperplane_bucket(vec: Column, dim: int, n_bits: int = 12) -> Column:
-    """n_bits sign bits against fixed hyperplanes → integer bucket id."""
-    out = F.lit(0).cast("long")
-    for bit in range(n_bits):
-        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, bit)])
-        s = F.when(dot(vec, plane) >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-        out = out.bitwiseOR(F.shiftleft(s, bit))
-    return out
+    """n_bits sign bits against fixed hyperplanes → integer bucket id.
+    Arrow-batched numpy kernel with the SAME accumulation order as the
+    interpreted fold (per-dimension loop, vectorized across rows) so
+    the sign of a near-zero dot product — and therefore the bucket —
+    is bit-identical to the `dot` Column form and to the oracle's
+    list_sum: a matmul's pairwise summation could flip it. n_bits
+    interpreted folds per row were the dominant cost of lsh_topk at
+    sf0.1 (the pq.py lesson again)."""
+    planes = np.array([_hyperplane(dim, b) for b in range(n_bits)],
+                      dtype=np.float64).T           # (dim, n_bits)
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+
+    @pandas_udf("long")
+    def _bucket(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        acc = np.zeros((len(mat), planes.shape[1]))
+        for i in range(planes.shape[0]):   # index order == the fold's
+            acc = acc + mat[:, i:i + 1] * planes[i:i + 1, :]
+        return pd.Series((acc >= 0).astype(np.int64) @ weights)
+
+    return _bucket(vec)
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
@@ -97,7 +193,7 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
                        [F.col("b0").bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)]))
     q = qb.select(qid_col, "_qv", F.explode(probes).alias("bucket"))
     scored = (c.join(q, on="bucket")
-                .select(qid_col, id_col, cosine(F.col("_cv"), F.col("_qv")).alias("score")))
+                .select(qid_col, id_col, pair_cosine(F.col("_cv"), F.col("_qv")).alias("score")))
     w = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.asc(id_col))
     return (scored.dropDuplicates([qid_col, id_col])
                   .withColumn("rank", F.row_number().over(w))
@@ -126,16 +222,40 @@ def ivf_centroids(corpus: DataFrame, n_centroids: int = 16,
 
 
 def _argmax_cell(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
-    """Nearest-centroid id via array_max over (score, cid) structs built
-    from centroid literals — a pure projection, NO shuffle (the previous
-    crossJoin + row_number window shuffled the whole corpus x n_centroids).
-    Ties pick the larger cid (struct comparison is lexicographic)."""
-    scored = F.array(*[
-        F.struct(cosine(vec, F.array(*[F.lit(x) for x in cv])).alias("s"),
-                 F.lit(cid).alias("cid"))
-        for cid, cv in cents
-    ])
-    return F.array_max(scored)["cid"]
+    """Nearest-centroid id over the corpus — Arrow-batched numpy kernel
+    (the n_centroids cosine batteries as Column HOF folds are
+    interpreted per element, and as a fused scalar tree they blow the
+    JIT method budget — the pq.py lesson; this was the dominant cost of
+    ivf_topk at sf0.1). Bit-identical to the previous array_max-over-
+    structs form: scores accumulate per dimension in index order
+    (exactly the `cosine` fold recurrence, same final
+    dot/(norm*norm + 1e-12) expression shape), and ties pick the
+    LARGER cid (struct comparison was lexicographic on (score, cid)) —
+    the reversed-argmax picks the last maximum. Still a pure
+    projection: centroids ride into the UDF closure, NO shuffle."""
+    cids = [cid for cid, _ in cents]
+    assert cids == list(range(len(cents))), "cid must equal list index"
+    cmat = np.array([cv for _, cv in cents], dtype=np.float64)  # (k, dim)
+    k = cmat.shape[0]
+
+    @pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        dot_ = np.zeros((len(mat), k))
+        nv = np.zeros(len(mat))
+        nc = np.zeros(k)
+        for i in range(cmat.shape[1]):  # index order == the fold's
+            dot_ = dot_ + mat[:, i:i + 1] * cmat[:, i][None, :]
+            nv = nv + mat[:, i] * mat[:, i]
+            nc = nc + cmat[:, i] * cmat[:, i]
+        scores = dot_ / (np.sqrt(nv)[:, None] * np.sqrt(nc)[None, :] + 1e-12)
+        # ties -> larger cid: argmax returns the FIRST max, so reverse
+        best = (k - 1) - np.argmax(scores[:, ::-1], axis=1)
+        return pd.Series(best.astype(np.int32))
+
+    return _assign(vec)
 
 
 def _topn_cells(vec: Column, cents: list[tuple[int, list[float]]],
@@ -173,7 +293,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     # map-side hash probe
     scored = (assigned.join(F.broadcast(q), on="cid")
                       .select(qid_col, id_col,
-                              cosine(F.col("_cv"), F.col("_qv")).alias("score")))
+                              pair_cosine(F.col("_cv"), F.col("_qv")).alias("score")))
     w = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.asc(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
                   .where(F.col("rank") <= k))
