@@ -105,6 +105,12 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     qrows = sorted(queries.select(qid_col, vec_col).collect(),
                    key=lambda r: r[qid_col])
     qids = [r[qid_col] for r in qrows]
+    if not qids:  # empty query set: the crossJoin form returned empty
+        qid_type = queries.schema[qid_col].dataType
+        return corpus.select(
+            F.lit(None).cast(qid_type).alias(qid_col),
+            F.col(id_col), F.lit(0.0).alias("score"),
+            F.lit(0).alias("rank")).where(F.lit(False))
     qmat = np.array([[float(x) for x in r[vec_col]] for r in qrows],
                     dtype=np.float64)                       # (q, dim)
     nq = len(qids)

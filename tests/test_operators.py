@@ -99,6 +99,18 @@ def test_brute_force_topk(spark, vectors):
     assert top[0]["rank"] == 1 and top[2]["rank"] == 3
 
 
+def test_brute_force_topk_empty_queries(spark, vectors):
+    """The battery form collects the query set at plan time; an empty
+    query set must return an empty frame with the normal schema (the old
+    crossJoin form did this for free)."""
+    from logunifier_spark.operators.similarity import brute_force_topk
+    q = vectors.where("vec_id < 0").select(
+        F.col("vec_id").alias("qid"), "embedding")
+    out = brute_force_topk(vectors, q, k=3)
+    assert out.columns == ["qid", "vec_id", "score", "rank"]
+    assert out.count() == 0
+
+
 def test_lsh_topk_finds_planted_neighbor(spark, vectors):
     from logunifier_spark.operators.similarity import lsh_topk
     q = vectors.where("vec_id = 0").select(
