@@ -1729,6 +1729,22 @@ def q_doc_duplication(spark, sf_dir):
     return doc_duplication_stats(d, gram_len=8, min_docs=2)
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """Corpus-wide paragraph dedup (operators/dedup.py::paragraph_dedup,
+    the CCNet / RefinedWeb line-dedup rule): every normalized paragraph
+    occurring >= 2 times anywhere in the corpus is dropped, documents
+    are rebuilt from the survivors, and each doc reports its paragraph
+    counts plus an md5 of the surviving text. The synthetic corpus has
+    no newline structure, so the entry uses the operator's fixed
+    10-token-window segmentation fallback (same dedup semantics; real
+    web text passes sep='\\n{2,}'). Two map-side-combined shuffles —
+    fingerprint count + per-doc rebuild — never pairwise."""
+    _ship(spark)
+    from logunifier_spark.operators.dedup import paragraph_dedup
+    d = _load(spark, sf_dir, "documents")
+    return paragraph_dedup(d, para_tokens=10, min_dup=2)
+
+
 def q_winnow_fps(spark, sf_dir):
     """Winnowing fingerprint selection (operators/dedup.py::
     winnow_fingerprints, Schleimer et al. 2003 / MOSS): the per-window
@@ -2075,6 +2091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logppl": q_bigram_logppl,
         "assign_splits": q_assign_splits,
         "winnow_fps": q_winnow_fps,
+        "paragraph_dedup": q_paragraph_dedup,
         "cross_doc_grams": q_cross_doc_grams,
         "doc_duplication": q_doc_duplication,
         "bm25_search": q_bm25_search,
@@ -3549,6 +3566,8 @@ def oracle_sql() -> dict[str, str]:
         "bigram_logppl": _do.bigram_logppl_sql(),
         "assign_splits": _do.assign_splits_sql(),
         "winnow_fps": _do.winnow_sql(gram_len=5, window=4),
+        "paragraph_dedup": _do.paragraph_dedup_sql(para_tokens=10,
+                                                   min_dup=2),
         "cross_doc_grams": _do.cross_doc_grams_sql(),
         "doc_duplication": _do.doc_duplication_sql(),
         "bm25_search": _do.bm25_sql(BM25_QUERIES, top_k=10),

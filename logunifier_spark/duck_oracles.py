@@ -1382,6 +1382,48 @@ FROM tot LEFT JOIN fl USING (doc_id)
 """
 
 
+def paragraph_dedup_sql(para_tokens: int = 10, min_dup: int = 2) -> str:
+    """(doc_id, n_paras, n_dropped, clean_chars, clean_md5) of
+    dedup.paragraph_dedup in token-window mode: same trim+lower
+    whitespace split, fixed `para_tokens`-token windows (DuckDB 1-based
+    inclusive list slice truncates past the end exactly like Spark
+    slice), same 48-bit md5-prefix fingerprint, same >= min_dup
+    corpus-count drop rule, kept paragraphs rejoined in order with a
+    single space. string_agg skips the NULLed dup paragraphs (Spark's
+    collect_list skips the CASE NULLs); coalesce('') makes the
+    all-dropped doc hash md5('') in both engines. Sums CAST to BIGINT
+    (DuckDB HUGEINT → float64 via pandas, CLAUDE.md)."""
+    ws = r"'[ \t\r\n\f\x0B]+'"
+    p = para_tokens
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(lower(text)), {ws}) AS t
+  FROM documents
+), fps AS MATERIALIZED (
+  SELECT doc_id, i,
+         array_to_string(t[i*{p} + 1 : i*{p} + {p}], ' ') AS para,
+         CAST(concat('0x', substring(md5(
+             array_to_string(t[i*{p} + 1 : i*{p} + {p}], ' ')), 1, 12))
+           AS BIGINT) AS fp
+  FROM toks,
+       LATERAL (SELECT unnest(range(0,
+           CAST((len(t) + {p - 1}) // {p} AS BIGINT))) AS i) ix
+), counts AS (SELECT fp, count(*) AS c FROM fps GROUP BY 1)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(sum(CASE WHEN c >= {min_dup} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       CAST(len(coalesce(string_agg(
+           CASE WHEN c < {min_dup} THEN para END, ' ' ORDER BY i), ''))
+         AS BIGINT) AS clean_chars,
+       md5(coalesce(string_agg(
+           CASE WHEN c < {min_dup} THEN para END, ' ' ORDER BY i), ''))
+         AS clean_md5
+FROM fps JOIN counts USING (fp)
+GROUP BY doc_id
+"""
+
+
 # ----------------------------------------------------- char entropy ----
 
 def char_entropy_sql(quant: int = 10**6) -> str:

@@ -1054,6 +1054,84 @@ def doc_duplication_stats(docs: DataFrame, gram_len: int = 8,
                                  "AS BIGINT)").alias("dup_ppm")))
 
 
+def paragraph_dedup(docs: DataFrame, para_tokens: int = 10,
+                    min_dup: int = 2, sep: str | None = None,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Corpus-wide paragraph-level dedup (the CCNet / RefinedWeb line
+    dedup: drop every paragraph whose normalized text occurs >= min_dup
+    times ANYWHERE in the corpus — navigation bars, cookie banners,
+    license blocks — and keep the rest of the document). Returns one
+    row per document: (id_col, n_paras BIGINT, n_dropped BIGINT,
+    clean_chars BIGINT, clean_md5) where clean_md5 fingerprints the
+    surviving text (kept paragraphs in original order, single-space
+    joined) so downstream stages can detect no-op docs cheaply.
+
+    Segmentation: `sep` splits normalized text on a real paragraph
+    boundary regex (e.g. '\\n{2,}' for web text). With sep=None the
+    fallback segments into fixed `para_tokens`-token windows — the
+    honest stand-in for corpora (like the synthetic tables) with no
+    newline structure; the dedup semantics are identical either way.
+    Normalization is the family's trim+lower+whitespace-collapse, so a
+    re-spaced clone of a boilerplate paragraph still matches.
+
+    Scale shape: the paragraph stream is the codegen idiom
+    (explode(sequence) + slice/array_join projection, no interpreted
+    HOFs, no Python); exactly two shuffles — the fingerprint-keyed
+    count (map-side combined) and the per-doc rebuild (collect_list is
+    bounded by DOCUMENT length, the multiline-reassembly precedent; the
+    in-order rebuild is a doc-local array_sort+transform, the
+    small-array HOF exception). The stream is localCheckpointed once
+    (referenced by both the count and the join back). The count join
+    stays a shuffled equi-join on the 48-bit fingerprint: unlike
+    doc_duplication_stats' duplicated-gram SET, every paragraph needs
+    its own count, so there is no small side to broadcast — AQE still
+    picks broadcast when the distinct-paragraph frame fits."""
+    from logunifier_spark.operators.stats import kmv_hash
+    if para_tokens < 1:
+        raise ValueError(f"para_tokens must be >= 1, got {para_tokens}")
+    norm = F.trim(F.lower(F.col(text_col)))
+    if sep is not None:
+        paras = (docs.select(
+                     F.col(id_col),
+                     F.posexplode(F.split(norm, sep)).alias("i", "_raw"))
+                     .select(F.col(id_col), F.col("i"),
+                             F.regexp_replace(F.trim(F.col("_raw")),
+                                              ASCII_WS + "+",
+                                              " ").alias("_para")))
+    else:
+        p = para_tokens
+        paras = (docs.select(F.col(id_col),
+                             F.split(norm, ASCII_WS + "+").alias("_t"))
+                     .withColumn("_np", F.expr(
+                         f"CAST((size(_t) + {p - 1}) DIV {p} AS INT)"))
+                     .select(F.col(id_col), "_t",
+                             F.explode(F.sequence(
+                                 F.lit(0), F.col("_np") - 1)).alias("i"))
+                     .select(F.col(id_col), F.col("i"),
+                             F.array_join(
+                                 F.slice("_t", F.col("i") * p + 1, p),
+                                 " ").alias("_para")))
+    paras = paras.withColumn("fp", kmv_hash(F.col("_para")))
+    paras = paras.localCheckpoint(eager=False)
+    counts = paras.groupBy("fp").agg(F.count("*").alias("_c"))
+    flagged = (paras.join(counts, "fp")
+                    .withColumn("_dup", F.col("_c") >= min_dup))
+    clean = F.expr(
+        "array_join(transform(array_sort(collect_list("
+        "CASE WHEN NOT _dup THEN struct(i, _para) END)), "
+        "x -> x._para), ' ')")
+    return (flagged.groupBy(id_col)
+                   .agg(F.count("*").alias("n_paras"),
+                        F.sum(F.when(F.col("_dup"), 1).otherwise(0))
+                         .cast("long").alias("n_dropped"),
+                        clean.alias("_clean"))
+                   .select(F.col(id_col), "n_paras", "n_dropped",
+                           F.length("_clean").cast("long")
+                            .alias("clean_chars"),
+                           F.md5(F.col("_clean")).alias("clean_md5")))
+
+
 def winnow_fingerprints(docs: DataFrame, gram_len: int = 5,
                         window: int = 4, text_col: str = "text",
                         id_col: str = "doc_id") -> DataFrame:

@@ -1561,6 +1561,66 @@ def test_minhash_cap_observation_composes(spark, docs):
     assert a.unionByName(b).count() >= 0
 
 
+def test_paragraph_dedup_matches_python(spark):
+    """Token-window mode against a plain-Python re-implementation of
+    the spec: 3-token windows, corpus-wide count >= 2 drops the
+    paragraph EVERYWHERE (including the first copy), survivors rejoin
+    in order with a single space."""
+    import hashlib
+    import re
+    from collections import Counter
+    from logunifier_spark.operators.dedup import paragraph_dedup
+    texts = {0: "the cookie banner text unique alpha words here now",
+             1: "the cookie banner text other beta words extra",
+             2: "totally distinct document body with nothing shared",
+             3: "tiny"}
+    # doc0/doc1 share their first 3-token window ("the cookie banner")
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id long, text string")
+    P, MIN = 3, 2
+
+    def split_paras(t):
+        ws = re.split(r"[ \t\r\n\f\x0B]+", t.strip().lower())
+        return [" ".join(ws[i * P:i * P + P])
+                for i in range((len(ws) + P - 1) // P)]
+
+    counts = Counter(p for t in texts.values() for p in split_paras(t))
+    expect = {}
+    for i, t in texts.items():
+        paras = split_paras(t)
+        kept = [p for p in paras if counts[p] < MIN]
+        clean = " ".join(kept)
+        expect[i] = (len(paras), len(paras) - len(kept), len(clean),
+                     hashlib.md5(clean.encode()).hexdigest())
+
+    out = paragraph_dedup(df, para_tokens=P, min_dup=MIN).collect()
+    got = {r["doc_id"]: (r["n_paras"], r["n_dropped"], r["clean_chars"],
+                         r["clean_md5"]) for r in out}
+    assert got == expect
+    assert got[0][1] == 1 and got[1][1] == 1  # the shared window dropped
+    assert got[2][1] == 0 and got[3][1] == 0
+
+
+def test_paragraph_dedup_sep_mode(spark):
+    """Separator mode: real paragraph boundaries, shared boilerplate
+    dropped corpus-wide, per-paragraph whitespace normalization makes a
+    re-spaced clone match."""
+    import hashlib
+    from logunifier_spark.operators.dedup import paragraph_dedup
+    rows = [(0, "Subscribe to our list\n\nunique body one"),
+            (1, "subscribe  to   our list\n\nunique body two"),
+            (2, "only original content here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           paragraph_dedup(df, sep=r"\n{2,}", min_dup=2).collect()}
+    assert out[0]["n_paras"] == 2 and out[0]["n_dropped"] == 1
+    assert out[1]["n_dropped"] == 1  # re-spaced clone still matches
+    assert out[0]["clean_md5"] == hashlib.md5(
+        b"unique body one").hexdigest()
+    assert out[2]["n_dropped"] == 0 and out[2]["clean_md5"] == \
+        hashlib.md5(b"only original content here").hexdigest()
+
+
 def test_winnow_fingerprints_match_python(spark):
     import hashlib
     import re
