@@ -1101,7 +1101,12 @@ def paragraph_dedup(docs: DataFrame, para_tokens: int = 10,
                                               " ").alias("_para")))
     else:
         p = para_tokens
-        paras = (docs.select(F.col(id_col),
+        # NULL text must drop the doc (the sep path's posexplode and the
+        # oracle's range(0, NULL) both yield zero rows) — without the
+        # filter, size(NULL) = -1 makes sequence(0, -1) infer step -1
+        # and emit two phantom paragraphs
+        paras = (docs.where(F.col(text_col).isNotNull())
+                     .select(F.col(id_col),
                              F.split(norm, ASCII_WS + "+").alias("_t"))
                      .withColumn("_np", F.expr(
                          f"CAST((size(_t) + {p - 1}) DIV {p} AS INT)"))

@@ -1573,7 +1573,8 @@ def test_paragraph_dedup_matches_python(spark):
     texts = {0: "the cookie banner text unique alpha words here now",
              1: "the cookie banner text other beta words extra",
              2: "totally distinct document body with nothing shared",
-             3: "tiny"}
+             3: "tiny",
+             4: None}  # NULL text drops the doc in both engines
     # doc0/doc1 share their first 3-token window ("the cookie banner")
     df = spark.createDataFrame(list(texts.items()),
                                "doc_id long, text string")
@@ -1584,9 +1585,12 @@ def test_paragraph_dedup_matches_python(spark):
         return [" ".join(ws[i * P:i * P + P])
                 for i in range((len(ws) + P - 1) // P)]
 
-    counts = Counter(p for t in texts.values() for p in split_paras(t))
+    counts = Counter(p for t in texts.values() if t is not None
+                     for p in split_paras(t))
     expect = {}
     for i, t in texts.items():
+        if t is None:
+            continue
         paras = split_paras(t)
         kept = [p for p in paras if counts[p] < MIN]
         clean = " ".join(kept)
