@@ -1729,6 +1729,19 @@ def q_doc_duplication(spark, sf_dir):
     return doc_duplication_stats(d, gram_len=8, min_docs=2)
 
 
+def q_dup_runs(spark, sf_dir):
+    """Longest duplicated substring per document (operators/dedup.py::
+    longest_dup_run, the Lee et al. 2022 dedup-analysis metric): the
+    longest run of consecutive 8-token windows shared verbatim with
+    >= 2 distinct docs certifies a duplicated substring of run+7
+    tokens. Gaps-and-islands over the shared gram stream — one per-doc
+    window function, never pairwise."""
+    _ship(spark)
+    from logunifier_spark.operators.dedup import longest_dup_run
+    d = _load(spark, sf_dir, "documents")
+    return longest_dup_run(d, gram_len=8, min_docs=2)
+
+
 def q_paragraph_dedup(spark, sf_dir):
     """Corpus-wide paragraph dedup (operators/dedup.py::paragraph_dedup,
     the CCNet / RefinedWeb line-dedup rule): every normalized paragraph
@@ -2092,6 +2105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assign_splits": q_assign_splits,
         "winnow_fps": q_winnow_fps,
         "paragraph_dedup": q_paragraph_dedup,
+        "dup_runs": q_dup_runs,
         "cross_doc_grams": q_cross_doc_grams,
         "doc_duplication": q_doc_duplication,
         "bm25_search": q_bm25_search,
@@ -3568,6 +3582,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fps": _do.winnow_sql(gram_len=5, window=4),
         "paragraph_dedup": _do.paragraph_dedup_sql(para_tokens=10,
                                                    min_dup=2),
+        "dup_runs": _do.longest_dup_run_sql(gram_len=8, min_docs=2),
         "cross_doc_grams": _do.cross_doc_grams_sql(),
         "doc_duplication": _do.doc_duplication_sql(),
         "bm25_search": _do.bm25_sql(BM25_QUERIES, top_k=10),

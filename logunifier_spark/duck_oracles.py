@@ -1382,6 +1382,46 @@ FROM tot LEFT JOIN fl USING (doc_id)
 """
 
 
+def longest_dup_run_sql(gram_len: int = 8, min_docs: int = 2) -> str:
+    """(doc_id, n_grams, longest_run, longest_dup_tokens) of
+    dedup.longest_dup_run — same gram stream as the cross-doc oracles
+    but carrying the window position, duplicated set by distinct-doc
+    count, run length by the same gaps-and-islands rewrite (pos minus
+    per-doc row_number is constant within a consecutive run)."""
+    ws = r"'[ \t\r\n\f\x0B]+'"
+    return f"""
+WITH grams AS MATERIALIZED (
+  SELECT doc_id, i AS pos,
+         CAST(concat('0x', substring(md5(
+             array_to_string(w[i : i + {gram_len} - 1], ' ')), 1, 12))
+           AS BIGINT) AS h
+  FROM (SELECT doc_id,
+               string_split_regex(trim(lower(text)), {ws}) AS w
+        FROM documents) t,
+       LATERAL (SELECT unnest(range(1, len(w) - {gram_len} + 2)) AS i) ix
+  WHERE len(w) >= {gram_len}),
+dup AS (SELECT h FROM grams GROUP BY 1
+        HAVING count(DISTINCT doc_id) >= {min_docs}),
+marked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+  FROM grams JOIN dup USING (h)),
+runs AS (
+  SELECT doc_id, CAST(max(cnt) AS BIGINT) AS longest_run
+  FROM (SELECT doc_id, pos - rn AS isl, count(*) AS cnt
+        FROM marked GROUP BY doc_id, isl)
+  GROUP BY doc_id),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+        FROM grams GROUP BY 1)
+SELECT doc_id, n_grams,
+       coalesce(longest_run, CAST(0 AS BIGINT)) AS longest_run,
+       CAST(CASE WHEN coalesce(longest_run, 0) > 0
+                 THEN longest_run + {gram_len - 1} ELSE 0 END AS BIGINT)
+         AS longest_dup_tokens
+FROM tot LEFT JOIN runs USING (doc_id)
+"""
+
+
 def paragraph_dedup_sql(para_tokens: int = 10, min_dup: int = 2) -> str:
     """(doc_id, n_paras, n_dropped, clean_chars, clean_md5) of
     dedup.paragraph_dedup in token-window mode: same trim+lower

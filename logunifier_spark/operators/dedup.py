@@ -1054,6 +1054,55 @@ def doc_duplication_stats(docs: DataFrame, gram_len: int = 8,
                                  "AS BIGINT)").alias("dup_ppm")))
 
 
+def longest_dup_run(docs: DataFrame, gram_len: int = 8, min_docs: int = 2,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Longest duplicated substring per document (the Lee et al. 2022
+    dedup-analysis metric): the longest run of CONSECUTIVE
+    `gram_len`-token windows each shared verbatim with >= `min_docs`
+    distinct documents — a run of r consecutive duplicated windows
+    certifies a duplicated substring of r + gram_len - 1 tokens.
+    Returns (id_col, n_grams, longest_run BIGINT, longest_dup_tokens
+    BIGINT), 0/0 for clean documents; docs shorter than gram_len
+    produce no row (no window exists — the family convention).
+
+    Scale shape: the gram stream is the shared codegen projection
+    (localCheckpointed once — referenced by the dup-set aggregate, the
+    semi-join, and the totals); the duplicated-fingerprint SET is a
+    map-side-combined aggregate left-semi joined back (much smaller
+    than the stream; AQE broadcasts it when it fits — the
+    doc_duplication_stats shape); the run length is the classic
+    gaps-and-islands rewrite — ONE window function partitioned per
+    DOCUMENT ordered by pos (doc-bounded sort, the winnowing
+    precedent), never a corpus-scale sort — followed by two hash
+    aggregates."""
+    from pyspark.sql import Window
+    grams = _window_fingerprints(docs, gram_len, text_col, id_col,
+                                 with_pos=True)
+    grams = grams.localCheckpoint(eager=False)
+    dup = (grams.groupBy("gram_hash")
+                .agg(F.countDistinct(id_col).alias("_nd"))
+                .where(F.col("_nd") >= min_docs)
+                .select("gram_hash"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = (grams.join(dup, "gram_hash", "left_semi")
+                 .withColumn("_isl", F.col("pos") - F.row_number().over(w))
+                 .groupBy(id_col, "_isl")
+                 .agg(F.count("*").alias("_run"))
+                 .groupBy(id_col)
+                 .agg(F.max("_run").alias("longest_run")))
+    totals = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    return (totals.join(runs, id_col, "left")
+                  .na.fill({"longest_run": 0})
+                  .select(F.col(id_col), "n_grams",
+                          F.col("longest_run").cast("long")
+                           .alias("longest_run"),
+                          F.when(F.col("longest_run") > 0,
+                                 F.col("longest_run") + (gram_len - 1))
+                           .otherwise(F.lit(0)).cast("long")
+                           .alias("longest_dup_tokens")))
+
+
 def paragraph_dedup(docs: DataFrame, para_tokens: int = 10,
                     min_dup: int = 2, sep: str | None = None,
                     text_col: str = "text",

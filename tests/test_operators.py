@@ -1561,6 +1561,56 @@ def test_minhash_cap_observation_composes(spark, docs):
     assert a.unionByName(b).count() >= 0
 
 
+def test_longest_dup_run_matches_python(spark):
+    """Gaps-and-islands vs a plain-Python reference: docs 0 and 1 share
+    an 11-token prefix → with G=8 that is 4 consecutive duplicated
+    windows → longest_dup_tokens = 4 + 7 = 11; doc 2 shares nothing;
+    doc 3 is shorter than G (no row); doc 4 duplicates doc 0 entirely."""
+    import re
+    from collections import Counter
+    from logunifier_spark.operators.dedup import longest_dup_run
+    shared = "a b c d e f g h i j k"          # 11 tokens
+    texts = {0: shared + " zero only tail words here",
+             1: shared + " completely different ending tokens now",
+             2: "nothing in common with anybody at all in this doc",
+             3: "too short",
+             4: shared + " zero only tail words here"}  # exact clone of 0
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id long, text string")
+    G, MIN = 8, 2
+
+    def windows(t):
+        ws = re.split(r"[ \t\r\n\f\x0B]+", t.strip().lower())
+        if len(ws) < G:
+            return []
+        return [" ".join(ws[i:i + G]) for i in range(len(ws) - G + 1)]
+
+    counts = Counter()
+    for t in texts.values():
+        for w in set(windows(t)):
+            counts[w] += 1  # distinct docs per window
+    expect = {}
+    for i, t in texts.items():
+        wins = windows(t)
+        if not wins:
+            continue
+        marked = [counts[w] >= MIN for w in wins]
+        best = run = 0
+        for m in marked:
+            run = run + 1 if m else 0
+            best = max(best, run)
+        expect[i] = (len(wins), best, best + G - 1 if best else 0)
+
+    got = {r["doc_id"]: (r["n_grams"], r["longest_run"],
+                         r["longest_dup_tokens"])
+           for r in longest_dup_run(df, gram_len=G, min_docs=MIN).collect()}
+    assert got == expect
+    assert got[1][2] == 11      # the planted 11-token shared prefix
+    assert got[2][1] == 0 and got[2][2] == 0
+    assert 3 not in got          # shorter than gram_len: no row
+    assert got[0][1] == got[0][0]  # full clone: every window duplicated
+
+
 def test_paragraph_dedup_matches_python(spark):
     """Token-window mode against a plain-Python re-implementation of
     the spec: 3-token windows, corpus-wide count >= 2 drops the
