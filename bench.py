@@ -107,14 +107,18 @@ def operator_benches(spark, sf_dir: str) -> dict[str, float]:
                  "bpe_train", "session_paths",
                  # round-4 additions: the de-scale-killed dataset card
                  # (skew-safe quantiles) and DSIR selection
-                 "corpus_report", "dsir_weights"]:
+                 "corpus_report", "dsir_weights",
+                 # round-5 additions: CCNet paragraph dedup and the
+                 # Lee-et-al longest-dup-substring islands pass
+                 "paragraph_dedup", "dup_runs"]:
         fn = entry.queries()[name]
         # min of 3 (shared noisy box — same rationale as the headline);
         # the multi-second rows get min-of-2 to bound total bench wall
         # time now that the row set has grown to 22
         slow = name in {"minhash_dedup", "bm25_search", "repeated_ngrams",
                         "embedding_neardup", "user_pagerank", "pq_encode",
-                        "ann_ivfpq", "bpe_train"}
+                        "ann_ivfpq", "bpe_train", "paragraph_dedup",
+                        "dup_runs"}
         trials = 2 if slow else 3
         out[name] = min(_timed(lambda f=fn: f(spark, sf_dir).collect())
                         for _ in range(trials))

@@ -1675,6 +1675,46 @@ def test_paragraph_dedup_sep_mode(spark):
         hashlib.md5(b"only original content here").hexdigest()
 
 
+def test_paragraph_dedup_fuzz_random_corpora(spark):
+    """Seeded fuzz (the blocked_fuzzy_pairs pattern): tiny-vocabulary
+    random corpora force plenty of duplicated windows; random
+    para_tokens / min_dup; always equals the plain-Python reference."""
+    import hashlib
+    import random
+    from collections import Counter
+    from logunifier_spark.operators.dedup import paragraph_dedup
+    rng = random.Random(11)
+    for case in range(4):
+        P = rng.randint(1, 4)
+        MIN = rng.randint(2, 3)
+        vocab = ["aa", "bb", "cc"]
+        texts = {i: " ".join(rng.choice(vocab)
+                             for _ in range(rng.randint(1, 17)))
+                 for i in range(rng.randint(3, 12))}
+
+        def split_paras(t):
+            ws = t.split(" ")
+            return [" ".join(ws[i * P:i * P + P])
+                    for i in range((len(ws) + P - 1) // P)]
+
+        counts = Counter(p for t in texts.values() for p in split_paras(t))
+        expect = {}
+        for i, t in texts.items():
+            paras = split_paras(t)
+            kept = [p for p in paras if counts[p] < MIN]
+            clean = " ".join(kept)
+            expect[i] = (len(paras), len(paras) - len(kept), len(clean),
+                         hashlib.md5(clean.encode()).hexdigest())
+
+        df = spark.createDataFrame(list(texts.items()),
+                                   "doc_id long, text string")
+        got = {r["doc_id"]: (r["n_paras"], r["n_dropped"],
+                             r["clean_chars"], r["clean_md5"])
+               for r in paragraph_dedup(df, para_tokens=P,
+                                        min_dup=MIN).collect()}
+        assert got == expect, (case, P, MIN)
+
+
 def test_winnow_fingerprints_match_python(spark):
     import hashlib
     import re
