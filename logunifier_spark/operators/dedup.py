@@ -1024,6 +1024,27 @@ def cross_doc_grams(docs: DataFrame, gram_len: int = 8, min_docs: int = 2,
                  .where(F.col("n_docs") >= min_docs))
 
 
+def _dup_marked_grams(docs: DataFrame, gram_len: int, min_docs: int,
+                      text_col: str, id_col: str,
+                      with_pos: bool = False):
+    """(grams, marked) — THE shared cross-doc duplication scaffold
+    (doc_duplication_stats, longest_dup_run): the localCheckpointed
+    gram stream (referenced by the dup-set aggregate, the mark join,
+    and the caller's totals), the duplicated-fingerprint SET
+    (countDistinct >= min_docs — map-side combined, much smaller than
+    the stream), and the left-semi mark join (AQE broadcasts the set
+    when it fits). One place to change the dup rule or the checkpoint
+    policy for both oracled operators."""
+    grams = _window_fingerprints(docs, gram_len, text_col, id_col,
+                                 with_pos=with_pos)
+    grams = grams.localCheckpoint(eager=False)
+    dup = (grams.groupBy("gram_hash")
+                .agg(F.countDistinct(id_col).alias("_nd"))
+                .where(F.col("_nd") >= min_docs)
+                .select("gram_hash"))
+    return grams, grams.join(dup, "gram_hash", "left_semi")
+
+
 def doc_duplication_stats(docs: DataFrame, gram_len: int = 8,
                           min_docs: int = 2, text_col: str = "text",
                           id_col: str = "doc_id") -> DataFrame:
@@ -1036,16 +1057,9 @@ def doc_duplication_stats(docs: DataFrame, gram_len: int = 8,
     gram_len produce no row. One extra equi-join on the fingerprint
     against the (already aggregated, much smaller) duplicated-gram set;
     AQE broadcasts it when it fits."""
-    grams = _window_fingerprints(docs, gram_len, text_col, id_col)
-    # referenced twice (dup-set aggregate + per-doc join) — one compute
-    grams = grams.localCheckpoint(eager=False)
-    dup = (grams.groupBy("gram_hash")
-                .agg(F.countDistinct(id_col).alias("_nd"))
-                .where(F.col("_nd") >= min_docs)
-                .select("gram_hash"))
-    flagged = (grams.join(dup, "gram_hash", "left_semi")
-                    .groupBy(id_col)
-                    .agg(F.count("*").alias("n_dup_grams")))
+    grams, marked = _dup_marked_grams(docs, gram_len, min_docs,
+                                      text_col, id_col)
+    flagged = marked.groupBy(id_col).agg(F.count("*").alias("n_dup_grams"))
     totals = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
     return (totals.join(flagged, id_col, "left")
                   .na.fill({"n_dup_grams": 0})
@@ -1077,15 +1091,10 @@ def longest_dup_run(docs: DataFrame, gram_len: int = 8, min_docs: int = 2,
     precedent), never a corpus-scale sort — followed by two hash
     aggregates."""
     from pyspark.sql import Window
-    grams = _window_fingerprints(docs, gram_len, text_col, id_col,
-                                 with_pos=True)
-    grams = grams.localCheckpoint(eager=False)
-    dup = (grams.groupBy("gram_hash")
-                .agg(F.countDistinct(id_col).alias("_nd"))
-                .where(F.col("_nd") >= min_docs)
-                .select("gram_hash"))
+    grams, marked = _dup_marked_grams(docs, gram_len, min_docs,
+                                      text_col, id_col, with_pos=True)
     w = Window.partitionBy(id_col).orderBy("pos")
-    runs = (grams.join(dup, "gram_hash", "left_semi")
+    runs = (marked
                  .withColumn("_isl", F.col("pos") - F.row_number().over(w))
                  .groupBy(id_col, "_isl")
                  .agg(F.count("*").alias("_run"))
@@ -1117,12 +1126,16 @@ def paragraph_dedup(docs: DataFrame, para_tokens: int = 10,
     joined) so downstream stages can detect no-op docs cheaply.
 
     Segmentation: `sep` splits normalized text on a real paragraph
-    boundary regex (e.g. '\\n{2,}' for web text). With sep=None the
+    boundary regex (e.g. '\\n{2,}' for web text); empty paragraphs
+    (blank lines, leading/trailing separators) are skipped, as CCNet's
+    line dedup skips empty lines — a doc whose every paragraph is
+    empty (or whose text is NULL) produces no row. With sep=None the
     fallback segments into fixed `para_tokens`-token windows — the
     honest stand-in for corpora (like the synthetic tables) with no
     newline structure; the dedup semantics are identical either way.
-    Normalization is the family's trim+lower+whitespace-collapse, so a
-    re-spaced clone of a boilerplate paragraph still matches.
+    Normalization is the family's lower+whitespace-collapse+trim
+    (collapse BEFORE trim — see the sep branch), so a re-spaced or
+    tab-indented clone of a boilerplate paragraph still matches.
 
     Scale shape: the paragraph stream is the codegen idiom
     (explode(sequence) + slice/array_join projection, no interpreted
@@ -1141,13 +1154,20 @@ def paragraph_dedup(docs: DataFrame, para_tokens: int = 10,
         raise ValueError(f"para_tokens must be >= 1, got {para_tokens}")
     norm = F.trim(F.lower(F.col(text_col)))
     if sep is not None:
+        # collapse BEFORE trim: F.trim strips only spaces, so a
+        # tab/newline-edged paragraph must first have its whitespace
+        # collapsed to spaces or the edge survives as ' para' and the
+        # re-spaced-clone match breaks. Empty paragraphs (leading/
+        # trailing separators, blank lines) are skipped — CCNet line
+        # dedup ignores empty lines; an all-empty doc produces no row.
         paras = (docs.select(
                      F.col(id_col),
                      F.posexplode(F.split(norm, sep)).alias("i", "_raw"))
                      .select(F.col(id_col), F.col("i"),
-                             F.regexp_replace(F.trim(F.col("_raw")),
-                                              ASCII_WS + "+",
-                                              " ").alias("_para")))
+                             F.trim(F.regexp_replace(F.col("_raw"),
+                                                     ASCII_WS + "+",
+                                                     " ")).alias("_para"))
+                     .where(F.col("_para") != ""))
     else:
         p = para_tokens
         # NULL text must drop the doc (the sep path's posexplode and the

@@ -44,34 +44,96 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b) + F.lit(1e-12))
 
 
+def _vec_lengths(v: pd.Series) -> np.ndarray:
+    """Per-row vector lengths; -1 for SQL NULL rows."""
+    return np.fromiter(((-1 if x is None else len(x)) for x in v),
+                       dtype=np.int64, count=len(v))
+
+
+def _index_order_dots(v: pd.Series, cmat: np.ndarray):
+    """THE shared battery recurrence for every cosine kernel in this
+    module: (dots (n,k), vnorm2 (n,), valid (n,) bool) where dots/vnorm2
+    accumulate one dimension at a time in index order — exactly the
+    `dot`/`norm` F.aggregate recurrence in float64, vectorized ACROSS
+    batch rows — so scores (including near-zero sign decisions and tie
+    breaks) stay bit-identical to the Column forms and the DuckDB
+    oracles' list_sum spec. Rows that are NULL or whose length differs
+    from cmat's dim are flagged invalid (the zip_with forms padded with
+    null and produced a NULL score); callers must mask them to None."""
+    n = len(v)
+    k, dim = cmat.shape
+    valid = _vec_lengths(v) == dim
+    dots = np.zeros((n, k))
+    vn = np.zeros(n)
+    idx = np.flatnonzero(valid)
+    if idx.size:
+        mat = np.stack([np.asarray(v.iloc[i], dtype=np.float64)
+                        for i in idx])
+        d = np.zeros((len(idx), k))
+        nv = np.zeros(len(idx))
+        for i in range(dim):   # index order == the fold's order
+            d = d + mat[:, i:i + 1] * cmat[:, i][None, :]
+            nv = nv + mat[:, i] * mat[:, i]
+        dots[idx] = d
+        vn[idx] = nv
+    return dots, vn, valid
+
+
+def _index_order_norm2(cmat: np.ndarray) -> np.ndarray:
+    """Squared norms of the constant matrix's rows, accumulated in the
+    same per-dimension index order as `_index_order_dots`."""
+    nc = np.zeros(cmat.shape[0])
+    for i in range(cmat.shape[1]):
+        nc = nc + cmat[:, i] * cmat[:, i]
+    return nc
+
+
+def _masked(vals: np.ndarray, valid: np.ndarray) -> pd.Series:
+    """Scalar kernel results with invalid rows as SQL NULL (object
+    dtype — float64 NaN is NOT null, and Spark sorts NaN as the
+    LARGEST double, which would poison a desc top-k window)."""
+    out = vals.astype(object)
+    out[~valid] = None
+    return pd.Series(out)
+
+
 def pair_cosine(a: Column, b: Column) -> Column:
     """Arrow-batched cosine over joined (vec, vec) pair columns —
     BIT-IDENTICAL to the interpreted `cosine` fold (and therefore to
-    the DuckDB oracles' list_sum spec): the accumulation runs one
-    dimension at a time in index order (acc = acc + x_i*y_i in
-    float64, exactly the F.aggregate recurrence), vectorized ACROSS
-    the batch rows instead of along the vector — dim numpy ops per
-    batch instead of n*dim interpreted lambda calls. The HOF fold
-    measured ~50 µs/element (CLAUDE.md); on the sf0.1 brute-force
-    battery this kernel is ~6x end-to-end. Same shape as the pq.py /
-    kmeans.py large-k lesson: vector batteries belong in numpy. The
-    UDF is built at CALL time — a module-level @pandas_udf parses its
-    DDL type against the active SparkContext at import (crashes
-    sessionless imports, the verify-skill gotcha)."""
+    the DuckDB oracles' list_sum spec): the `_index_order_dots`
+    recurrence, grouped by pair length so mixed-dimension batches still
+    compute every well-formed pair (zip_with semantics: a NULL vector
+    or a length mismatch yields a NULL score). The HOF fold measured
+    ~50 µs/element (CLAUDE.md); on the sf0.1 brute-force battery this
+    kernel is ~6x end-to-end. Same shape as the pq.py / kmeans.py
+    large-k lesson: vector batteries belong in numpy. The UDF is built
+    at CALL time — a module-level @pandas_udf parses its DDL type
+    against the active SparkContext at import (crashes sessionless
+    imports, the verify-skill gotcha)."""
     @pandas_udf("double")
     def _kernel(x: pd.Series, y: pd.Series) -> pd.Series:
-        if len(x) == 0:
+        n = len(x)
+        if n == 0:
             return pd.Series([], dtype="float64")
-        va = np.stack([np.asarray(v, dtype=np.float64) for v in x])
-        vb = np.stack([np.asarray(v, dtype=np.float64) for v in y])
-        dot_ = np.zeros(len(va))
-        na = np.zeros(len(va))
-        nb = np.zeros(len(va))
-        for i in range(va.shape[1]):   # index order == the fold's order
-            dot_ = dot_ + va[:, i] * vb[:, i]
-            na = na + va[:, i] * va[:, i]
-            nb = nb + vb[:, i] * vb[:, i]
-        return pd.Series(dot_ / (np.sqrt(na) * np.sqrt(nb) + 1e-12))
+        lx, ly = _vec_lengths(x), _vec_lengths(y)
+        valid = (lx >= 0) & (lx == ly)
+        out = np.empty(n, dtype=object)
+        out[:] = None
+        for length in np.unique(lx[valid]):
+            idx = np.flatnonzero(valid & (lx == length))
+            va = np.stack([np.asarray(x.iloc[i], dtype=np.float64)
+                           for i in idx])
+            vb = np.stack([np.asarray(y.iloc[i], dtype=np.float64)
+                           for i in idx])
+            dot_ = np.zeros(len(idx))
+            na = np.zeros(len(idx))
+            nb = np.zeros(len(idx))
+            for i in range(int(length)):  # index order == the fold's
+                dot_ = dot_ + va[:, i] * vb[:, i]
+                na = na + va[:, i] * va[:, i]
+                nb = nb + vb[:, i] * vb[:, i]
+            out[idx] = dot_ / (np.sqrt(na) * np.sqrt(nb) + 1e-12)
+        return pd.Series(out)
 
     return _kernel(a, b)
 
@@ -98,46 +160,49 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     the interleaved A/B (~0.9 vs ~0.56 s); the win shows where it
     matters — ann_recall (battery + numpy bucketing) 1.5→0.5 s and at
     any corpus size where per-pair work dominates. Scores are
-    bit-identical to the `cosine` fold (per-dimension index-order
-    accumulation in float64, vectorized across batch rows ×
-    queries)."""
+    bit-identical to the `cosine` fold (the shared `_index_order_dots`
+    recurrence). Query rows with a NULL qid or NULL embedding are
+    DROPPED (the crossJoin form emitted a null-scored partition for
+    them — garbage either way); corpus rows with a NULL or
+    wrong-dimension embedding score NULL per query and fall out of the
+    rank window, exactly like the zip_with form."""
     from logunifier_spark.operators.dedup import fan_out
-    qrows = sorted(queries.select(qid_col, vec_col).collect(),
+    qid_type = queries.schema[qid_col].dataType
+    qrows = sorted(queries.select(qid_col, vec_col)
+                          .where(F.col(qid_col).isNotNull() &
+                                 F.col(vec_col).isNotNull())
+                          .collect(),
                    key=lambda r: r[qid_col])
     qids = [r[qid_col] for r in qrows]
     if not qids:  # empty query set: the crossJoin form returned empty
-        qid_type = queries.schema[qid_col].dataType
         return corpus.select(
             F.lit(None).cast(qid_type).alias(qid_col),
             F.col(id_col), F.lit(0.0).alias("score"),
             F.lit(0).alias("rank")).where(F.lit(False))
     qmat = np.array([[float(x) for x in r[vec_col]] for r in qrows],
                     dtype=np.float64)                       # (q, dim)
-    nq = len(qids)
 
     @pandas_udf("array<double>")
     def _battery(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype="object")
-        mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
-        dot_ = np.zeros((len(mat), nq))
-        nv = np.zeros(len(mat))
-        nc = np.zeros(nq)
-        for i in range(qmat.shape[1]):  # index order == the fold's
-            dot_ = dot_ + mat[:, i:i + 1] * qmat[:, i][None, :]
-            nv = nv + mat[:, i] * mat[:, i]
-            nc = nc + qmat[:, i] * qmat[:, i]
-        scores = dot_ / (np.sqrt(nv)[:, None] * np.sqrt(nc)[None, :] + 1e-12)
-        return pd.Series(list(scores))
+        dots, nv, valid = _index_order_dots(v, qmat)
+        nc = _index_order_norm2(qmat)
+        scores = dots / (np.sqrt(nv)[:, None] * np.sqrt(nc)[None, :] + 1e-12)
+        return pd.Series([scores[i] if valid[i] else None
+                          for i in range(len(v))])
 
     # UDF in its own projection; the posexplode runs in a SEPARATE
     # select (ExtractPythonUDFs cannot place a UDF inside a Generate
     # node — CLAUDE.md)
     c = fan_out(corpus).select(F.col(id_col),
                                _battery(F.col(vec_col)).alias("_s"))
+    # cast: F.lit of small Python ints is IntegerType — the output qid
+    # must carry the QUERY frame's type regardless of row count/values
     qid_arr = F.array(*[F.lit(q) for q in qids])
     scored = (c.select(id_col, F.posexplode("_s").alias("_p", "score"))
-               .select(F.element_at(qid_arr, F.col("_p") + 1).alias(qid_col),
+               .select(F.element_at(qid_arr, F.col("_p") + 1)
+                        .cast(qid_type).alias(qid_col),
                        F.col(id_col), F.col("score")))
     w = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.asc(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -164,20 +229,19 @@ def hyperplane_bucket(vec: Column, dim: int, n_bits: int = 12) -> Column:
     is bit-identical to the `dot` Column form and to the oracle's
     list_sum: a matmul's pairwise summation could flip it. n_bits
     interpreted folds per row were the dominant cost of lsh_topk at
-    sf0.1 (the pq.py lesson again)."""
+    sf0.1 (the pq.py lesson again). NULL / wrong-dimension vectors get
+    a NULL bucket (the fold form scored them null → null bucket) and
+    drop out of the equi-join."""
     planes = np.array([_hyperplane(dim, b) for b in range(n_bits)],
-                      dtype=np.float64).T           # (dim, n_bits)
+                      dtype=np.float64)             # (n_bits, dim)
     weights = (1 << np.arange(n_bits)).astype(np.int64)
 
     @pandas_udf("long")
     def _bucket(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype="int64")
-        mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
-        acc = np.zeros((len(mat), planes.shape[1]))
-        for i in range(planes.shape[0]):   # index order == the fold's
-            acc = acc + mat[:, i:i + 1] * planes[i:i + 1, :]
-        return pd.Series((acc >= 0).astype(np.int64) @ weights)
+        dots, _, valid = _index_order_dots(v, planes)
+        return _masked((dots >= 0).astype(np.int64) @ weights, valid)
 
     return _bucket(vec)
 
@@ -238,7 +302,9 @@ def _argmax_cell(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
     dot/(norm*norm + 1e-12) expression shape), and ties pick the
     LARGER cid (struct comparison was lexicographic on (score, cid)) —
     the reversed-argmax picks the last maximum. Still a pure
-    projection: centroids ride into the UDF closure, NO shuffle."""
+    projection: centroids ride into the UDF closure, NO shuffle.
+    NULL / wrong-dimension vectors get a NULL cid and drop out of the
+    probe equi-join."""
     cids = [cid for cid, _ in cents]
     assert cids == list(range(len(cents))), "cid must equal list index"
     cmat = np.array([cv for _, cv in cents], dtype=np.float64)  # (k, dim)
@@ -248,18 +314,12 @@ def _argmax_cell(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
     def _assign(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype="int32")
-        mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
-        dot_ = np.zeros((len(mat), k))
-        nv = np.zeros(len(mat))
-        nc = np.zeros(k)
-        for i in range(cmat.shape[1]):  # index order == the fold's
-            dot_ = dot_ + mat[:, i:i + 1] * cmat[:, i][None, :]
-            nv = nv + mat[:, i] * mat[:, i]
-            nc = nc + cmat[:, i] * cmat[:, i]
-        scores = dot_ / (np.sqrt(nv)[:, None] * np.sqrt(nc)[None, :] + 1e-12)
+        dots, nv, valid = _index_order_dots(v, cmat)
+        nc = _index_order_norm2(cmat)
+        scores = dots / (np.sqrt(nv)[:, None] * np.sqrt(nc)[None, :] + 1e-12)
         # ties -> larger cid: argmax returns the FIRST max, so reverse
         best = (k - 1) - np.argmax(scores[:, ::-1], axis=1)
-        return pd.Series(best.astype(np.int32))
+        return _masked(best.astype(np.int32), valid)
 
     return _assign(vec)
 

@@ -111,6 +111,34 @@ def test_brute_force_topk_empty_queries(spark, vectors):
     assert out.count() == 0
 
 
+def test_ann_kernels_null_and_ragged_vectors(spark, vectors):
+    """NULL / wrong-dimension vectors must degrade like the zip_with
+    Column forms they replaced (NULL score/bucket/cid → row falls out
+    of the join or rank window), never crash the kernel; NULL-qid and
+    NULL-embedding query rows are dropped."""
+    from logunifier_spark.operators.similarity import (
+        brute_force_topk, lsh_topk, ivf_topk)
+    bad = spark.createDataFrame(
+        [(100, None), (101, [0.5] * 7)],
+        "vec_id long, embedding array<float>")
+    corpus = vectors.unionByName(bad)
+    q = vectors.where("vec_id = 0").select(
+        F.col("vec_id").alias("qid"), "embedding")
+    top = brute_force_topk(corpus, q, k=25).collect()
+    ids = {r["vec_id"] for r in top}
+    assert 100 not in ids and 101 not in ids and 0 in ids
+    assert len(top) == 20  # the 20 well-formed vectors, nulls absent
+    assert dict(top[0].asDict())["qid"] == 0
+    assert lsh_topk(corpus, q, dim=16, k=3, n_bits=8).count() > 0
+    assert ivf_topk(corpus, q, k=3, n_centroids=4, nprobe=4).count() > 0
+    # NULL qid / NULL embedding query rows are dropped, not crashed on
+    badq = spark.createDataFrame([(None, [0.1] * 16), (7, None)],
+                                 "qid long, embedding array<float>")
+    assert brute_force_topk(vectors, badq, k=3).count() == 0
+    # qid keeps the query frame's long type on the non-empty path
+    assert dict(brute_force_topk(vectors, q, k=1).dtypes)["qid"] == "bigint"
+
+
 def test_lsh_topk_finds_planted_neighbor(spark, vectors):
     from logunifier_spark.operators.similarity import lsh_topk
     q = vectors.where("vec_id = 0").select(
@@ -1657,22 +1685,28 @@ def test_paragraph_dedup_matches_python(spark):
 
 def test_paragraph_dedup_sep_mode(spark):
     """Separator mode: real paragraph boundaries, shared boilerplate
-    dropped corpus-wide, per-paragraph whitespace normalization makes a
-    re-spaced clone match."""
+    dropped corpus-wide, per-paragraph whitespace normalization makes
+    re-spaced AND tab-indented clones match (collapse-before-trim),
+    empty paragraphs from trailing separators are skipped."""
     import hashlib
     from logunifier_spark.operators.dedup import paragraph_dedup
-    rows = [(0, "Subscribe to our list\n\nunique body one"),
+    rows = [(0, "Subscribe to our list\n\nunique body one\n\n"),
             (1, "subscribe  to   our list\n\nunique body two"),
-            (2, "only original content here")]
+            (2, "only original content here"),
+            (3, "\tSubscribe to our list \n\nunique body three"),
+            (4, "\n\n\n\n")]  # all-empty: no row
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r for r in
            paragraph_dedup(df, sep=r"\n{2,}", min_dup=2).collect()}
+    # doc 0's trailing separator adds no empty paragraph
     assert out[0]["n_paras"] == 2 and out[0]["n_dropped"] == 1
     assert out[1]["n_dropped"] == 1  # re-spaced clone still matches
+    assert out[3]["n_dropped"] == 1  # tab-indented clone still matches
     assert out[0]["clean_md5"] == hashlib.md5(
         b"unique body one").hexdigest()
     assert out[2]["n_dropped"] == 0 and out[2]["clean_md5"] == \
         hashlib.md5(b"only original content here").hexdigest()
+    assert 4 not in out
 
 
 def test_paragraph_dedup_fuzz_random_corpora(spark):
