@@ -91,7 +91,11 @@ def _index_order_norm2(cmat: np.ndarray) -> np.ndarray:
 def _masked(vals: np.ndarray, valid: np.ndarray) -> pd.Series:
     """Scalar kernel results with invalid rows as SQL NULL (object
     dtype — float64 NaN is NOT null, and Spark sorts NaN as the
-    LARGEST double, which would poison a desc top-k window)."""
+    LARGEST double, which would poison a desc top-k window). The
+    all-valid batch — the only case on a well-formed corpus — keeps
+    the numeric dtype: object arrays cross Arrow element-by-element."""
+    if valid.all():
+        return pd.Series(vals)
     out = vals.astype(object)
     out[~valid] = None
     return pd.Series(out)
@@ -132,7 +136,10 @@ def pair_cosine(a: Column, b: Column) -> Column:
                 dot_ = dot_ + va[:, i] * vb[:, i]
                 na = na + va[:, i] * va[:, i]
                 nb = nb + vb[:, i] * vb[:, i]
-            out[idx] = dot_ / (np.sqrt(na) * np.sqrt(nb) + 1e-12)
+            vals = dot_ / (np.sqrt(na) * np.sqrt(nb) + 1e-12)
+            if len(idx) == n:     # all-valid single-dim batch: keep the
+                return pd.Series(vals)  # numeric dtype through Arrow
+            out[idx] = vals
         return pd.Series(out)
 
     return _kernel(a, b)
@@ -189,6 +196,8 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         dots, nv, valid = _index_order_dots(v, qmat)
         nc = _index_order_norm2(qmat)
         scores = dots / (np.sqrt(nv)[:, None] * np.sqrt(nc)[None, :] + 1e-12)
+        if valid.all():
+            return pd.Series(list(scores))
         return pd.Series([scores[i] if valid[i] else None
                           for i in range(len(v))])
 
